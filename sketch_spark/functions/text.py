@@ -1,0 +1,143 @@
+"""Text primitives: Arrow-side tokenization + hashing for the sketch hot
+path, and JVM-side (Catalyst-codegen'd) expressions for SQL-checkable
+text analysis.
+
+The hot path mirrors the reference's fused scan->tokenize->hash loop
+(/root/reference/src/sketch.cpp:98-171) as whole-batch Arrow/numpy ops:
+no exploded token rows ever materialize in the Spark plan (the
+anti-pattern SURVEY.md §4.1 flags), and word n-grams reuse lower-order
+token hashes via a rolling combine — the Spark-native analogue of the
+reference's incremental multi-length H3 chaining (sketch.cpp:136-138,
+sketch_pipelined.cu:51-76).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import Column, functions as F
+
+from ..core.hashing import hash_strings, mix_u64
+
+_NGRAM_PRIME = np.uint64(0x9DDFEA08EB382D69)
+
+
+def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace-tokenize a string array.
+
+    Returns (flat token array, parent row index per token) — both
+    vectorized Arrow kernels, no per-row Python.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.drop_null(arr) if arr.null_count else arr
+    tokens = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(tokens)
+    parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    return flat, parents
+
+
+def token_hashes(
+    arr: pa.Array | pa.ChunkedArray,
+    seed: int,
+    ngram: int = 1,
+    lowercase: bool = False,
+) -> np.ndarray:
+    """uint64 hash per token (or word n-gram) of every row, flattened.
+
+    n-grams never cross row boundaries (a page is the tokenization
+    unit — FIXTURES.md §1), and their hashes are built by rolling
+    combination of the unigram hashes: O(n_tokens) work per extra order
+    instead of re-hashing materialized n-gram strings.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if lowercase:
+        arr = pc.utf8_lower(arr)
+    flat, parents = tokenize_batch(arr)
+    h = hash_strings(flat, seed=seed)
+    if ngram <= 1 or len(h) == 0:
+        return h
+    n = len(h)
+    if n < ngram:
+        return np.empty(0, dtype=np.uint64)
+    combined = h[: n - ngram + 1].copy()
+    for j in range(1, ngram):
+        combined = mix_u64(
+            combined * _NGRAM_PRIME ^ h[j : n - ngram + 1 + j], np.uint64(j)
+        )
+    same_row = parents[: n - ngram + 1] == parents[ngram - 1 :]
+    return combined[same_row]
+
+
+def unique_token_counts(
+    arr: pa.Array | pa.ChunkedArray, lowercase: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """(unique token strings, counts) for a batch of texts — the map-side
+    combine primitive for exact second passes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if lowercase:
+        arr = pc.utf8_lower(arr)
+    flat, _ = tokenize_batch(arr)
+    vc = flat.value_counts()
+    return (
+        np.asarray(vc.field("values").to_pandas(), dtype=object),
+        vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JVM-side (codegen'd) expressions — used by SQL-oracle-checkable queries
+# ---------------------------------------------------------------------------
+
+def tokens_col(text: str | Column, lowercase: bool = False) -> Column:
+    """Whitespace token array as a Catalyst expression (stays JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_ngrams_col(text: str | Column, n: int, lowercase: bool = False) -> Column:
+    """Word n-gram strings as a Catalyst expression (space-joined)."""
+    toks = tokens_col(text, lowercase)
+    if n == 1:
+        return toks
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def quality_columns(text: str | Column) -> dict[str, Column]:
+    """Deterministic quality-scoring signals, all pure Catalyst
+    expressions (whole-stage codegen; identical semantics in ANSI SQL
+    for the DuckDB oracle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(
+            (n_chars - (n_tokens - F.lit(1))) / n_tokens, 4
+        ),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "distinct_ratio": F.round(F.size(F.array_distinct(toks)) / n_tokens, 4),
+    }
+
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as at by"
+).split()
+
+
+def stopword_ratio_col(text: str | Column) -> Column:
+    toks = tokens_col(text, lowercase=True)
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop))
+    return F.round(n_stop / F.size(F.array_distinct(toks)), 4)

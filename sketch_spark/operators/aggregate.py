@@ -1,0 +1,339 @@
+"""Distributed sketch aggregation: the library's central operator.
+
+Architecture (SURVEY.md §3.4, §7.0) — the Spark-native replacement for
+the reference's shared-state atomic aggregation
+(/root/reference/src/sketch.cu:145-147) and thread-per-config fan-out
+(/root/reference/src/sketch_multithread.cpp:266-284):
+
+  scan (columnar, pruned)                      -- Catalyst/parquet
+    -> mapInArrow: per-partition numpy sketch partials,
+       ALL specs in one fused pass per Arrow batch                  (P1)
+    -> salted two-level merge of KB-scale binary states             (P4)
+    -> driver-side estimate / DataFrame-side broadcast estimate
+
+Scale properties this shape buys:
+* one pass over the data regardless of how many sketch specs run;
+* partial rows are O(partitions x groups x specs) with fixed size —
+  the shuffle moves kilobytes, never data rows, and is immune to
+  token-frequency skew (the sketch *is* the skew defense: a partition
+  full of one hot token still emits one 512 KiB state);
+* the two-level merge (salt = spark_partition_id % fanout) bounds any
+  single reducer's fan-in, the treeAggregate shape that survives
+  100k-partition inputs;
+* group-by-key sketches (e.g. per lang) apply the same partial/final
+  shape, so a skewed group costs a bigger *partial count*, never a
+  shuffled data row.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import make_sketch, sketch_from_bytes
+from ..core.base import Sketch, unique_with_counts
+from ..core.hashing import hash_strings, hash_u64
+from ..functions.text import token_hashes
+
+__all__ = ["SketchSpec", "build_partials", "merge_partials", "sketch_aggregate", "SketchResult"]
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch to build: which column, which algorithm, how to feed it.
+
+    mode:
+      "tokens"  — whitespace-tokenize the string column, update with
+                  (optionally n-gram) token hashes (CM/CMCU/HLL/Bloom).
+      "value"   — update with one hash per row (string or numeric
+                  column): distinct urls, per-row keys, etc.
+      "numeric" — feed raw numeric values (KLL quantiles).
+    """
+
+    name: str
+    kind: str
+    column: str
+    mode: str = "tokens"
+    ngram: int = 1
+    lowercase: bool = False
+    params: dict[str, Any] = field(default_factory=dict)
+
+    def make(self) -> Sketch:
+        return make_sketch(self.kind, **self.params)
+
+    def _seed(self) -> int:
+        return int(self.params.get("seed", 1))
+
+    def feed(self, sketch: Sketch, col: pa.ChunkedArray | pa.Array) -> int:
+        """Update ``sketch`` with one Arrow column batch; returns #values."""
+        if self.mode == "numeric":
+            v = col.to_numpy(zero_copy_only=False)
+            v = np.asarray(v, dtype=np.float64)
+            sketch.update_values(v)
+            return len(v)
+        if self.mode == "value":
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                keys = hash_strings(col, seed=self._seed())
+            else:
+                keys = hash_u64(col.to_numpy(zero_copy_only=False), seed=self._seed())
+            sketch.update_hashed(keys)
+            return len(keys)
+        keys = token_hashes(col, seed=self._seed(), ngram=self.ngram, lowercase=self.lowercase)
+        if len(keys):
+            uk, c = unique_with_counts(keys)
+            sketch.update_hashed(uk, c)
+        return len(keys)
+
+
+_PARTIAL_FIELDS = [
+    ("spec", pa.string()),
+    ("state", pa.binary()),
+    ("n_rows", pa.int64()),
+    ("n_values", pa.int64()),
+    ("wall_ms", pa.float64()),
+]
+
+
+_SPARK_TO_ARROW = {
+    "string": pa.string(),
+    "bigint": pa.int64(),
+    "int": pa.int32(),
+    "smallint": pa.int16(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "boolean": pa.bool_(),
+    "timestamp": pa.timestamp("us"),
+    "date": pa.date32(),
+}
+
+
+def _partial_schema(group_cols: list[str], df: DataFrame) -> pa.Schema:
+    fields = []
+    if group_cols:
+        spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for c in group_cols:
+            st = spark_types[c]
+            if st not in _SPARK_TO_ARROW:
+                raise TypeError(f"unsupported group column type {st} for {c}")
+            fields.append(pa.field(c, _SPARK_TO_ARROW[st]))
+    fields += [pa.field(n, t) for n, t in _PARTIAL_FIELDS]
+    return pa.schema(fields)
+
+
+def build_partials(
+    df: DataFrame,
+    specs: list[SketchSpec],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row of binary sketch state per (input partition, group, spec).
+
+    Single fused pass: every spec updates from the same Arrow batch
+    (the reference computes all k-mer lengths in one scan —
+    sketch.cpp:140-162; here all sketch kinds/configs share one scan).
+    ``group_cols`` is for low-cardinality keys (lang, source); state
+    memory per partition is O(groups x specs x state_size).
+    """
+    group_cols = list(group_cols or [])
+    needed = sorted({s.column for s in specs} | set(group_cols))
+    narrow = df.select(*needed)  # column pruning reaches the scan
+    out_schema = _partial_schema(group_cols, df)
+    arrow_schema = out_schema
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.perf_counter()
+        states: dict[tuple, dict[str, Sketch]] = {}
+        counts: dict[tuple, list[int]] = {}
+
+        def bucket(gkey: tuple) -> dict[str, Sketch]:
+            if gkey not in states:
+                states[gkey] = {s.name: s.make() for s in specs}
+                counts[gkey] = [0, 0]  # rows, values
+            return states[gkey]
+
+        if not group_cols:
+            # global aggregate: always emit a (possibly empty) state so
+            # empty inputs still yield a well-formed zero sketch
+            bucket(())
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if not group_cols:
+                groups = [((), tbl)]
+            else:
+                # low-cardinality grouping: one mask filter per group value
+                keyarrs = [tbl.column(c) for c in group_cols]
+                key_df = pa.table(keyarrs, names=group_cols).to_pandas()
+                codes, uniques = pd.factorize(
+                    pd.MultiIndex.from_frame(key_df) if len(group_cols) > 1 else key_df[group_cols[0]]
+                )
+                groups = []
+                for gi, gval in enumerate(uniques):
+                    mask = pa.array(codes == gi)
+                    gkey = tuple(gval) if len(group_cols) > 1 else (gval,)
+                    groups.append((gkey, tbl.filter(mask)))
+            for gkey, gtbl in groups:
+                sk = bucket(gkey)
+                counts[gkey][0] += gtbl.num_rows
+                for spec in specs:
+                    nv = spec.feed(sk[spec.name], gtbl.column(spec.column))
+                    counts[gkey][1] += nv
+
+        wall = (time.perf_counter() - t0) * 1e3
+        if not states:
+            yield pa.RecordBatch.from_pylist([], schema=arrow_schema)
+            return
+        rows = []
+        for gkey, sk in states.items():
+            for spec in specs:
+                row = dict(zip(group_cols, gkey))
+                row.update(
+                    spec=spec.name,
+                    state=sk[spec.name].to_bytes(),
+                    n_rows=counts[gkey][0],
+                    n_values=counts[gkey][1],
+                    wall_ms=wall / max(1, len(states) * len(specs)),
+                )
+                rows.append(row)
+        yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    ddl = _schema_ddl(arrow_schema)
+    return narrow.mapInArrow(run, ddl)
+
+
+_ARROW_TO_DDL = {
+    pa.string(): "string",
+    pa.large_string(): "string",
+    pa.binary(): "binary",
+    pa.int64(): "long",
+    pa.int32(): "int",
+    pa.float64(): "double",
+    pa.bool_(): "boolean",
+    pa.timestamp("us"): "timestamp",
+    pa.timestamp("ns"): "timestamp",
+    pa.date32(): "date",
+}
+
+
+def _schema_ddl(schema: pa.Schema) -> str:
+    parts = []
+    for f in schema:
+        t = _ARROW_TO_DDL.get(f.type)
+        if t is None:
+            if pa.types.is_timestamp(f.type):
+                t = "timestamp"
+            elif pa.types.is_integer(f.type):
+                t = "long"
+            elif pa.types.is_floating(f.type):
+                t = "double"
+            else:
+                raise TypeError(f"unsupported group column type {f.type}")
+        parts.append(f"{f.name} {t}")
+    return ", ".join(parts)
+
+
+def merge_partials(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    fanout: int = 16,
+    two_level: bool = True,
+) -> DataFrame:
+    """Associative tree merge of binary sketch states.
+
+    Level 1 buckets partials by ``spark_partition_id() % fanout`` so no
+    reducer merges more than ~P/fanout states; level 2 merges the
+    fanout pre-merged states per (group, spec).  With P partitions this
+    is the depth-2 treeAggregate; states are KB-scale so the shuffle is
+    negligible by construction.
+    """
+    group_cols = list(group_cols or [])
+    keys = group_cols + ["spec"]
+
+    def make_merge_fn(key_list: list[str]):
+        def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = sketch_from_bytes(pdf["state"].iloc[0])
+            for blob in pdf["state"].iloc[1:]:
+                acc.merge(sketch_from_bytes(blob))
+            out = {k: [pdf[k].iloc[0]] for k in key_list}
+            out.update(
+                state=[acc.to_bytes()],
+                n_rows=[int(pdf["n_rows"].sum())],
+                n_values=[int(pdf["n_values"].sum())],
+                wall_ms=[float(pdf["wall_ms"].sum())],
+            )
+            return pd.DataFrame(out)
+
+        return merge_fn
+
+    def ddl_for(df: DataFrame, key_list: list[str]) -> str:
+        return ", ".join(
+            [f"{f.name} {f.dataType.simpleString()}" for f in df.select(*key_list).schema.fields]
+            + ["state binary", "n_rows long", "n_values long", "wall_ms double"]
+        )
+
+    if two_level:
+        salted = partials.withColumn("_salt", F.spark_partition_id() % F.lit(fanout))
+        l1_keys = keys + ["_salt"]
+        lvl1 = (
+            salted.groupBy(*l1_keys)
+            .applyInPandas(make_merge_fn(l1_keys), ddl_for(salted, l1_keys))
+            .drop("_salt")
+        )
+    else:
+        lvl1 = partials
+    return lvl1.groupBy(*keys).applyInPandas(make_merge_fn(keys), ddl_for(lvl1, keys))
+
+
+class SketchResult:
+    """Merged sketches plus per-run metrics, keyed by (group..., spec)."""
+
+    def __init__(self, rows: list[dict], group_cols: list[str]):
+        self.group_cols = group_cols
+        self.metrics: dict[tuple, dict] = {}
+        self._sketches: dict[tuple, Sketch] = {}
+        for r in rows:
+            key = tuple(r[c] for c in group_cols) + (r["spec"],)
+            self._sketches[key] = sketch_from_bytes(r["state"])
+            self.metrics[key] = {
+                "n_rows": r["n_rows"],
+                "n_values": r["n_values"],
+                "wall_ms": r["wall_ms"],
+            }
+
+    def sketch(self, spec_name: str, *group_vals) -> Sketch:
+        return self._sketches[tuple(group_vals) + (spec_name,)]
+
+    def keys(self):
+        return list(self._sketches)
+
+    def __len__(self):
+        return len(self._sketches)
+
+
+def sketch_aggregate(
+    df: DataFrame,
+    specs: list[SketchSpec],
+    group_cols: list[str] | None = None,
+    fanout: int = 16,
+) -> SketchResult:
+    """End-to-end: build partials -> tree merge -> collect tiny states."""
+    group_cols = list(group_cols or [])
+    partials = build_partials(df, specs, group_cols)
+    merged = merge_partials(partials, group_cols, fanout=fanout)
+    rows = [r.asDict() for r in merged.collect()]
+    result = SketchResult(rows, group_cols)
+    if not group_cols:
+        # a zero-partition input (e.g. filter(false) collapsed to an
+        # empty LocalRelation) runs no tasks at all — synthesize empty
+        # states so global aggregates are total functions
+        for spec in specs:
+            if (spec.name,) not in result._sketches:
+                result._sketches[(spec.name,)] = spec.make()
+                result.metrics[(spec.name,)] = {"n_rows": 0, "n_values": 0, "wall_ms": 0.0}
+    return result

@@ -1,0 +1,199 @@
+"""Emerging heavy hitters — the reference's flagship query (SURVEY.md §1.2).
+
+Reference semantics (/root/reference/src/sketch.cpp:160-162, 179-245):
+report token x iff (1) its CMCU estimate over the *test* stream reaches
+``threshold`` and (2) estimate / growth strictly exceeds its exact
+occurrence count in the *control* stream; reported frequency is the
+pre-scaling estimate.
+
+Distributed shape (two passes; SURVEY.md §7.2 "heavy-hitter emission
+timing"):
+
+  pass 1   test_df  -> global merged CMCU            (sketch_aggregate)
+  pass 2   test_df  -> per-partition: unique tokens per batch,
+           estimate against the *broadcast* merged sketch, keep
+           est >= threshold, emit (token, partial_count)   [mapInArrow]
+           -> groupBy(token).sum  — shuffles ONLY candidate tokens
+  pass 2'  control_df -> same candidate predicate (the broadcast sketch
+           itself decides membership; no candidate list ever ships)
+           -> exact control counts of candidates
+  final    left join (candidates ⨝ control counts)  + filter
+           est/growth > control_count               [broadcast join]
+
+Because the final sketch estimate dominates every prefix estimate, the
+candidate set is a superset of the reference's streaming upserts; the
+control-subtraction filter is applied to exactly the same quantities.
+``mode="exact"`` additionally verifies candidates against their exact
+test counts — making the result the *exact* answer to
+``count_test >= threshold AND count_test/growth > count_control`` with
+the sketch acting as a pre-filter (SQL-oracle-checkable end to end).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import CountMinCU, sketch_from_bytes
+from ..functions.text import tokenize_batch
+from .aggregate import SketchSpec, sketch_aggregate
+
+__all__ = ["emerging_heavy_hitters", "candidate_token_counts", "estimate_tokens_udf", "broadcast_sketch"]
+
+# per-executor deserialized sketch cache (uuid -> object); broadcasts
+# carry (uuid, blob) so workers deserialize each state exactly once
+_SKETCH_CACHE: dict[str, object] = {}
+
+
+def broadcast_sketch(spark, sketch) -> object:
+    """Broadcast a sketch's binary state with a cache key."""
+    import uuid
+
+    return spark.sparkContext.broadcast((uuid.uuid4().hex, sketch.to_bytes()))
+
+
+def _cached_sketch(sketch_bc):
+    key, blob = sketch_bc.value
+    sk = _SKETCH_CACHE.get(key)
+    if sk is None:
+        sk = sketch_from_bytes(blob)
+        if len(_SKETCH_CACHE) > 8:
+            _SKETCH_CACHE.clear()
+        _SKETCH_CACHE[key] = sk
+    return sk
+
+
+def candidate_token_counts(
+    df: DataFrame,
+    text_col: str,
+    sketch_bc,
+    threshold: int,
+    lowercase: bool = False,
+) -> DataFrame:
+    """(token, cnt) exact counts of tokens whose global-sketch estimate
+    reaches ``threshold`` — map-side combined, so the shuffle carries
+    only candidate tokens (vocab-of-heavy-hitters scale, not data scale).
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sketch = _cached_sketch(sketch_bc)
+        acc: dict[str, int] = {}
+        for batch in batches:
+            col = batch.column(0)
+            if lowercase:
+                col = pc.utf8_lower(col)
+            flat, _ = tokenize_batch(col)
+            if len(flat) == 0:
+                continue
+            vc = flat.value_counts()
+            uniq = vc.field("values")
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+            est = sketch.estimate_tokens(uniq)
+            keep = est >= threshold
+            if not keep.any():
+                continue
+            kept_tokens = uniq.filter(pa.array(keep)).to_pylist()
+            kept_counts = cnts[keep]
+            for t, c in zip(kept_tokens, kept_counts):
+                acc[t] = acc.get(t, 0) + int(c)
+        out = pa.RecordBatch.from_pydict(
+            {
+                "token": pa.array(list(acc.keys()), type=pa.string()),
+                "cnt": pa.array(list(acc.values()), type=pa.int64()),
+            }
+        )
+        yield out
+
+    partial = df.select(text_col).mapInArrow(run, "token string, cnt long")
+    return partial.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+
+
+def estimate_tokens_udf(sketch_bc):
+    """pandas UDF: token column -> sketch estimate (broadcast state)."""
+
+    @F.pandas_udf("long")
+    def est(tokens: pd.Series) -> pd.Series:
+        sketch = _cached_sketch(sketch_bc)
+        vals = sketch.estimate_tokens(tokens.fillna("").tolist())
+        return pd.Series(np.asarray(vals, dtype=np.int64))
+
+    return est
+
+
+def emerging_heavy_hitters(
+    test_df: DataFrame,
+    control_df: DataFrame,
+    text_col: str = "text",
+    threshold: int = 100,
+    growth: float = 2.0,
+    depth: int = 4,
+    log2_width: int = 14,
+    seed: int = 1,
+    mode: str = "reference",
+    fanout: int = 16,
+    lowercase: bool = False,
+    prebuilt_sketch: CountMinCU | None = None,
+) -> DataFrame:
+    """Emerging-HH result DataFrame.
+
+    mode="reference": filter on sketch estimate (est >= threshold AND
+        est/growth > control_count), report freq = est — the
+        reference's exact decision quantities.
+    mode="exact": additionally require exact test counts; output is
+        (token, freq=exact test count, control_count) — precisely the
+        SQL ``HAVING cnt >= threshold AND cnt/growth > control_cnt``.
+    """
+    spark = test_df.sparkSession
+    if prebuilt_sketch is None:
+        spec = SketchSpec(
+            "cmcu",
+            "cmcu",
+            text_col,
+            mode="tokens",
+            lowercase=lowercase,
+            params={"depth": depth, "log2_width": log2_width, "seed": seed},
+        )
+        result = sketch_aggregate(test_df, [spec], fanout=fanout)
+        sketch = result.sketch("cmcu")
+    else:
+        sketch = prebuilt_sketch
+    bc = broadcast_sketch(spark, sketch)
+
+    cand = candidate_token_counts(test_df, text_col, bc, threshold, lowercase)
+    cand = cand.withColumnRenamed("cnt", "test_count")
+    cand = cand.withColumn("est", estimate_tokens_udf(bc)(F.col("token")))
+
+    ctrl = candidate_token_counts(control_df, text_col, bc, threshold, lowercase)
+    ctrl = ctrl.withColumnRenamed("cnt", "control_count")
+
+    joined = cand.join(F.broadcast(ctrl), "token", "left").withColumn(
+        "control_count", F.coalesce(F.col("control_count"), F.lit(0))
+    )
+    if mode == "reference":
+        out = joined.filter(
+            (F.col("est") >= threshold)
+            & (F.col("est") / F.lit(growth) > F.col("control_count"))
+        ).select(
+            "token",
+            F.col("est").alias("freq"),
+            "test_count",
+            "control_count",
+        )
+    elif mode == "exact":
+        out = joined.filter(
+            (F.col("test_count") >= threshold)
+            & (F.col("test_count") / F.lit(growth) > F.col("control_count"))
+        ).select(
+            "token",
+            F.col("test_count").alias("freq"),
+            "control_count",
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return out

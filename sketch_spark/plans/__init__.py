@@ -1,0 +1,8 @@
+from .explain import explain_str, assert_pushed_filters, assert_read_schema_only, has_broadcast_join
+
+__all__ = [
+    "explain_str",
+    "assert_pushed_filters",
+    "assert_read_schema_only",
+    "has_broadcast_join",
+]

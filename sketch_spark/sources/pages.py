@@ -1,0 +1,221 @@
+"""Deterministic synthetic Common-Crawl-style pages table (FIXTURES.md §1).
+
+Schema matches BASELINE.json input_hint exactly:
+  url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Properties the tests and benchmarks rely on:
+* fully deterministic from ``seed`` (numpy PCG64; no wall clock);
+* two disjoint crawl windows — control (July 2025) and test (August
+  2025) — the web-scale analogue of the reference's control/test FASTA
+  pair (/root/reference/src/sketch.cpp:87-90);
+* host-skewed urls (Zipf) per north_star's heavy-hitter skew clause;
+* ``html`` is an invertible template wrap of ``text`` so
+  ``extract_text(html) == text`` **byte-identical** (input_hint
+  per-row invariant; tested);
+* planted heavy-hitter tokens with exact known counts per window
+  (ground-truth sidecar) — "emerging" tokens appear overwhelmingly in
+  the test window, "stable" tokens equally in both, giving the
+  emerging-HH pipeline a known right answer.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+CONTROL_START = np.datetime64("2025-07-01T00:00:00")
+TEST_START = np.datetime64("2025-08-01T00:00:00")
+WINDOW_DAYS = 14
+
+LANGS = np.array(["en", "es", "de", "fr", "zh"])
+LANG_W = np.array([0.55, 0.15, 0.12, 0.10, 0.08])
+
+
+@dataclass
+class PlantedToken:
+    token: str
+    test_count: int
+    control_count: int
+
+
+def default_planted(n_emerge: int = 5, n_stable: int = 5) -> list[PlantedToken]:
+    planted = []
+    for i in range(n_emerge):
+        planted.append(PlantedToken(f"hhemerge{i}", 400 + 50 * i, 5 + i))
+    for i in range(n_stable):
+        planted.append(PlantedToken(f"hhstable{i}", 300 + 20 * i, 300 + 20 * i))
+    return planted
+
+
+def _escape(text: bytes) -> bytes:
+    return text.replace(b"&", b"&amp;").replace(b"<", b"&lt;").replace(b">", b"&gt;")
+
+
+def _unescape(text: bytes) -> bytes:
+    return text.replace(b"&gt;", b">").replace(b"&lt;", b"<").replace(b"&amp;", b"&")
+
+
+_PRE = b"<html><head><title>"
+_MID = b"</title></head><body><p>"
+_POST = b"</p></body></html>"
+
+
+def wrap_html(url: str, text: str) -> bytes:
+    return _PRE + _escape(url.encode()) + _MID + _escape(text.encode()) + _POST
+
+
+def extract_text_bytes(html: bytes) -> bytes:
+    """Invert ``wrap_html`` — byte-identical to the original text."""
+    start = html.index(_MID) + len(_MID)
+    end = html.rindex(_POST)
+    return _unescape(html[start:end])
+
+
+def generate_pages(
+    n_rows: int,
+    seed: int = 42,
+    n_hosts: int = 200,
+    vocab: int = 20_000,
+    planted: list[PlantedToken] | None = None,
+    with_html: bool = True,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (pages_df, sidecar_df).
+
+    sidecar: one row per planted token — token, test_count,
+    control_count (exact ground truth).
+    """
+    rng = np.random.default_rng(seed)
+    if planted is None:
+        planted = default_planted()
+
+    # hosts: Zipf-skewed
+    host_ids = rng.zipf(1.2, size=n_rows * 2)
+    host_ids = host_ids[host_ids <= n_hosts][:n_rows]
+    while len(host_ids) < n_rows:  # top-up (zipf tail rejection)
+        extra = rng.zipf(1.2, size=n_rows)
+        extra = extra[extra <= n_hosts]
+        host_ids = np.concatenate([host_ids, extra])[:n_rows]
+    path_ctr = np.arange(n_rows)
+    urls = np.array(
+        [f"https://host{h}.example.com/p/{c}" for h, c in zip(host_ids, path_ctr)]
+    )
+
+    # window split: deterministic round-robin by row
+    is_test = np.arange(n_rows) % 2 == 1
+    day_off = rng.integers(0, WINDOW_DAYS, n_rows)
+    sec_off = rng.integers(0, 86_400, n_rows)
+    base = np.where(is_test, TEST_START, CONTROL_START)
+    warc_ts = base + day_off * np.timedelta64(86_400, "s") + sec_off * np.timedelta64(1, "s")
+
+    lang = LANGS[rng.choice(len(LANGS), size=n_rows, p=LANG_W)]
+
+    # organic text: Zipf tokens over the vocab
+    doc_len = 50 + (np.arange(n_rows) * 2654435761 % 451)  # deterministic LCG-ish [50, 500]
+    token_ids = rng.zipf(1.07, size=int(doc_len.sum()) * 2)
+    token_ids = token_ids[token_ids <= vocab]
+    token_strs = np.char.add("w", token_ids.astype("U8"))
+    docs: list[list[str]] = []
+    off = 0
+    for dl in doc_len:
+        docs.append(token_strs[off : off + dl].tolist())
+        off += dl
+
+    # plant heavy hitters: spread occurrences round-robin over the
+    # window's docs (deterministic) — exact per-window counts
+    test_idx = np.flatnonzero(is_test)
+    ctrl_idx = np.flatnonzero(~is_test)
+    for pi, p in enumerate(planted):
+        for count, idxs in ((p.test_count, test_idx), (p.control_count, ctrl_idx)):
+            if len(idxs) == 0:
+                continue
+            targets = idxs[(pi * 7919 + np.arange(count)) % len(idxs)]
+            for t in targets:
+                docs[t].append(p.token)
+
+    texts = np.array([" ".join(d) for d in docs], dtype=object)
+    html = (
+        np.array([wrap_html(u, t) for u, t in zip(urls, texts)], dtype=object)
+        if with_html
+        else np.array([b""] * n_rows, dtype=object)
+    )
+
+    pages = pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": pd.Series(warc_ts),
+            "html": html,
+            "text": texts,
+            "lang": lang,
+            "window": np.where(is_test, "test", "control"),
+        }
+    )
+    sidecar = pd.DataFrame(
+        {
+            "token": [p.token for p in planted],
+            "test_count": [p.test_count for p in planted],
+            "control_count": [p.control_count for p in planted],
+        }
+    )
+    return pages, sidecar
+
+
+def write_pages(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    partitions_per_window: int = 4,
+    **kw,
+) -> str:
+    """Write the pages table as window-partitioned parquet + sidecar.
+
+    The ``window=...`` directory layout is the parquet stand-in for
+    Iceberg hidden partitioning on ``days(warc_ts)`` (SURVEY.md §7.2:
+    no Iceberg runtime jar in this sandbox) — predicate
+    ``window = 'test'`` prunes files, same as a ``warc_ts`` range would
+    against Iceberg metadata.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages, sidecar = generate_pages(n_rows, seed=seed, **kw)
+    table_dir = os.path.join(out_dir, "pages")
+    os.makedirs(table_dir, exist_ok=True)
+    for window, sub in pages.groupby("window"):
+        wdir = os.path.join(table_dir, f"window={window}")
+        os.makedirs(wdir, exist_ok=True)
+        sub = sub.drop(columns=["window"]).reset_index(drop=True)
+        tbl = pa.Table.from_pandas(
+            sub,
+            schema=pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("warc_ts", pa.timestamp("us")),
+                    ("html", pa.binary()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                ]
+            ),
+            preserve_index=False,
+        )
+        n_parts = max(1, partitions_per_window)
+        rows_per = -(-tbl.num_rows // n_parts)
+        for i in range(n_parts):
+            chunk = tbl.slice(i * rows_per, rows_per)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(wdir, f"part-{i:04d}.parquet"))
+    sidecar.to_parquet(os.path.join(out_dir, "sidecar.parquet"))
+    return out_dir
+
+
+def load_pages(spark, path: str):
+    """Table adapter (SURVEY.md §7.2): parquet today, Iceberg when a
+    runtime jar is on the classpath (``spark.read.table`` branch).
+
+    Native partition discovery over ``<path>/pages/window=*`` gives the
+    ``window`` partition column — predicates on it prune files at the
+    scan, the parquet stand-in for Iceberg hidden partitioning.
+    """
+    return spark.read.parquet(os.path.join(path, "pages"))
