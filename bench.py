@@ -1,0 +1,110 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall seconds over the headline set (lower = better).
+A second section of the JSON carries throughput and scaling info used
+by BENCH/BASELINE.md (extra keys are allowed by the contract).
+
+Run ``python bench_util/scaling.py`` for the two-parallelism-level
+(N vs 4N cores) scaling-efficiency measurement on the pages table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# headline set: the flagship sketch pipeline + representative operators
+# from each family (exact text, windowed events, relational, dedup, ANN)
+HEADLINE = [
+    "emerging_hh",
+    "token_counts",
+    "bigram_counts",
+    "cmcu_estimates",
+    "hll_distinct_by_lang",
+    "kll_price_quantiles",
+    "events_hourly",
+    "events_sessions",
+    "tpch_q1",
+    "revenue_by_region",
+    "exact_dedup",
+    "minhash_near_dups",
+    "simhash",
+    "ann_cosine_topk",
+    "embedding_near_dups",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+    import __spark_entry__ as entrymod
+    from sketch_spark.session import get_spark
+
+    spark = get_spark("sketch_spark-bench", cores=cpus)
+    qs = entrymod.queries()
+
+    # warm the JVM/Arrow path once so per-query numbers measure the
+    # queries, not session bring-up
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+    timings: dict[str, float] = {}
+    rowcounts: dict[str, int] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rowcounts[name] = n
+
+    total = round(sum(timings.values()), 3)
+
+    # sketch-update throughput on the documents table (docs+tokens/sec)
+    from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    specs = [
+        SketchSpec("cmcu", "cmcu", "text", mode="tokens", params={"depth": 4, "log2_width": 14, "seed": 1}),
+        SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 14, "seed": 1}),
+        SketchSpec("bloom", "bloom", "text", mode="tokens", params={"log2_bits": 20, "k": 5, "seed": 1}),
+    ]
+    t0 = time.perf_counter()
+    res = sketch_aggregate(docs, specs, fanout=min(16, cpus))
+    sketch_wall = time.perf_counter() - t0
+    m = res.metrics[("cmcu",)]
+    docs_per_sec = m["n_rows"] / sketch_wall
+    tokens_per_sec = m["n_values"] / sketch_wall
+
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "rowcounts": rowcounts,
+        "sketch_build": {
+            "docs_per_sec": round(docs_per_sec, 1),
+            "tokens_per_sec": round(tokens_per_sec, 1),
+            "docs_per_sec_per_core": round(docs_per_sec / cpus, 2),
+            "wall_sec": round(sketch_wall, 3),
+            "n_docs": m["n_rows"],
+            "n_tokens": m["n_values"],
+            "kinds": ["cmcu", "hll", "bloom"],
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

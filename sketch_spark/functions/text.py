@@ -102,14 +102,19 @@ def tokens_col(text: str | Column, lowercase: bool = False) -> Column:
 
 
 def word_ngrams_col(text: str | Column, n: int, lowercase: bool = False) -> Column:
-    """Word n-gram strings as a Catalyst expression (space-joined)."""
+    """Word n-gram strings as a Catalyst expression (space-joined).
+
+    Guarded for rows with fewer than ``n`` tokens (F.sequence would
+    otherwise run backwards and emit bogus grams).
+    """
     toks = tokens_col(text, lowercase)
     if n == 1:
         return toks
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def quality_columns(text: str | Column) -> dict[str, Column]:
@@ -141,3 +146,52 @@ def stopword_ratio_col(text: str | Column) -> Column:
     stop = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.array_intersect(toks, stop))
     return F.round(n_stop / F.size(F.array_distinct(toks)), 4)
+
+
+# marker-word language ID: a deterministic n-gram-free heuristic whose
+# semantics are expressible identically in ANSI SQL (oracle-checkable);
+# real corpora would swap in a larger marker table, same plan shape
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "des", "et", "est"],
+}
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    toks = F.array_distinct(tokens_col(text, lowercase=True))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id_col(text: str | Column) -> Column:
+    """argmax of marker-word hits with fixed precedence en>es>de>fr;
+    'und' when no marker matches."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    # build CASE from lowest to highest precedence so en wins ties
+    for lang in ["fr", "de", "es", "en"]:
+        out = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_id_sql(table_expr: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB SQL computing exactly ``lang_id_col`` per row."""
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_intersect(list_distinct(regexp_split_to_array(lower({text_col}), '\\s+')), [{arr}])) AS s_{lang}"
+        )
+    cases = []
+    for lang in ["en", "es", "de", "fr"]:
+        others = [f"s_{lang} >= s_{o}" for o in LANG_MARKERS if o != lang]
+        cases.append(f"WHEN s_{lang} > 0 AND {' AND '.join(others)} THEN '{lang}'")
+    return f"""
+        SELECT {id_col}, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
+        FROM (SELECT {id_col}, {', '.join(score_exprs)} FROM {table_expr})
+    """

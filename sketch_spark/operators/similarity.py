@@ -1,0 +1,243 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact baseline: the query matrix is
+  broadcast, each partition computes a (batch x Q) float64 similarity
+  block in numpy (BLAS) and keeps its local top-k, so the shuffle
+  carries at most partitions x Q x k rows.  This is the exact oracle
+  and the right plan whenever Q is small.
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane signatures
+  block the corpus into 2^bits buckets; queries probe their own bucket
+  plus all Hamming<=1 neighbors and run the exact kernel inside.  Same
+  output schema; recall<1 by construction (tested against brute force).
+* ``embedding_near_duplicates`` — near-dup pairs by cosine >= threshold
+  via the same hyperplane blocking.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from ..core.hashing import derive_seeds
+
+__all__ = ["cosine_topk", "exact_cosine_pairs", "lsh_bucket_topk", "embedding_near_duplicates", "hyperplane_buckets"]
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list<float> column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0))
+    d = len(flat) // n
+    return flat.reshape(n, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk(
+    emb_df: DataFrame,
+    queries: dict[int, np.ndarray] | list[tuple[int, np.ndarray]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, rank, vec_id, sim) with deterministic
+    tie-breaking by (rounded sim desc, vec_id asc).
+    """
+    qitems = sorted(queries.items() if isinstance(queries, dict) else queries)
+    qids = np.array([q[0] for q in qitems], dtype=np.int64)
+    qmat = _normalize(np.stack([np.asarray(q[1], dtype=np.float64) for q in qitems]))
+    spark = emb_df.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        qids_, qmat_ = bc.value
+        best: dict[int, list] = {int(q): [] for q in qids_}
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            mat = _as_matrix(batch.column(1))
+            if mat.size == 0:
+                continue
+            sims = _normalize(mat) @ qmat_.T  # (n, Q) float64 BLAS
+            # local top-k per query
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            for qi in range(len(qids_)):
+                rows = top[:, qi]
+                for r in rows:
+                    best[int(qids_[qi])].append((float(sims[r, qi]), int(ids[r])))
+        out_q, out_v, out_s = [], [], []
+        for q, lst in best.items():
+            lst.sort(key=lambda t: (-round(t[0], sim_decimals), t[1]))
+            for s, v in lst[:k]:
+                out_q.append(q)
+                out_v.append(v)
+                out_s.append(round(s, sim_decimals))
+        yield pa.RecordBatch.from_pydict(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = emb_df.select(id_col, vec_col).mapInArrow(run, "query_id long, vec_id long, sim double")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+def exact_cosine_pairs(
+    emb_df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via a broadcast corpus matrix.
+
+    Each partition multiplies its (batch x d) block against the full
+    normalized matrix (one BLAS gemm per batch) and emits only pairs
+    with id_a < id_b above threshold — exact, and distributed over the
+    row blocks.  Scale ceiling: the corpus matrix must fit in executor
+    memory (n x d x 8 bytes); beyond that use
+    ``embedding_near_duplicates`` (hyperplane-blocked, approximate
+    recall, unbounded n).
+    """
+    rows = emb_df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = _normalize(np.stack([np.asarray(rows[i][vec_col], dtype=np.float64) for i in order]))
+    spark = emb_df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        all_ids, all_mat = bc.value
+        for batch in batches:
+            bids = batch.column(0).to_numpy(zero_copy_only=False)
+            bmat = _as_matrix(batch.column(1))
+            if bmat.size == 0:
+                continue
+            sims = _normalize(bmat) @ all_mat.T  # (b, n)
+            # keep id_a < id_b so each pair is emitted exactly once
+            mask = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+            bi, ci = np.nonzero(mask)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id_a": pa.array(bids[bi], pa.int64()),
+                    "id_b": pa.array(all_ids[ci], pa.int64()),
+                    "cos": pa.array(np.round(sims[bi, ci], sim_decimals), pa.float64()),
+                }
+            )
+
+    return emb_df.select(id_col, vec_col).mapInArrow(run, "id_a long, id_b long, cos double")
+
+
+def hyperplane_buckets(
+    emb_df: DataFrame,
+    bits: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (sign-bit signature)."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        planes = None
+        for batch in batches:
+            ids = batch.column(0)
+            mat = _as_matrix(batch.column(1))
+            if mat.size == 0:
+                continue
+            if planes is None:
+                rng = np.random.default_rng(int(derive_seeds(seed, "hyperplane", 1)[0]) % 2**32)
+                planes = rng.standard_normal((mat.shape[1], bits))
+            signs = (mat @ planes) > 0
+            bucket = signs @ (1 << np.arange(bits, dtype=np.int64))
+            yield pa.RecordBatch.from_pydict(
+                {id_col: ids, "bucket": pa.array(bucket.astype(np.int64))}
+            )
+
+    return emb_df.select(id_col, vec_col).mapInArrow(run, f"{id_col} long, bucket long")
+
+
+def lsh_bucket_topk(
+    emb_df: DataFrame,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact kernel to vectors whose
+    hyperplane bucket is within ``probe_hamming`` of the query's."""
+    rng = np.random.default_rng(int(derive_seeds(seed, "hyperplane", 1)[0]) % 2**32)
+    qitems = sorted(queries.items())
+    dim = len(qitems[0][1])
+    planes = rng.standard_normal((dim, bits))
+    probe_buckets: set[int] = set()
+    for _qid, vec in qitems:
+        b = int(((np.asarray(vec, dtype=np.float64) @ planes) > 0) @ (1 << np.arange(bits, dtype=np.int64)))
+        probe_buckets.add(b)
+        if probe_hamming >= 1:
+            for bit in range(bits):
+                probe_buckets.add(b ^ (1 << bit))
+    buckets = hyperplane_buckets(emb_df, bits, None, id_col, vec_col, seed)
+    candidates = (
+        emb_df.join(buckets, id_col)
+        .filter(F.col("bucket").isin(list(probe_buckets)))
+        .drop("bucket")
+    )
+    return cosine_topk(candidates, queries, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) within
+    hyperplane buckets — the embedding analogue of MinHash-LSH dedup."""
+    buckets = hyperplane_buckets(emb_df, bits, None, id_col, vec_col, seed)
+    with_b = emb_df.join(buckets, id_col)
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+        pdf = pdf.sort_values(id_col).head(max_bucket)
+        ids = pdf[id_col].to_numpy()
+        mat = _normalize(np.stack(pdf[vec_col].apply(np.asarray).to_numpy()).astype(np.float64))
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": np.round(sims[ia, ib][keep], 6)}
+        )
+
+    return with_b.groupBy("bucket").applyInPandas(pairs_fn, "id_a long, id_b long, cos double")

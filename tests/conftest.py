@@ -42,11 +42,11 @@ def exact_token_counts(texts) -> pd.Series:
     return toks.explode().value_counts()
 
 
-@pytest.fixture()
+@pytest.fixture(scope="session")
 def sf001():
     return os.path.join(TESTDATA, "sf0.001")
 
 
-@pytest.fixture()
+@pytest.fixture(scope="session")
 def sf01():
     return os.path.join(TESTDATA, "sf0.01")

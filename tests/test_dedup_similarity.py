@@ -1,0 +1,260 @@
+"""Dedup family, similarity search, and multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sketch_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
+    simhash_candidate_pairs,
+)
+from sketch_spark.operators.similarity import (
+    cosine_topk,
+    exact_cosine_pairs,
+    hyperplane_buckets,
+    lsh_bucket_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def neardup_df(spark):
+    """Deterministic corpus with planted near-duplicates: each base doc
+    gets a mutated twin (every 20th token dropped -> Jaccard ~0.9 on
+    3-shingles) and an unrelated doc."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    for i in range(60):
+        toks = list(rng.choice(vocab, size=200))
+        rows.append((i * 10, " ".join(toks)))  # base
+        mutated = [t for j, t in enumerate(toks) if j % 20 != 0]
+        rows.append((i * 10 + 1, " ".join(mutated)))  # near-dup twin
+        rows.append((i * 10 + 2, " ".join(rng.choice(vocab, size=200))))  # unrelated
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+
+
+def exact_jaccard_pairs(pdf: pd.DataFrame, k: int = 3, threshold: float = 0.5):
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sh = {r.doc_id: shingles(r.text) for r in pdf.itertuples()}
+    out = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_minhash_lsh_precision_and_recall(spark, neardup_df):
+    pdf = neardup_df.toPandas()
+    truth = exact_jaccard_pairs(pdf, k=3, threshold=0.5)
+    got = minhash_near_duplicates(
+        neardup_df, "doc_id", "text", num_perm=64, bands=16, shingle_k=3,
+        threshold=0.5, seed=1,
+    ).toPandas()
+    got_pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    # precision is exact by construction (verify step recomputes J)
+    for (a, b), j in got_pairs.items():
+        assert (a, b) in truth, f"false positive pair ({a},{b}) J={j}"
+    # recall: at J>=0.7 the 16x4 banding catches >=98% in expectation;
+    # planted twins sit near J~0.85
+    high = {p for p, j in truth.items() if j >= 0.7}
+    found = set(got_pairs) & high
+    assert len(found) >= 0.9 * len(high), f"recall {len(found)}/{len(high)}"
+    assert len(high) >= 50  # the planted twins actually exist
+
+
+def test_minhash_jaccard_values_exact(spark, neardup_df):
+    """The reported jaccard equals brute-force jaccard (verify step is
+    exact, not an estimate)."""
+    pdf = neardup_df.toPandas()
+    truth = exact_jaccard_pairs(pdf, k=3, threshold=0.5)
+    got = minhash_near_duplicates(
+        neardup_df, "doc_id", "text", threshold=0.5, seed=1
+    ).toPandas()
+    for r in got.itertuples():
+        assert abs(truth[(r.id_a, r.id_b)] - r.jaccard) < 1e-6
+
+
+def test_minhash_signature_estimate_unbiased(spark, neardup_df):
+    sigs = minhash_signatures(neardup_df, num_perm=128, shingle_k=3, seed=3).toPandas()
+    pdf = neardup_df.toPandas()
+    truth = exact_jaccard_pairs(pdf, k=3, threshold=0.6)
+    bysig = {r.doc_id: np.asarray(r.sig) for r in sigs.itertuples()}
+    errs = [
+        abs((bysig[a] == bysig[b]).mean() - j) for (a, b), j in truth.items()
+    ]
+    assert np.mean(errs) < 0.08  # RSE ~ 1/sqrt(128) ~ 0.09 per pair
+
+
+def test_exact_dedup(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a b c"), (5, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df, "text", "doc_id").toPandas().sort_values("keep_id")
+    assert len(out) == 3
+    dup = out[out.n_docs == 3]
+    assert dup.keep_id.tolist() == [1]
+
+
+def test_simhash_properties(spark, neardup_df):
+    out = simhash(neardup_df, "doc_id", "text", seed=1).toPandas()
+    assert len(out) == neardup_df.count()
+    # identical text -> identical simhash (run twice, compare)
+    out2 = simhash(neardup_df, "doc_id", "text", seed=1).toPandas()
+    m = out.merge(out2, on="doc_id", suffixes=("", "_2"))
+    assert (m.simhash == m.simhash_2).all()
+    # near-dup twins within small hamming distance, unrelated docs far
+    fp = {r.doc_id: np.uint64(r.simhash << 1) for r in out.itertuples()}
+
+    def ham(a, b):
+        return bin(int(fp[a]) ^ int(fp[b])).count("1")
+
+    twin_d = [ham(i * 10, i * 10 + 1) for i in range(60)]
+    rand_d = [ham(i * 10, i * 10 + 2) for i in range(60)]
+    assert np.median(twin_d) <= 6
+    assert np.median(rand_d) >= 20
+
+
+def test_simhash_candidate_pairs(spark, neardup_df):
+    sim = simhash(neardup_df, "doc_id", "text", seed=1)
+    pairs = simhash_candidate_pairs(sim, "doc_id").toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    # hamming<=3 twins are guaranteed caught (pigeonhole over 4 bands)
+    sim_pdf = sim.toPandas()
+    fp = {r.doc_id: int(np.uint64(r.simhash << 1)) for r in sim_pdf.itertuples()}
+    for i in range(60):
+        a, b = i * 10, i * 10 + 1
+        if bin(fp[a] ^ fp[b]).count("1") <= 3:
+            assert (a, b) in got
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb(spark, sf01):
+    import os
+
+    return spark.read.parquet(os.path.join(sf01, "embeddings.parquet"))
+
+
+def brute_topk(pdf, queries, k):
+    mat = np.stack(pdf["embedding"].apply(np.asarray)).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid, q in queries.items():
+        q = np.asarray(q, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        sims = np.round(mat @ q, 6)
+        order = sorted(zip(-sims, ids))[:k]
+        out[qid] = [(int(i), float(-s)) for s, i in order]
+    return out
+
+
+def test_cosine_topk_exact(spark, emb):
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = {int(r.vec_id): r.embedding for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    got = cosine_topk(corpus, queries, k=5).toPandas()
+    truth = brute_topk(corpus.toPandas(), queries, 5)
+    for qid, expected in truth.items():
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(zip(sub.vec_id, sub.sim)) == expected
+
+
+def test_exact_cosine_pairs_vs_brute(spark, emb):
+    got = exact_cosine_pairs(emb, threshold=0.4).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].apply(np.asarray)).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    keep = sims[ia, ib] >= 0.4
+    truth = {
+        (min(a, b), max(a, b)): round(s, 6)
+        for a, b, s in zip(ids[ia[keep]], ids[ib[keep]], sims[ia, ib][keep])
+    }
+    got_pairs = {(r.id_a, r.id_b): r.cos for r in got.itertuples()}
+    assert got_pairs == truth
+
+
+def test_lsh_bucket_topk_recall(spark, emb):
+    qrows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = {int(r.vec_id): r.embedding for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = cosine_topk(corpus, queries, k=10).toPandas()
+    approx = lsh_bucket_topk(corpus, queries, k=10, bits=6, probe_hamming=1).toPandas()
+    # recall@10 against exact — hyperplane LSH on near-orthogonal random
+    # vectors is a weak signal; assert the machinery returns valid rows
+    # and achieves nonzero overlap
+    assert len(approx) > 0
+    for qid in queries:
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        assert a <= set(corpus.toPandas().vec_id)
+        assert len(a & e) >= 1
+
+
+def test_hyperplane_buckets_deterministic(spark, emb):
+    b1 = hyperplane_buckets(emb, bits=8, seed=7).toPandas().sort_values("vec_id")
+    b2 = hyperplane_buckets(emb, bits=8, seed=7).toPandas().sort_values("vec_id")
+    assert (b1.bucket.to_numpy() == b2.bucket.to_numpy()).all()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+def test_binary_metadata(spark, pages_dir):
+    from sketch_spark.functions.multimodal import binary_metadata
+    from sketch_spark.sources.pages import load_pages
+
+    df = load_pages(spark, pages_dir)
+    out = binary_metadata(df, "html", "url").toPandas()
+    assert len(out) == df.count()
+    assert (out.format == "html").all()
+    assert (out.n_bytes > 0).all()
+    import hashlib
+
+    sample = df.select("url", "html").limit(5).collect()
+    md5s = dict(zip(out.url, out.content_md5))
+    for r in sample:
+        assert md5s[r.url] == hashlib.md5(bytes(r.html)).hexdigest()
+
+
+def test_decode_image_is_stub():
+    from sketch_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xfffakejpeg")
+
+
+def test_fake_features_deterministic_and_normalized(spark, pages_dir):
+    from sketch_spark.functions.multimodal import extract_features_df, fake_features
+    from sketch_spark.sources.pages import load_pages
+
+    df = load_pages(spark, pages_dir).limit(50)
+    out = extract_features_df(df, "html", "url", dim=16).toPandas()
+    assert len(out) == 50
+    for r in out.itertuples():
+        v = np.asarray(r.features)
+        assert len(v) == 16
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    # executor result equals local recomputation (cross-process determinism)
+    row = df.select("url", "html").first()
+    local = fake_features(bytes(row.html), 16)
+    from_spark = np.asarray(out[out.url == row.url].features.iloc[0])
+    assert np.allclose(local, from_spark)
