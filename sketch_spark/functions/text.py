@@ -39,6 +39,49 @@ def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarra
     return flat, parents
 
 
+def _flat_tokens(
+    arr: pa.Array | pa.ChunkedArray, lowercase: bool
+) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if lowercase:
+        arr = pc.utf8_lower(arr)
+    if arr.null_count:
+        arr = pc.drop_null(arr)
+    return pc.list_flatten(pc.utf8_split_whitespace(arr))
+
+
+def _dict_hashes(flat: pa.Array, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(per-unique-token hashes, dictionary indices per occurrence).
+
+    The bandwidth saver for Zipf text: ``dictionary_encode`` (Arrow
+    C++ hash table) collapses occurrences to uniques, so the byte-level
+    hash kernel touches each distinct token once instead of once per
+    occurrence — ~8x less memory traffic per token on web-like
+    distributions, which is what decides multicore scaling here.
+    """
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    hd = hash_strings(d.dictionary, seed=seed)
+    idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return hd, idx
+
+
+def token_hash_counts(
+    arr: pa.Array | pa.ChunkedArray, seed: int, lowercase: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """(unique token hashes, occurrence counts) for a batch of texts —
+    the fast path feeding weighted sketch updates (no per-occurrence
+    hash, no sort)."""
+    flat = _flat_tokens(arr, lowercase)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    hd, idx = _dict_hashes(flat, seed)
+    counts = np.bincount(idx, minlength=len(hd)).astype(np.int64)
+    return hd, counts
+
+
 def token_hashes(
     arr: pa.Array | pa.ChunkedArray,
     seed: int,
@@ -47,22 +90,30 @@ def token_hashes(
 ) -> np.ndarray:
     """uint64 hash per token (or word n-gram) of every row, flattened.
 
-    n-grams never cross row boundaries (a page is the tokenization
-    unit — FIXTURES.md §1), and their hashes are built by rolling
-    combination of the unigram hashes: O(n_tokens) work per extra order
-    instead of re-hashing materialized n-gram strings.
+    Per-occurrence hashes come from a dictionary-encode + gather (each
+    distinct token hashed once); n-grams never cross row boundaries (a
+    page is the tokenization unit — FIXTURES.md §1) and their hashes
+    are built by rolling combination of the unigram hashes: O(n_tokens)
+    work per extra order instead of re-hashing materialized n-gram
+    strings.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if lowercase:
         arr = pc.utf8_lower(arr)
-    flat, parents = tokenize_batch(arr)
-    h = hash_strings(flat, seed=seed)
-    if ngram <= 1 or len(h) == 0:
+        lowercase = False
+    flat = _flat_tokens(arr, False)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    hd, idx = _dict_hashes(flat, seed)
+    h = hd[idx]
+    if ngram <= 1:
         return h
     n = len(h)
     if n < ngram:
         return np.empty(0, dtype=np.uint64)
+    tokens = pc.utf8_split_whitespace(arr)
+    parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
     combined = h[: n - ngram + 1].copy()
     for j in range(1, ngram):
         combined = mix_u64(

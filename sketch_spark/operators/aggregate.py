@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..core import make_sketch, sketch_from_bytes
 from ..core.base import Sketch, unique_with_counts
 from ..core.hashing import hash_strings, hash_u64
-from ..functions.text import token_hashes
+from ..functions.text import token_hash_counts, token_hashes
 
 __all__ = ["SketchSpec", "build_partials", "merge_partials", "sketch_aggregate", "SketchResult"]
 
@@ -85,6 +85,12 @@ class SketchSpec:
                 keys = hash_u64(col.to_numpy(zero_copy_only=False), seed=self._seed())
             sketch.update_hashed(keys)
             return len(keys)
+        if self.ngram <= 1:
+            # fast path: dictionary-encoded unique hashes + counts
+            # (no per-occurrence hashing, no sort)
+            uk, c = token_hash_counts(col, seed=self._seed(), lowercase=self.lowercase)
+            sketch.update_hashed(uk, c)
+            return int(c.sum())
         keys = token_hashes(col, seed=self._seed(), ngram=self.ngram, lowercase=self.lowercase)
         if len(keys):
             uk, c = unique_with_counts(keys)
@@ -154,7 +160,7 @@ def build_partials(
         def bucket(gkey: tuple) -> dict[str, Sketch]:
             if gkey not in states:
                 states[gkey] = {s.name: s.make() for s in specs}
-                counts[gkey] = [0, 0]  # rows, values
+                counts[gkey] = {"rows": 0, **{s.name: 0 for s in specs}}
             return states[gkey]
 
         if not group_cols:
@@ -180,10 +186,10 @@ def build_partials(
                     groups.append((gkey, tbl.filter(mask)))
             for gkey, gtbl in groups:
                 sk = bucket(gkey)
-                counts[gkey][0] += gtbl.num_rows
+                counts[gkey]["rows"] += gtbl.num_rows
                 for spec in specs:
                     nv = spec.feed(sk[spec.name], gtbl.column(spec.column))
-                    counts[gkey][1] += nv
+                    counts[gkey][spec.name] += nv
 
         wall = (time.perf_counter() - t0) * 1e3
         if not states:
@@ -196,8 +202,8 @@ def build_partials(
                 row.update(
                     spec=spec.name,
                     state=sk[spec.name].to_bytes(),
-                    n_rows=counts[gkey][0],
-                    n_values=counts[gkey][1],
+                    n_rows=counts[gkey]["rows"],
+                    n_values=counts[gkey][spec.name],
                     wall_ms=wall / max(1, len(states) * len(specs)),
                 )
                 rows.append(row)

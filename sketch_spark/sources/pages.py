@@ -210,6 +210,74 @@ def write_pages(
     return out_dir
 
 
+def write_pages_spark(
+    spark,
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    vocab: int = 50_000,
+    avg_tokens: int = 275,
+    partitions: int | None = None,
+    with_html: bool = False,
+) -> str:
+    """Distributed deterministic pages generator for bench-scale tables.
+
+    Each executor generates its id-range with an rng seeded by
+    (seed, block) — fully deterministic independent of parallelism.
+    No planted tokens (the pandas generator covers that for tests);
+    organic Zipf text only, which is what throughput benchmarking needs.
+    """
+    import pyarrow as pa
+
+    partitions = partitions or max(32, n_rows // 25_000)
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng((seed << 20) ^ int(ids[0]))
+            n = len(ids)
+            doc_len = 50 + (ids * 2654435761 % (2 * avg_tokens - 100 + 1))
+            total = int(doc_len.sum())
+            token_ids = rng.zipf(1.07, size=int(total * 1.3))
+            token_ids = token_ids[token_ids <= vocab]
+            while len(token_ids) < total:
+                extra = rng.zipf(1.07, size=total)
+                token_ids = np.concatenate([token_ids, extra[extra <= vocab]])
+            token_strs = np.char.add("w", token_ids[:total].astype("U8"))
+            texts = []
+            off = 0
+            for dl in doc_len:
+                texts.append(" ".join(token_strs[off : off + int(dl)]))
+                off += int(dl)
+            urls = [f"https://host{int(i) % 997}.example.com/p/{int(i)}" for i in ids]
+            is_test = ids % 2 == 1
+            base = np.where(is_test, TEST_START, CONTROL_START)
+            ts = base + (ids % WINDOW_DAYS) * np.timedelta64(86_400, "s")
+            langs = LANGS[ids % len(LANGS)]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+                    "html": pa.array(
+                        [wrap_html(u, t) for u, t in zip(urls, texts)] if with_html else [b""] * n,
+                        pa.binary(),
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs.tolist(), pa.string()),
+                    "window": pa.array(np.where(is_test, "test", "control").tolist(), pa.string()),
+                }
+            )
+
+    df = spark.range(0, n_rows, 1, partitions).mapInArrow(
+        gen,
+        "url string, warc_ts timestamp, html binary, text string, lang string, window string",
+    )
+    df.write.mode("overwrite").partitionBy("window").parquet(os.path.join(out_dir, "pages"))
+    return out_dir
+
+
 def load_pages(spark, path: str):
     """Table adapter (SURVEY.md §7.2): parquet today, Iceberg when a
     runtime jar is on the classpath (``spark.read.table`` branch).
