@@ -272,6 +272,17 @@ def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q double, est double")
 
 
+def q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
+
+    ev = _read(spark, sf_dir, "events")
+    spec = SketchSpec("td", "tdigest", "value", mode="numeric", params={"delta": 200})
+    td = sketch_aggregate(ev, [spec], fanout=8).sketch("td")
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    rows = [(float(q), float(round(v, 4))) for q, v in zip(qs, td.quantile(qs))]
+    return spark.createDataFrame(rows, "q double, est double")
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
 
@@ -386,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmcu_estimates": q_cmcu_estimates,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "kll_price_quantiles": q_kll_price_quantiles,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "bloom_membership": q_bloom_membership,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,

@@ -84,6 +84,33 @@ def main() -> None:
     docs_per_sec = m["n_rows"] / sketch_wall
     tokens_per_sec = m["n_values"] / sketch_wall
 
+    # (eps, delta) error report for the CMCU just built (north metric):
+    # exact counts via one JVM groupBy, estimates from the merged state
+    from pyspark.sql import functions as F
+
+    exact = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .count()
+        .collect()
+    )
+    cmcu = res.sketch("cmcu")
+    toks = [r["tok"] for r in exact]
+    truth = [r["count"] for r in exact]
+    est = cmcu.estimate_tokens(toks)
+    errs = [int(e) - t for e, t in zip(est, truth)]
+    bound = cmcu.epsilon * cmcu.total
+    error_report = {
+        "n_keys": len(toks),
+        "underestimates": int(sum(e < 0 for e in errs)),  # must be 0
+        "max_overestimate": int(max(errs)) if errs else 0,
+        "mean_overestimate": round(sum(errs) / max(1, len(errs)), 3),
+        "eps_times_N_bound": round(bound, 1),
+        "violation_rate": round(sum(e > bound for e in errs) / max(1, len(errs)), 5),
+        "delta_budget": round(cmcu.delta, 5),
+    }
+
     out = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -101,6 +128,7 @@ def main() -> None:
             "n_tokens": m["n_values"],
             "kinds": ["cmcu", "hll", "bloom"],
         },
+        "cmcu_error_vs_bound": error_report,
     }
     spark.stop()
     print(json.dumps(out))

@@ -10,6 +10,7 @@ from .bloom import BloomFilter
 from .countmin import CountMin, CountMinCU
 from .hll import HyperLogLog
 from .kll import KLL
+from .tdigest import TDigest
 from . import hashing
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "CountMinCU",
     "HyperLogLog",
     "KLL",
+    "TDigest",
     "BloomFilter",
     "hashing",
 ]
@@ -29,6 +31,7 @@ KINDS = {
     "cmcu": CountMinCU,
     "hll": HyperLogLog,
     "kll": KLL,
+    "tdigest": TDigest,
     "bloom": BloomFilter,
 }
 

@@ -21,6 +21,7 @@ def test_oracle_keys_subset_of_queries():
         "cmcu_estimates",
         "hll_distinct_by_lang",
         "kll_price_quantiles",
+        "tdigest_value_quantiles",
         "bloom_membership",
         "minhash_near_dups",
         "simhash",
