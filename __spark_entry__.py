@@ -226,6 +226,57 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-grid coverage: ROLLUP over (returnflag, linestatus)
+    with NULL grouping keys made explicit for order-insensitive compare."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+def q_bigram_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: distinct bigrams of src0 docs minus
+    distinct bigrams of src1 docs (EXCEPT)."""
+    from sketch_spark.functions.text import word_ngrams_col
+
+    docs = _read(spark, sf_dir, "documents")
+    a = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(word_ngrams_col("text", 2)).alias("bigram"))
+        .distinct()
+    )
+    b = (
+        docs.filter(F.col("source") == "src1")
+        .select(F.explode(word_ngrams_col("text", 2)).alias("bigram"))
+        .distinct()
+    )
+    return a.exceptAll(b.distinct()).distinct()
+
+
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: day x event_type count matrix (explicit values
+    so the Spark and SQL column sets match deterministically)."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketch estimates (deterministic; not SQL-expressible -> rows-only)
 # ---------------------------------------------------------------------------
@@ -394,6 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "revenue_by_region": q_revenue_by_region,
         "price_quantiles": q_price_quantiles,
+        "tpch_rollup": q_tpch_rollup,
+        "bigram_except": q_bigram_except,
+        "events_daily_pivot": q_events_daily_pivot,
         "cmcu_estimates": q_cmcu_estimates,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "kll_price_quantiles": q_kll_price_quantiles,
@@ -539,6 +593,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "tpch_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "bigram_except": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                     generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+              FROM documents WHERE source IN ('src0', 'src1')
+            ), bg AS (
+              SELECT DISTINCT a.source, a.tok || ' ' || b.tok AS bigram
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            )
+            SELECT bigram FROM bg WHERE source = 'src0'
+            EXCEPT
+            SELECT bigram FROM bg WHERE source = 'src1'
+        """,
+        "events_daily_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY 1
         """,
         "price_quantiles": """
             SELECT round(quantile_cont(l_extendedprice, 0.1), 4) AS p10,

@@ -28,15 +28,22 @@ def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarra
     """Whitespace-tokenize a string array.
 
     Returns (flat token array, parent row index per token) — both
-    vectorized Arrow kernels, no per-row Python.
+    vectorized Arrow kernels, no per-row Python.  Empty tokens (which
+    ``utf8_split_whitespace`` emits for empty or whitespace-only rows)
+    are dropped, with parents masked in lockstep so n-gram adjacency
+    stays correct.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     arr = pc.drop_null(arr) if arr.null_count else arr
     tokens = pc.utf8_split_whitespace(arr)
     flat = pc.list_flatten(tokens)
-    parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-    return flat, parents
+    parents = pc.list_parent_indices(tokens)
+    mask = pc.not_equal(flat, "")
+    if not pc.all(mask).as_py():
+        flat = flat.filter(mask)
+        parents = parents.filter(mask)
+    return flat, parents.to_numpy(zero_copy_only=False)
 
 
 def _flat_tokens(
@@ -46,9 +53,8 @@ def _flat_tokens(
         arr = arr.combine_chunks()
     if lowercase:
         arr = pc.utf8_lower(arr)
-    if arr.null_count:
-        arr = pc.drop_null(arr)
-    return pc.list_flatten(pc.utf8_split_whitespace(arr))
+    flat, _ = tokenize_batch(arr)
+    return flat
 
 
 def _dict_hashes(flat: pa.Array, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -112,8 +118,7 @@ def token_hashes(
     n = len(h)
     if n < ngram:
         return np.empty(0, dtype=np.uint64)
-    tokens = pc.utf8_split_whitespace(arr)
-    parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    _, parents = tokenize_batch(arr)
     combined = h[: n - ngram + 1].copy()
     for j in range(1, ngram):
         combined = mix_u64(

@@ -71,8 +71,20 @@ class SketchSpec:
     def _seed(self) -> int:
         return int(self.params.get("seed", 1))
 
-    def feed(self, sketch: Sketch, col: pa.ChunkedArray | pa.Array) -> int:
-        """Update ``sketch`` with one Arrow column batch; returns #values."""
+    def feed(
+        self,
+        sketch: Sketch,
+        col: pa.ChunkedArray | pa.Array,
+        cache: dict | None = None,
+    ) -> int:
+        """Update ``sketch`` with one Arrow column batch; returns #values.
+
+        ``cache`` (scoped to one batch by the caller) de-duplicates
+        tokenize+hash work across specs sharing (column, lowercase,
+        seed) — the reference's "all configs in one scan"
+        (sketch.cpp:140-162) made literal: N sketches over the same
+        text column tokenize it once.
+        """
         if self.mode == "numeric":
             v = col.to_numpy(zero_copy_only=False)
             v = np.asarray(v, dtype=np.float64)
@@ -88,14 +100,26 @@ class SketchSpec:
         if self.ngram <= 1:
             # fast path: dictionary-encoded unique hashes + counts
             # (no per-occurrence hashing, no sort)
-            uk, c = token_hash_counts(col, seed=self._seed(), lowercase=self.lowercase)
+            key = ("tok1", self.column, self.lowercase, self._seed())
+            if cache is not None and key in cache:
+                uk, c = cache[key]
+            else:
+                uk, c = token_hash_counts(col, seed=self._seed(), lowercase=self.lowercase)
+                if cache is not None:
+                    cache[key] = (uk, c)
             sketch.update_hashed(uk, c)
             return int(c.sum())
-        keys = token_hashes(col, seed=self._seed(), ngram=self.ngram, lowercase=self.lowercase)
-        if len(keys):
-            uk, c = unique_with_counts(keys)
+        key = ("ngram", self.column, self.lowercase, self._seed(), self.ngram)
+        if cache is not None and key in cache:
+            uk, c = cache[key]
+        else:
+            keys = token_hashes(col, seed=self._seed(), ngram=self.ngram, lowercase=self.lowercase)
+            uk, c = unique_with_counts(keys) if len(keys) else (keys, keys)
+            if cache is not None:
+                cache[key] = (uk, c)
+        if len(uk):
             sketch.update_hashed(uk, c)
-        return len(keys)
+        return int(c.sum()) if len(uk) else 0
 
 
 _PARTIAL_FIELDS = [
@@ -187,8 +211,9 @@ def build_partials(
             for gkey, gtbl in groups:
                 sk = bucket(gkey)
                 counts[gkey]["rows"] += gtbl.num_rows
+                batch_cache: dict = {}
                 for spec in specs:
-                    nv = spec.feed(sk[spec.name], gtbl.column(spec.column))
+                    nv = spec.feed(sk[spec.name], gtbl.column(spec.column), cache=batch_cache)
                     counts[gkey][spec.name] += nv
 
         wall = (time.perf_counter() - t0) * 1e3

@@ -1,0 +1,114 @@
+"""Streaming coverage beyond foreachBatch: watermarked windowed
+aggregation (late-data semantics) and applyInPandasWithState keyed
+sketch state."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream_src(spark, sf001):
+    return os.path.join(sf001, "events.parquet")
+
+
+def test_watermarked_window_counts(spark, events_stream_src, tmp_path):
+    schema = spark.read.parquet(events_stream_src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(os.path.dirname(events_stream_src))
+    )
+    # watermarks need TIMESTAMP (not NTZ); session TZ is pinned UTC so
+    # the cast is value-preserving
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT date_format(window.start, 'yyyy-MM-dd') AS day, event_type, n FROM win_counts"
+    ).toPandas()
+    exact = (
+        spark.read.parquet(events_stream_src)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match the batch-exact count
+    merged = got.merge(exact, on=["day", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged.n_s == merged.n_b).all()
+    assert len(got) > 0
+
+
+def test_keyed_running_sketch_state(spark, sf001, tmp_path):
+    from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
+    from sketch_spark.streaming.stateful import keyed_running_sketch
+
+    src = os.path.join(sf001, "documents.parquet")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(os.path.dirname(src))
+    )
+    spec = SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 12, "seed": 5})
+    out = keyed_running_sketch(stream, "lang", spec)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("keyed_state")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT key, max_by(summary, n_rows) AS summary, max(n_rows) AS n_rows "
+        "FROM keyed_state GROUP BY key"
+    ).toPandas()
+
+    batch = sketch_aggregate(
+        spark.read.parquet(src), [spec], group_cols=["lang"], fanout=2
+    )
+    for r in got.itertuples():
+        expect = batch.sketch("hll", r.key).estimate()
+        assert abs(r.summary - expect) / max(expect, 1) < 0.01, (r.key, r.summary, expect)
+        assert r.n_rows == batch.metrics[(r.key, "hll")]["n_rows"]
+
+
+def test_null_and_empty_text_robustness(spark):
+    """Nulls and empty strings flow through the whole sketch path."""
+    from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
+
+    rows = [(1, "a b c"), (2, None), (3, ""), (4, "   "), (5, "a a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(2)
+    specs = [
+        SketchSpec("cmcu", "cmcu", "text", params={"depth": 4, "log2_width": 10, "seed": 1}),
+        SketchSpec("hll", "hll", "text", params={"p": 10, "seed": 1}),
+    ]
+    res = sketch_aggregate(df, specs, fanout=2)
+    cm = res.sketch("cmcu")
+    assert cm.total == 5  # a,b,c,a,a
+    assert cm.estimate_tokens(["a"])[0] >= 3
+    assert round(res.sketch("hll").estimate()) == 3
