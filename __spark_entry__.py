@@ -74,6 +74,21 @@ def q_emerging_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emerging_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-length variant of the flagship (reference k-mer lengths ->
+    word n-grams): emerging bigrams, exact mode."""
+    from sketch_spark.operators.emerging import emerging_heavy_hitters
+
+    docs = _read(spark, sf_dir, "documents")
+    ctrl_sources = ["src15", "src16", "src17", "src18", "src19"]
+    test = docs.filter(~F.col("source").isin(ctrl_sources))
+    ctrl = docs.filter(F.col("source").isin(ctrl_sources))
+    return emerging_heavy_hitters(
+        test, ctrl, "text", threshold=25, growth=2.0, mode="exact",
+        depth=4, log2_width=14, seed=1, ngram=2,
+    )
+
+
 def q_distinct_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -432,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "bigram_counts": q_bigram_counts,
         "emerging_hh": q_emerging_hh,
+        "emerging_bigrams": q_emerging_bigrams,
         "distinct_tokens_by_lang": q_distinct_tokens_by_lang,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
@@ -506,6 +522,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(cc.cnt, 0) AS BIGINT) AS control_count
             FROM tc LEFT JOIN cc USING (tok)
             WHERE tc.cnt >= 100 AND tc.cnt / 2.0 > COALESCE(cc.cnt, 0)
+        """,
+        "emerging_bigrams": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                     generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+              FROM documents
+            ), bg AS (
+              SELECT a.source, a.tok || ' ' || b.tok AS bigram
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), tc AS (
+              SELECT bigram, count(*) AS cnt FROM bg
+              WHERE source NOT IN ('src15','src16','src17','src18','src19')
+              GROUP BY bigram
+            ), cc AS (
+              SELECT bigram, count(*) AS cnt FROM bg
+              WHERE source IN ('src15','src16','src17','src18','src19')
+              GROUP BY bigram
+            )
+            SELECT tc.bigram AS token, CAST(tc.cnt AS BIGINT) AS freq,
+                   CAST(COALESCE(cc.cnt, 0) AS BIGINT) AS control_count
+            FROM tc LEFT JOIN cc USING (bigram)
+            WHERE tc.cnt >= 25 AND tc.cnt / 2.0 > COALESCE(cc.cnt, 0)
         """,
         "distinct_tokens_by_lang": """
             SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct

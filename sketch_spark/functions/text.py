@@ -128,6 +128,40 @@ def token_hashes(
     return combined[same_row]
 
 
+def ngram_occurrences(
+    arr: pa.Array | pa.ChunkedArray,
+    seed: int,
+    ngram: int,
+    lowercase: bool = False,
+) -> tuple[np.ndarray, pa.Array]:
+    """(rolling n-gram hashes, space-joined n-gram strings), aligned
+    per occurrence — the candidate-enumeration primitive for
+    multi-length emerging heavy hitters.  Hashes match the sketch-build
+    path (``token_hashes``) exactly; strings are built vectorized with
+    ``binary_join_element_wise``.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if lowercase:
+        arr = pc.utf8_lower(arr)
+    flat, parents = tokenize_batch(arr)
+    n = len(flat)
+    if n == 0 or n < ngram:
+        return np.empty(0, dtype=np.uint64), pa.array([], type=pa.string())
+    hd, idx = _dict_hashes(flat, seed)
+    h = hd[idx]
+    if ngram == 1:
+        return h, flat
+    m = n - ngram + 1
+    combined = h[:m].copy()
+    for j in range(1, ngram):
+        combined = mix_u64(combined * _NGRAM_PRIME ^ h[j : m + j], np.uint64(j))
+    shifted = [flat.slice(j, m) for j in range(ngram)]
+    joined = pc.binary_join_element_wise(*shifted, " ")
+    same_row = parents[:m] == parents[ngram - 1 :]
+    return combined[same_row], joined.filter(pa.array(same_row))
+
+
 def unique_token_counts(
     arr: pa.Array | pa.ChunkedArray, lowercase: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:

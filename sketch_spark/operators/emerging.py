@@ -44,7 +44,7 @@ from ..core import CountMinCU, sketch_from_bytes
 from ..functions.text import tokenize_batch
 from .aggregate import SketchSpec, sketch_aggregate
 
-__all__ = ["emerging_heavy_hitters", "candidate_token_counts", "estimate_tokens_udf", "broadcast_sketch"]
+__all__ = ["emerging_heavy_hitters", "candidate_token_counts", "estimate_tokens_udf", "estimate_ngrams_udf", "broadcast_sketch"]
 
 # per-executor deserialized sketch cache (uuid -> object); broadcasts
 # carry (uuid, blob) so workers deserialize each state exactly once
@@ -75,31 +75,57 @@ def candidate_token_counts(
     sketch_bc,
     threshold: int,
     lowercase: bool = False,
+    ngram: int = 1,
 ) -> DataFrame:
-    """(token, cnt) exact counts of tokens whose global-sketch estimate
-    reaches ``threshold`` — map-side combined, so the shuffle carries
-    only candidate tokens (vocab-of-heavy-hitters scale, not data scale).
+    """(token, cnt) exact counts of tokens (or word n-grams) whose
+    global-sketch estimate reaches ``threshold`` — map-side combined,
+    so the shuffle carries only candidate tokens
+    (vocab-of-heavy-hitters scale, not data scale).
+
+    For ``ngram > 1`` the estimates use the same rolling-combined hash
+    family the sketch was built with (``token_hashes``), and candidate
+    *strings* are materialized only for occurrences that pass the
+    sketch filter.
     """
+    from ..functions.text import ngram_occurrences
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
         sketch = _cached_sketch(sketch_bc)
         acc: dict[str, int] = {}
         for batch in batches:
             col = batch.column(0)
-            if lowercase:
-                col = pc.utf8_lower(col)
-            flat, _ = tokenize_batch(col)
-            if len(flat) == 0:
-                continue
-            vc = flat.value_counts()
-            uniq = vc.field("values")
-            cnts = vc.field("counts").to_numpy(zero_copy_only=False)
-            est = sketch.estimate_tokens(uniq)
-            keep = est >= threshold
-            if not keep.any():
-                continue
-            kept_tokens = uniq.filter(pa.array(keep)).to_pylist()
-            kept_counts = cnts[keep]
+            if ngram <= 1:
+                if lowercase:
+                    col = pc.utf8_lower(col)
+                flat, _ = tokenize_batch(col)
+                if len(flat) == 0:
+                    continue
+                vc = flat.value_counts()
+                uniq = vc.field("values")
+                cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+                est = sketch.estimate_tokens(uniq)
+                keep = est >= threshold
+                if not keep.any():
+                    continue
+                kept_tokens = uniq.filter(pa.array(keep)).to_pylist()
+                kept_counts = cnts[keep]
+            else:
+                keys, strs = ngram_occurrences(col, sketch.seed, ngram, lowercase)
+                if len(keys) == 0:
+                    continue
+                uk, inv = np.unique(keys, return_inverse=True)
+                cnts = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+                est = sketch.estimate_hashed(uk)
+                keep = est >= threshold
+                if not keep.any():
+                    continue
+                # representative string per kept hash = first occurrence
+                first_idx = np.full(len(uk), len(keys), dtype=np.int64)
+                np.minimum.at(first_idx, inv, np.arange(len(keys)))
+                kept_counts = cnts[keep]
+                kept_tokens = strs.take(pa.array(first_idx[keep])).to_pylist()
             for t, c in zip(kept_tokens, kept_counts):
                 acc[t] = acc.get(t, 0) + int(c)
         out = pa.RecordBatch.from_pydict(
@@ -112,6 +138,24 @@ def candidate_token_counts(
 
     partial = df.select(text_col).mapInArrow(run, "token string, cnt long")
     return partial.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+
+
+def estimate_ngrams_udf(sketch_bc, ngram: int, lowercase: bool = False):
+    """pandas UDF: n-gram string column -> sketch estimate (the string
+    is re-tokenized and rolling-hashed exactly like the build path)."""
+
+    @F.pandas_udf("long")
+    def est(grams: pd.Series) -> pd.Series:
+        from ..functions.text import ngram_occurrences
+
+        sketch = _cached_sketch(sketch_bc)
+        arr = pa.array(grams.fillna("").tolist(), type=pa.string())
+        keys, _ = ngram_occurrences(arr, sketch.seed, ngram, lowercase)
+        # each input row is exactly one n-gram -> one key per row
+        vals = sketch.estimate_hashed(keys)
+        return pd.Series(np.asarray(vals, dtype=np.int64))
+
+    return est
 
 
 def estimate_tokens_udf(sketch_bc):
@@ -138,6 +182,7 @@ def emerging_heavy_hitters(
     mode: str = "reference",
     fanout: int = 16,
     lowercase: bool = False,
+    ngram: int = 1,
     prebuilt_sketch: CountMinCU | None = None,
 ) -> DataFrame:
     """Emerging-HH result DataFrame.
@@ -157,6 +202,7 @@ def emerging_heavy_hitters(
             text_col,
             mode="tokens",
             lowercase=lowercase,
+            ngram=ngram,
             params={"depth": depth, "log2_width": log2_width, "seed": seed},
         )
         result = sketch_aggregate(test_df, [spec], fanout=fanout)
@@ -165,11 +211,14 @@ def emerging_heavy_hitters(
         sketch = prebuilt_sketch
     bc = broadcast_sketch(spark, sketch)
 
-    cand = candidate_token_counts(test_df, text_col, bc, threshold, lowercase)
+    cand = candidate_token_counts(test_df, text_col, bc, threshold, lowercase, ngram)
     cand = cand.withColumnRenamed("cnt", "test_count")
-    cand = cand.withColumn("est", estimate_tokens_udf(bc)(F.col("token")))
+    est_udf = (
+        estimate_tokens_udf(bc) if ngram <= 1 else estimate_ngrams_udf(bc, ngram, lowercase)
+    )
+    cand = cand.withColumn("est", est_udf(F.col("token")))
 
-    ctrl = candidate_token_counts(control_df, text_col, bc, threshold, lowercase)
+    ctrl = candidate_token_counts(control_df, text_col, bc, threshold, lowercase, ngram)
     ctrl = ctrl.withColumnRenamed("cnt", "control_count")
 
     joined = cand.join(F.broadcast(ctrl), "token", "left").withColumn(

@@ -103,3 +103,32 @@ def test_extract_text_spark_side(spark, pages_dir):
         F.min("ok").alias("all_ok")
     ).collect()
     assert res[0]["all_ok"] is True
+
+
+def test_emerging_bigrams_exact_matches_brute_force(spark, split, pages_pdf):
+    """Multi-length analogue (reference k-mer lengths -> word n-grams):
+    emerging bigram detection, exact mode vs pandas brute force."""
+    pages, _ = pages_pdf
+    test_df, ctrl_df = split
+    thr = 60
+    result = emerging_heavy_hitters(
+        test_df, ctrl_df, "text", threshold=thr, growth=GROWTH, mode="exact", ngram=2
+    ).toPandas()
+
+    def bigram_counts(texts):
+        from collections import Counter
+
+        c = Counter()
+        for t in texts:
+            toks = t.split()
+            c.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+        return c
+
+    tc = bigram_counts(pages[pages.window == "test"]["text"])
+    cc = bigram_counts(pages[pages.window == "control"]["text"])
+    expected = {
+        g: n for g, n in tc.items() if n >= thr and n / GROWTH > cc.get(g, 0)
+    }
+    got = dict(zip(result["token"], result["freq"]))
+    assert got == expected
+    assert len(expected) > 0, "fixture produced no emerging bigrams; lower thr"
