@@ -26,6 +26,7 @@ sys.path.insert(0, REPO)
 # from each family (exact text, windowed events, relational, dedup, ANN)
 HEADLINE = [
     "emerging_hh",
+    "emerging_bigrams",
     "token_counts",
     "bigram_counts",
     "cmcu_estimates",
@@ -60,10 +61,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     rowcounts: dict[str, int] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min of 2: the sandbox VM has steal-time jitter
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         rowcounts[name] = n
 
     total = round(sum(timings.values()), 3)

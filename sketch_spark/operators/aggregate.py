@@ -321,6 +321,70 @@ def merge_partials(
     return lvl1.groupBy(*keys).applyInPandas(make_merge_fn(keys), ddl_for(lvl1, keys))
 
 
+def keyed_sketch_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    specs: list[SketchSpec],
+    salt: int = 8,
+) -> DataFrame:
+    """Per-key sketches for HIGH-cardinality keys (hosts, urls) with
+    explicit skew salting (north_star: "explicit salting/repartitioning
+    to defuse heavy-hitter URL/host skew").
+
+    ``build_partials(group_cols=...)`` holds one state per distinct key
+    per partition — right for low-cardinality keys (lang: 5 states).
+    For 10^6+ hosts that map-side state explodes, so this path shuffles
+    instead — but *salted*: rows go to ``(key, salt)`` reducers with
+    ``salt = pmod(xxhash64(row value), S)``, so a heavy-hitter host
+    spreads over S reducers and no single task sees the whole hot key.
+    The S per-key states then tree-merge (KB-scale, exact homomorphism:
+    the final state is byte-identical to any other partitioning).
+
+    Returns a DataFrame (key_cols..., spec, state, n_rows, n_values,
+    wall_ms) — one row per (key, spec).
+    """
+    key_cols = list(key_cols)
+    value_cols = sorted({s.column for s in specs})
+    salted = df.select(*key_cols, *value_cols).withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in value_cols]), F.lit(salt))
+    )
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*key_cols).schema.fields
+    )
+    out_ddl = (
+        key_schema
+        + ", _salt int, spec string, state binary, n_rows long, n_values long, wall_ms double"
+    )
+
+    def build_state(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        sketches = {s.name: s.make() for s in specs}
+        nvals = {s.name: 0 for s in specs}
+        cache: dict = {}
+        for s in specs:
+            col = pa.array(pdf[s.column])
+            nvals[s.name] += s.feed(sketches[s.name], col, cache=cache)
+        wall = (time.perf_counter() - t0) * 1e3
+        rows = []
+        for s in specs:
+            row = {k: pdf[k].iloc[0] for k in key_cols}
+            row.update(
+                _salt=int(pdf["_salt"].iloc[0]),
+                spec=s.name,
+                state=sketches[s.name].to_bytes(),
+                n_rows=len(pdf),
+                n_values=nvals[s.name],
+                wall_ms=wall / len(specs),
+            )
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    stage1 = salted.groupBy(*key_cols, "_salt").applyInPandas(build_state, out_ddl)
+    return merge_partials(stage1.drop("_salt"), key_cols, two_level=False)
+
+
 class SketchResult:
     """Merged sketches plus per-run metrics, keyed by (group..., spec)."""
 

@@ -140,3 +140,38 @@ def test_kll_numeric_spec(spark, sf01):
         hi = np.searchsorted(svals, est, "right") / n
         err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
         assert err < 0.03, f"q={q}: est {est} vs exact {ex}, rank err {err}"
+
+
+def test_keyed_salted_aggregation_matches_grouped(spark, pages_dir, pages_pdf):
+    """High-cardinality keyed path (salted shuffle) produces byte-identical
+    states to the map-side grouped path, and estimates match exact counts —
+    under deliberate Zipf host skew (FIXTURES.md: host ~ Zipf(1.2))."""
+    from sketch_spark.operators.aggregate import keyed_sketch_aggregate
+
+    pages, _ = pages_pdf
+    df = load_pages(spark, pages_dir).withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1)
+    )
+    spec = SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 12, "seed": 9})
+
+    keyed = keyed_sketch_aggregate(df, ["host"], [spec], salt=4).collect()
+    grouped = merge_partials(
+        build_partials(df, [spec], group_cols=["host"]), ["host"]
+    ).collect()
+
+    k = {r["host"]: r["state"] for r in keyed}
+    g = {r["host"]: r["state"] for r in grouped}
+    assert set(k) == set(g) and len(k) > 50  # many hosts, incl. hot ones
+    for host in k:
+        assert bytes(k[host]) == bytes(g[host]), f"state mismatch for {host}"
+
+    # skew check: the hottest host dominates but its state is still one
+    # fixed-size sketch, and its estimate matches exact distinct tokens
+    pages = pages.assign(host=pages.url.str.extract(r"https://([^/]+)/")[0])
+    hot = pages.host.value_counts().index[0]
+    assert pages.host.value_counts().iloc[0] > 0.1 * len(pages)
+    exact = pages[pages.host == hot]["text"].str.split().explode().nunique()
+    from sketch_spark.core import sketch_from_bytes
+
+    est = sketch_from_bytes(bytes(k[hot])).estimate()
+    assert abs(est - exact) / exact < 3 * 1.04 / (2**6) + 0.02
