@@ -101,6 +101,7 @@ def minhash_signatures(
     """
     a = derive_seeds(seed, "mh-a", num_perm) | np.uint64(1)
     b = derive_seeds(seed, "mh-b", num_perm)
+    SENTINEL = np.int64(np.iinfo(np.int64).max)
 
     out_schema = f"{id_col} long, sig array<long>" + (
         ", shingles array<long>" if keep_shingles else ""
@@ -110,27 +111,43 @@ def minhash_signatures(
         for batch in batches:
             ids = batch.column(0)
             texts = batch.column(1)
+            n_docs = len(ids)
             sh, offsets = _shingle_hashes(texts, shingle_k, seed)
-            sigs = []
-            shingle_lists = []
-            for i in range(len(ids)):
-                row = sh[offsets[i] : offsets[i + 1]]
-                row = np.unique(row)
-                if len(row) == 0:
-                    sigs.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64))
-                    shingle_lists.append(np.empty(0, dtype=np.int64))
-                    continue
-                # (num_perm, n_shingles) permuted values, min over shingles
-                perm = a[:, None] * row[None, :] + b[:, None]
-                sigs.append((perm.min(axis=1) >> np.uint64(1)).astype(np.int64))
-                shingle_lists.append((row >> np.uint64(1)).astype(np.int64))
+            starts = offsets[:-1]
+            empty_doc = offsets[1:] == starts
+            # per-perm per-doc min via reduceat — no per-doc python loop
+            # (duplicate shingles within a doc can't change a min)
+            sigs = np.full((n_docs, num_perm), SENTINEL, dtype=np.int64)
+            if len(sh):
+                safe_starts = np.minimum(starts, len(sh) - 1)
+                for j in range(num_perm):
+                    v = ((a[j] * sh + b[j]) >> np.uint64(1)).astype(np.int64)
+                    col = np.minimum.reduceat(v, safe_starts)
+                    col[empty_doc] = SENTINEL
+                    sigs[:, j] = col
             cols = {
                 id_col: ids,
-                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64())),
+                "sig": pa.ListArray.from_arrays(
+                    np.arange(n_docs + 1, dtype=np.int32) * num_perm,
+                    pa.array(sigs.ravel(), type=pa.int64()),
+                ),
             }
             if keep_shingles:
-                cols["shingles"] = pa.array(
-                    [s.tolist() for s in shingle_lists], type=pa.list_(pa.int64())
+                # distinct shingles per doc: lexsort + adjacent dedup
+                parents = np.repeat(
+                    np.arange(n_docs, dtype=np.int64), offsets[1:] - starts
+                )
+                order = np.lexsort((sh, parents))
+                ps, ss = parents[order], sh[order]
+                keep = np.ones(len(ss), dtype=bool)
+                if len(ss) > 1:
+                    keep[1:] = (ps[1:] != ps[:-1]) | (ss[1:] != ss[:-1])
+                ps, ss = ps[keep], ss[keep]
+                u_counts = np.bincount(ps, minlength=n_docs)
+                u_offsets = np.concatenate([[0], np.cumsum(u_counts)]).astype(np.int32)
+                cols["shingles"] = pa.ListArray.from_arrays(
+                    u_offsets,
+                    pa.array((ss >> np.uint64(1)).astype(np.int64), type=pa.int64()),
                 )
             yield pa.RecordBatch.from_pydict(cols)
 

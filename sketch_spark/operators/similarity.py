@@ -25,7 +25,16 @@ from pyspark.sql import DataFrame, functions as F, Window as W
 
 from ..core.hashing import derive_seeds
 
-__all__ = ["cosine_topk", "exact_cosine_pairs", "lsh_bucket_topk", "embedding_near_duplicates", "hyperplane_buckets"]
+__all__ = [
+    "cosine_topk",
+    "exact_cosine_pairs",
+    "lsh_bucket_topk",
+    "embedding_near_duplicates",
+    "hyperplane_buckets",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -209,6 +218,91 @@ def lsh_bucket_topk(
         emb_df.join(buckets, id_col)
         .filter(F.col("bucket").isin(list(probe_buckets)))
         .drop("bucket")
+    )
+    return cosine_topk(candidates, queries, k, id_col, vec_col)
+
+
+def ivf_centroids(
+    emb_df: DataFrame,
+    n_cells: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: Lloyd k-means on a
+    driver-side sample (sample ordered by id -> reproducible), spherical
+    (centroids renormalized) since the metric is cosine."""
+    rows = emb_df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    mat = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows]))
+    rng = np.random.default_rng(int(derive_seeds(seed, "ivf", 1)[0]) % 2**32)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_assign(
+    emb_df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment — one gemm per Arrow batch.  At real scale
+    this is written once as a partition column so probes prune at the
+    scan (Iceberg bucize/identity partitioning on ``cell``)."""
+    spark = emb_df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cents = bc.value
+        for batch in batches:
+            ids = batch.column(0)
+            mat = _as_matrix(batch.column(1))
+            if mat.size == 0:
+                continue
+            cell = np.argmax(_normalize(mat) @ cents.T, axis=1)
+            yield pa.RecordBatch.from_pydict(
+                {id_col: ids, "cell": pa.array(cell.astype(np.int64))}
+            )
+
+    return emb_df.select(id_col, vec_col).mapInArrow(run, f"{id_col} long, cell long")
+
+
+def ivf_topk(
+    emb_df: DataFrame,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    cells; the exact kernel runs only on vectors assigned there.  Same
+    output schema as ``cosine_topk``; recall < 1 by construction
+    (tested against brute force)."""
+    if centroids is None:
+        centroids = ivf_centroids(emb_df, n_cells, id_col=id_col, vec_col=vec_col, seed=seed)
+    probe: set[int] = set()
+    for _qid, vec in sorted(queries.items()):
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / (np.linalg.norm(v) or 1.0)
+        sims = centroids @ v
+        probe.update(int(c) for c in np.argsort(-sims)[:nprobe])
+    assigned = ivf_assign(emb_df, centroids, id_col, vec_col)
+    candidates = (
+        emb_df.join(assigned, id_col)
+        .filter(F.col("cell").isin(sorted(probe)))
+        .drop("cell")
     )
     return cosine_topk(candidates, queries, k, id_col, vec_col)
 

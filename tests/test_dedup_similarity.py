@@ -258,3 +258,29 @@ def test_fake_features_deterministic_and_normalized(spark, pages_dir):
     local = fake_features(bytes(row.html), 16)
     from_spark = np.asarray(out[out.url == row.url].features.iloc[0])
     assert np.allclose(local, from_spark)
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    from sketch_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    qrows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = {int(r.vec_id): r.embedding for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+
+    cents1 = ivf_centroids(corpus, n_cells=8, seed=3)
+    cents2 = ivf_centroids(corpus, n_cells=8, seed=3)
+    assert np.allclose(cents1, cents2)  # deterministic quantizer
+
+    exact = cosine_topk(corpus, queries, k=10).toPandas()
+    approx = ivf_topk(corpus, queries, k=10, n_cells=8, nprobe=4, seed=3).toPandas()
+    assert len(approx) > 0
+    recalls = []
+    for qid in queries:
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(a & e) / len(e))
+    # nprobe=4 of 8 cells scans ~half the corpus: recall well above chance
+    assert np.mean(recalls) >= 0.4, recalls
+    # every returned neighbor's sim must match the exact kernel's value
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (merged.sim_a == merged.sim_e).all()
