@@ -37,6 +37,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "verify_jaccard_pairs",
     "minhash_near_duplicates",
+    "dedup_corpus",
     "simhash",
     "simhash_candidate_pairs",
 ]
@@ -285,6 +286,70 @@ def minhash_near_duplicates(
         sigs, id_col, bands, est_threshold=max(0.0, threshold - 0.15)
     )
     return verify_jaccard_pairs(pairs, sigs, id_col, threshold)
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """The end-to-end training-data dedup step: drop exact and near
+    duplicates, keeping one representative (smallest id) per duplicate
+    *cluster* (connected components over the near-dup pair graph).
+
+    Components are resolved by iterative label propagation (min-id
+    spreads along edges until fixpoint) — each round is two joins over
+    the PAIR set, which is candidate-scale, not corpus-scale, so the
+    iteration cost is tiny relative to one pass over the data.  Web
+    duplicate clusters are shallow (mirrors of one source), so rounds
+    ~= O(log(cluster diameter)), typically 2-4.
+    """
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, num_perm, bands, shingle_k, threshold, seed
+    ).select("id_a", "id_b")
+    # the pair graph is candidate-scale; persist it so the iteration
+    # below never recomputes the minhash pipeline, and cut lineage each
+    # round (localCheckpoint) so plans don't grow with iterations
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint()
+    # label propagation: label(x) = min(x, min label of neighbors)
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(8):  # fixpoint for cluster diameters up to 2^8
+        prop = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(prop, labels.id == prop.id_a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("new_label") != F.col("old_label")).count()
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    drop = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

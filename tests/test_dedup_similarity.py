@@ -284,3 +284,33 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
     # every returned neighbor's sim must match the exact kernel's value
     merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
     assert (merged.sim_a == merged.sim_e).all()
+
+
+def test_dedup_corpus_clusters(spark):
+    """Cluster dedup: chains of near-dups collapse to one survivor."""
+    from sketch_spark.operators.dedup import dedup_corpus
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    for i in range(20):
+        base = list(rng.choice(vocab, size=200))
+        # a chain: base ~ mutant1 ~ mutant2 (mutant2 may not match base
+        # directly — only via mutant1 -> needs connected components)
+        m1 = [t for j, t in enumerate(base) if j % 25 != 0]
+        m2 = [t for j, t in enumerate(m1) if j % 25 != 1]
+        rows.append((i * 10, " ".join(base)))
+        rows.append((i * 10 + 1, " ".join(m1)))
+        rows.append((i * 10 + 2, " ".join(m2)))
+        rows.append((i * 10 + 3, " ".join(rng.choice(vocab, size=200))))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    out = dedup_corpus(df, threshold=0.6).toPandas()
+    kept = set(out.doc_id)
+    # every unrelated doc survives
+    for i in range(20):
+        assert i * 10 + 3 in kept
+    # each chain keeps exactly its min id
+    for i in range(20):
+        chain = {i * 10, i * 10 + 1, i * 10 + 2}
+        surviving = chain & kept
+        assert surviving == {i * 10}, f"chain {i}: kept {surviving}"
