@@ -24,9 +24,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from pyspark.sql import DataFrame, functions as F, Window as W
+from pyspark.sql import DataFrame, functions as F
 
 from ..core.hashing import derive_seeds, hash_strings, mix_u64
 from ..functions.text import tokenize_batch

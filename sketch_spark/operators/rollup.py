@@ -16,12 +16,11 @@ arbitrary bucket ranges over one rollup table.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..core import sketch_from_bytes
-from .aggregate import SketchResult, SketchSpec, build_partials, merge_partials
+from .aggregate import SketchSpec, build_partials, merge_partials
 
 __all__ = ["build_sketch_rollup", "query_sketch_rollup", "rollup_emerging_heavy_hitters"]
 

@@ -10,7 +10,7 @@ the reference's persistent cross-chunk sketch state
 
 from __future__ import annotations
 
-from typing import Any, Iterable
+from typing import Iterable
 
 import pandas as pd
 

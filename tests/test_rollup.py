@@ -1,7 +1,6 @@
 """Sketch rollup tables: range queries over materialized per-bucket
 states must equal direct computation over the same rows."""
 
-import numpy as np
 import pytest
 
 from pyspark.sql import functions as F

@@ -4,11 +4,10 @@ hygiene (column pruning / partition pruning)."""
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from pyspark.sql import functions as F
 
-from sketch_spark.core import CountMinCU, sketch_from_bytes
+from sketch_spark.core import sketch_from_bytes
 from sketch_spark.operators.aggregate import (
     SketchSpec,
     build_partials,

@@ -3,8 +3,6 @@ into a persistent state table must equal the batch-computed sketch."""
 
 import os
 
-import numpy as np
-import pytest
 
 from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
 from sketch_spark.streaming.sketch_stream import read_state, streaming_sketch_query
