@@ -272,8 +272,9 @@ def _schema_ddl(schema: pa.Schema) -> str:
 def merge_partials(
     partials: DataFrame,
     group_cols: list[str] | None = None,
-    fanout: int = 16,
+    fanout: int | None = None,
     two_level: bool = True,
+    max_states_per_reducer: int = 64,
 ) -> DataFrame:
     """Associative tree merge of binary sketch states.
 
@@ -282,9 +283,17 @@ def merge_partials(
     fanout pre-merged states per (group, spec).  With P partitions this
     is the depth-2 treeAggregate; states are KB-scale so the shuffle is
     negligible by construction.
+
+    ``fanout=None`` sizes itself from the partial count: each level-1
+    reducer materializes at most ``max_states_per_reducer`` states
+    (applyInPandas loads a whole group — at 100k input partitions a
+    fixed small fanout would hand one reducer gigabytes of states).
     """
     group_cols = list(group_cols or [])
     keys = group_cols + ["spec"]
+    if fanout is None:
+        n_parts = partials.rdd.getNumPartitions()
+        fanout = max(16, -(-n_parts // max_states_per_reducer))
 
     def make_merge_fn(key_list: list[str]):
         def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
