@@ -161,6 +161,7 @@ def build_partials(
     df: DataFrame,
     specs: list[SketchSpec],
     group_cols: list[str] | None = None,
+    coalesce_to: int | None = None,
 ) -> DataFrame:
     """One row of binary sketch state per (input partition, group, spec).
 
@@ -169,10 +170,19 @@ def build_partials(
     sketch.cpp:140-162; here all sketch kinds/configs share one scan).
     ``group_cols`` is for low-cardinality keys (lang, source); state
     memory per partition is O(groups x specs x state_size).
+
+    ``coalesce_to``: cap the number of partials.  Total state volume is
+    partitions x groups x specs x state_size — for WIDE sketches
+    (w >= 2^18, tens of MB each) over many-partition inputs that
+    becomes the dominant shuffle, so coalesce (no data shuffle) to
+    ~2x executor count first; for the default KB/half-MB geometries it
+    is irrelevant and None keeps scan parallelism untouched.
     """
     group_cols = list(group_cols or [])
     needed = sorted({s.column for s in specs} | set(group_cols))
     narrow = df.select(*needed)  # column pruning reaches the scan
+    if coalesce_to is not None:
+        narrow = narrow.coalesce(coalesce_to)
     out_schema = _partial_schema(group_cols, df)
     arrow_schema = out_schema
 
@@ -269,6 +279,46 @@ def _schema_ddl(schema: pa.Schema) -> str:
     return ", ".join(parts)
 
 
+def _fold_states(group_cols: list[str]):
+    """mapInArrow fold: merge every partial state in this partition,
+    keyed by (group..., spec) — binary states never leave Arrow, and
+    never round-trip through pandas pickling."""
+    keys = list(group_cols) + ["spec"]
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict[tuple, Sketch] = {}
+        meta: dict[tuple, list] = {}
+        for batch in batches:
+            rows = pa.Table.from_batches([batch]).to_pylist()
+            for r in rows:
+                key = tuple(r[c] for c in keys)
+                sk = sketch_from_bytes(r["state"])
+                if key in acc:
+                    acc[key].merge(sk)
+                    m = meta[key]
+                    m[0] += r["n_rows"]
+                    m[1] += r["n_values"]
+                    m[2] += r["wall_ms"]
+                else:
+                    acc[key] = sk
+                    meta[key] = [r["n_rows"], r["n_values"], r["wall_ms"]]
+        if not acc:
+            return
+        out = []
+        for key, sk in acc.items():
+            row = dict(zip(keys, key))
+            row.update(
+                state=sk.to_bytes(),
+                n_rows=meta[key][0],
+                n_values=meta[key][1],
+                wall_ms=meta[key][2],
+            )
+            out.append(row)
+        yield pa.RecordBatch.from_pylist(out)
+
+    return fold
+
+
 def merge_partials(
     partials: DataFrame,
     group_cols: list[str] | None = None,
@@ -276,58 +326,31 @@ def merge_partials(
     two_level: bool = True,
     max_states_per_reducer: int = 64,
 ) -> DataFrame:
-    """Associative tree merge of binary sketch states.
+    """Associative tree merge of binary sketch states via mapInArrow
+    folds: level 1 hash-partitions partials into ``fanout`` tasks (a
+    heavy key's states spread across them — the salting), each task
+    folds everything it sees; level 2 folds the fanout pre-merged
+    states per (group, spec) in one task.  States move only through the
+    executor-side shuffle (Arrow <-> disk), never through pandas or the
+    driver; with P partials no reducer materializes more than
+    ~P/fanout states.
 
-    Level 1 buckets partials by ``spark_partition_id() % fanout`` so no
-    reducer merges more than ~P/fanout states; level 2 merges the
-    fanout pre-merged states per (group, spec).  With P partitions this
-    is the depth-2 treeAggregate; states are KB-scale so the shuffle is
-    negligible by construction.
-
-    ``fanout=None`` sizes itself from the partial count: each level-1
-    reducer materializes at most ``max_states_per_reducer`` states
-    (applyInPandas loads a whole group — at 100k input partitions a
-    fixed small fanout would hand one reducer gigabytes of states).
+    ``fanout=None`` sizes itself so level-1 reducers see at most
+    ``max_states_per_reducer`` states.
     """
     group_cols = list(group_cols or [])
     keys = group_cols + ["spec"]
+    schema_ddl = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in partials.select(*keys).schema.fields]
+        + ["state binary", "n_rows long", "n_values long", "wall_ms double"]
+    )
     if fanout is None:
         n_parts = partials.rdd.getNumPartitions()
-        fanout = max(16, -(-n_parts // max_states_per_reducer))
-
-    def make_merge_fn(key_list: list[str]):
-        def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            acc = sketch_from_bytes(pdf["state"].iloc[0])
-            for blob in pdf["state"].iloc[1:]:
-                acc.merge(sketch_from_bytes(blob))
-            out = {k: [pdf[k].iloc[0]] for k in key_list}
-            out.update(
-                state=[acc.to_bytes()],
-                n_rows=[int(pdf["n_rows"].sum())],
-                n_values=[int(pdf["n_values"].sum())],
-                wall_ms=[float(pdf["wall_ms"].sum())],
-            )
-            return pd.DataFrame(out)
-
-        return merge_fn
-
-    def ddl_for(df: DataFrame, key_list: list[str]) -> str:
-        return ", ".join(
-            [f"{f.name} {f.dataType.simpleString()}" for f in df.select(*key_list).schema.fields]
-            + ["state binary", "n_rows long", "n_values long", "wall_ms double"]
-        )
-
-    if two_level:
-        salted = partials.withColumn("_salt", F.spark_partition_id() % F.lit(fanout))
-        l1_keys = keys + ["_salt"]
-        lvl1 = (
-            salted.groupBy(*l1_keys)
-            .applyInPandas(make_merge_fn(l1_keys), ddl_for(salted, l1_keys))
-            .drop("_salt")
-        )
-    else:
-        lvl1 = partials
-    return lvl1.groupBy(*keys).applyInPandas(make_merge_fn(keys), ddl_for(lvl1, keys))
+        fanout = max(1, -(-n_parts // max_states_per_reducer))
+    lvl = partials
+    if two_level and fanout > 1:
+        lvl = lvl.repartition(fanout).mapInArrow(_fold_states(group_cols), schema_ddl)
+    return lvl.repartition(1).mapInArrow(_fold_states(group_cols), schema_ddl)
 
 
 def keyed_sketch_aggregate(
@@ -424,11 +447,21 @@ def sketch_aggregate(
     df: DataFrame,
     specs: list[SketchSpec],
     group_cols: list[str] | None = None,
-    fanout: int = 16,
+    fanout: int | None = None,
+    coalesce_to: int | None = None,
 ) -> SketchResult:
-    """End-to-end: build partials -> tree merge -> collect tiny states."""
+    """End-to-end: build partials -> tree merge -> collect tiny states.
+
+    Auto-coalesces when the per-partition state volume is large (wide
+    sketches): targets <= ~64 MB of states per partial task.
+    """
     group_cols = list(group_cols or [])
-    partials = build_partials(df, specs, group_cols)
+    if coalesce_to is None:
+        state_bytes = sum(len(s.make().to_bytes()) for s in specs)
+        if state_bytes > 8 * 1024 * 1024:
+            sc = df.sparkSession.sparkContext
+            coalesce_to = max(sc.defaultParallelism, 2)
+    partials = build_partials(df, specs, group_cols, coalesce_to=coalesce_to)
     merged = merge_partials(partials, group_cols, fanout=fanout)
     rows = [r.asDict() for r in merged.collect()]
     result = SketchResult(rows, group_cols)
