@@ -140,8 +140,11 @@ class KLL(Sketch):
             self.n += len(part)
             self._compress()
 
-    # tokens have no order; KLL applies to numeric columns
-    update_hashed = None  # type: ignore[assignment]
+    def update_hashed(self, keys, counts=None):  # pragma: no cover - guard
+        raise TypeError(
+            "KLL consumes numeric values, not hashed tokens — use "
+            "SketchSpec(mode='numeric') on a numeric column"
+        )
 
     def merge(self, other: "Sketch") -> "KLL":
         if type(other) is not KLL or other._params() != self._params():

@@ -84,6 +84,12 @@ class TDigest(Sketch):
         if sum(len(b) for b in self._buf) > 10 * self.delta:
             self._compress()
 
+    def update_hashed(self, keys, counts=None):  # pragma: no cover - guard
+        raise TypeError(
+            "TDigest consumes numeric values, not hashed tokens — use "
+            "SketchSpec(mode='numeric') on a numeric column"
+        )
+
     def _compress(self) -> None:
         if not self._buf and len(self.means) <= 2 * self.delta:
             return

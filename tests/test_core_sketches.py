@@ -214,3 +214,36 @@ def test_property_kll_weight_conservation(vals, splits):
     it, w = acc._weighted_items()
     assert w.sum() == len(v)  # compaction preserves total weight exactly
     assert acc.n == len(v)
+
+
+# --------------------------------------------------------------------------
+# n-gram kernel consistency
+# --------------------------------------------------------------------------
+@settings(max_examples=30, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="abcd", min_size=1, max_size=5), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(1, 3),
+)
+def test_property_ngram_occurrences_consistent(docs, n):
+    """ngram_occurrences strings/hashes == brute-force enumeration, and
+    hashes match token_hashes (the sketch-build path) exactly."""
+    import pyarrow as pa
+
+    from sketch_spark.functions.text import ngram_occurrences, token_hashes
+
+    texts = pa.array([" ".join(d) for d in docs])
+    keys, strs = ngram_occurrences(texts, seed=7, ngram=n)
+    expected = []
+    for d in docs:
+        expected += [" ".join(d[i : i + n]) for i in range(len(d) - n + 1)]
+    assert strs.to_pylist() == expected
+    build_keys = token_hashes(texts, seed=7, ngram=n)
+    assert (keys == build_keys).all()
+    # equal n-grams -> equal hashes (and near-certainly vice versa)
+    seen = {}
+    for s, k in zip(expected, keys.tolist()):
+        assert seen.setdefault(s, k) == k
