@@ -29,24 +29,30 @@ def build_job(spark, table_dir: str) -> dict:
     from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
     from sketch_spark.sources.pages import load_pages
 
+    # the multi-length configuration (4 n-gram orders, mirroring the
+    # reference's 4 k-mer lengths) — the representative flagship
+    # workload; CPU-bound, unlike the unigram dictionary fast path
+    # which saturates this VM's memory bandwidth at ~16 cores
     specs = [
-        SketchSpec("cmcu", "cmcu", "text", mode="tokens", params={"depth": 4, "log2_width": 14, "seed": 1}),
-        SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 14, "seed": 1}),
-        SketchSpec("bloom", "bloom", "text", mode="tokens", params={"log2_bits": 22, "k": 5, "seed": 1}),
+        SketchSpec(f"cmcu{n}", "cmcu", "text", mode="tokens", ngram=n,
+                   params={"depth": 4, "log2_width": 14, "seed": 1})
+        for n in (1, 2, 3, 4)
     ]
     df = load_pages(spark, table_dir)
     t0 = time.perf_counter()
     res = sketch_aggregate(df, specs, fanout=16)
     wall = time.perf_counter() - t0
-    m = res.metrics[("cmcu",)]
+    m = res.metrics[("cmcu1",)]
+    n_updates = sum(res.metrics[(f"cmcu{n}",)]["n_values"] for n in (1, 2, 3, 4))
     return {
         "wall_sec": round(wall, 2),
         "n_docs": m["n_rows"],
-        "n_tokens": m["n_values"],
+        "n_tokens": n_updates,  # total sketch updates across the 4 orders
         "docs_per_sec": round(m["n_rows"] / wall, 1),
-        "tokens_per_sec": round(m["n_values"] / wall, 1),
-        "hll_distinct_tokens": int(res.sketch("hll").estimate()),
-        "cmcu_state": res.sketch("cmcu").to_bytes()[:64].hex(),
+        "tokens_per_sec": round(n_updates / wall, 1),
+        "cmcu_state": b"".join(
+            res.sketch(f"cmcu{n}").to_bytes()[:16] for n in (1, 2, 3, 4)
+        ).hex(),
     }
 
 
@@ -79,12 +85,15 @@ def run_at(cores: int, table_dir: str, runs: int = 1) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=500_000)
-    ap.add_argument("--table", default="/tmp/sketch_spark_scaling_pages")
+    ap.add_argument("--table", default=None, help="pages table dir (default: per-rows path)")
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--pairs", default="4:16,8:32", help="comma list of N:4N core pairs")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--single", type=int, default=None, help="internal: run one cores level, print json")
     args = ap.parse_args()
+    if args.table is None:
+        # row count baked into the path so the table always matches --rows
+        args.table = f"/tmp/sketch_spark_scaling_pages_{args.rows}"
 
     if args.single is not None:
         print(json.dumps(run_at(args.single, args.table, args.runs)))

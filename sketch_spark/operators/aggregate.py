@@ -8,7 +8,7 @@ the reference's shared-state atomic aggregation
   scan (columnar, pruned)                      -- Catalyst/parquet
     -> mapInArrow: per-partition numpy sketch partials,
        ALL specs in one fused pass per Arrow batch                  (P1)
-    -> salted two-level merge of KB-scale binary states             (P4)
+    -> two-level mapInArrow fold of the binary states               (P4)
     -> driver-side estimate / DataFrame-side broadcast estimate
 
 Scale properties this shape buys:
@@ -17,9 +17,10 @@ Scale properties this shape buys:
   the shuffle moves kilobytes, never data rows, and is immune to
   token-frequency skew (the sketch *is* the skew defense: a partition
   full of one hot token still emits one 512 KiB state);
-* the two-level merge (salt = spark_partition_id % fanout) bounds any
+* the two-level fold (repartition(fanout) -> fold -> fold) bounds any
   single reducer's fan-in, the treeAggregate shape that survives
-  100k-partition inputs;
+  100k-partition inputs; states move only through the executor-side
+  Arrow shuffle, never through pandas or the driver;
 * group-by-key sketches (e.g. per lang) apply the same partial/final
   shape, so a skewed group costs a bigger *partial count*, never a
   shuffled data row.
