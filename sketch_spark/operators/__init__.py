@@ -6,7 +6,12 @@ from .aggregate import (
     merge_partials,
     sketch_aggregate,
 )
-from .emerging import emerging_heavy_hitters, candidate_token_counts, estimate_tokens_udf
+from .emerging import (
+    bloom_semi_join,
+    candidate_token_counts,
+    emerging_heavy_hitters,
+    estimate_tokens_udf,
+)
 
 __all__ = [
     "SketchSpec",
@@ -16,6 +21,7 @@ __all__ = [
     "merge_partials",
     "sketch_aggregate",
     "emerging_heavy_hitters",
+    "bloom_semi_join",
     "candidate_token_counts",
     "estimate_tokens_udf",
 ]

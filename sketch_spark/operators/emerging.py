@@ -170,6 +170,50 @@ def estimate_tokens_udf(sketch_bc):
     return est
 
 
+def bloom_semi_join(
+    big_df: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    log2_bits: int = 24,
+    k: int = 5,
+    seed: int = 1,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join acceleration by Bloom pre-filter (A3's sketch-gates-
+    the-expensive-operator idea applied to joins).
+
+    Builds a Bloom filter over ``keys_df[key_col]``, broadcasts it, and
+    drops big-side rows whose key cannot be present *before* any
+    shuffle — the surviving rows (true matches + FPR-rate stragglers)
+    then take the exact semi-join.  With ``exact=False`` the exact join
+    is skipped entirely: output may contain false positives at the
+    filter's FPR, but no shuffle of the big side ever happens — the
+    right trade when the key set is huge and approximate membership is
+    acceptable (e.g. "drop documents whose url we already crawled").
+    """
+    from ..operators.aggregate import SketchSpec, sketch_aggregate
+
+    # keys hash as strings on BOTH sides (mode="value" on a numeric
+    # column would use a different hash family than the probe)
+    spec = SketchSpec(
+        "bloom", "bloom", "_key_str", mode="value",
+        params={"log2_bits": log2_bits, "k": k, "seed": seed},
+    )
+    keyed = keys_df.select(F.col(key_col).cast("string").alias("_key_str"))
+    bloom = sketch_aggregate(keyed, [spec]).sketch("bloom")
+    bc = broadcast_sketch(big_df.sparkSession, bloom)
+
+    @F.pandas_udf("boolean")
+    def maybe_member(keys: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc)
+        return pd.Series(sk.contains_tokens(keys.fillna("").astype(str).tolist()))
+
+    pre = big_df.filter(maybe_member(F.col(key_col).cast("string")))
+    if not exact:
+        return pre
+    return pre.join(keys_df.select(key_col).distinct(), key_col, "left_semi")
+
+
 def emerging_heavy_hitters(
     test_df: DataFrame,
     control_df: DataFrame,

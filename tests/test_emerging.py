@@ -132,3 +132,28 @@ def test_emerging_bigrams_exact_matches_brute_force(spark, split, pages_pdf):
     got = dict(zip(result["token"], result["freq"]))
     assert got == expected
     assert len(expected) > 0, "fixture produced no emerging bigrams; lower thr"
+
+
+def test_bloom_semi_join(spark, sf01):
+    """Bloom pre-filter + exact semi-join == plain semi-join; approximate
+    mode is a superset with FPR-bounded extras."""
+    import os
+
+    from sketch_spark.operators.emerging import bloom_semi_join
+
+    li = spark.read.parquet(os.path.join(sf01, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf01, "orders.parquet")).filter(
+        F.col("o_totalprice") > 150000
+    )
+    keys = orders.select(F.col("o_orderkey").alias("l_orderkey"))
+
+    exact = li.join(keys.distinct(), "l_orderkey", "left_semi")
+    via_bloom = bloom_semi_join(li, keys, "l_orderkey", log2_bits=20)
+    a = sorted(r.l_orderkey for r in exact.select("l_orderkey").collect())
+    b = sorted(r.l_orderkey for r in via_bloom.select("l_orderkey").collect())
+    assert a == b and len(a) > 0
+
+    approx = bloom_semi_join(li, keys, "l_orderkey", log2_bits=20, exact=False)
+    n_approx = approx.count()
+    assert n_approx >= len(a)
+    assert n_approx <= len(a) * 1.01 + 50  # FPR-bounded superset
