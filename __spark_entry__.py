@@ -451,10 +451,16 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocked strategy: exact all-pairs with NO driver collect / corpus
+    # broadcast — the block-pair self-join is the 100TB-safe plan and is
+    # exact, so the DuckDB all-pairs oracle stays hash-green at any sf
     from sketch_spark.operators.similarity import exact_cosine_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return exact_cosine_pairs(emb, threshold=0.35, id_col="vec_id", vec_col="embedding")
+    return exact_cosine_pairs(
+        emb, threshold=0.35, id_col="vec_id", vec_col="embedding",
+        strategy="blocked", n_blocks=4,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["binary_metadata", "decode_image", "fake_features", "extract_features_df"]
 
@@ -63,24 +63,24 @@ def fake_features(buf: bytes, dim: int = 16) -> np.ndarray:
 def binary_metadata(
     df: DataFrame, bin_col: str = "html", id_col: str = "url", id_type: str = "string"
 ) -> DataFrame:
-    """Typed metadata over an opaque binary column via mapInPandas:
-    (id, n_bytes, content_md5, format) — the scan reads only the two
-    columns involved; md5 matches SQL ``md5`` for oracle checks."""
-
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            bufs = pdf[bin_col]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_bytes": bufs.str.len().astype("int64"),
-                    "content_md5": bufs.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "format": bufs.map(lambda b: _sniff(bytes(b[:8]))),
-                }
-            )
-
-    return df.select(id_col, bin_col).mapInPandas(
-        run, f"{id_col} {id_type}, n_bytes long, content_md5 string, format string"
+    """Typed metadata over an opaque binary column as PURE Catalyst
+    expressions — (id, n_bytes, content_md5, format) via ``F.length`` /
+    ``F.md5`` / ``F.substring``+CASE, all whole-stage codegen'd
+    JVM-side (no Python stage at all; mapInPandas is reserved for real
+    decoders, see ``extract_features_df``).  ``id_type`` is retained
+    for API compatibility; the id column keeps its input type.
+    """
+    c = F.col(bin_col)
+    fmt = None
+    for magic, kind in _MAGIC.items():
+        cond = F.substring(c, 1, len(magic)) == F.lit(magic)
+        fmt = F.when(cond, kind) if fmt is None else fmt.when(cond, kind)
+    fmt = fmt.otherwise("unknown")
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("n_bytes"),
+        F.md5(c).alias("content_md5"),
+        fmt.alias("format"),
     )
 
 

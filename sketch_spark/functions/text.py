@@ -31,11 +31,15 @@ def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarra
     vectorized Arrow kernels, no per-row Python.  Empty tokens (which
     ``utf8_split_whitespace`` emits for empty or whitespace-only rows)
     are dropped, with parents masked in lockstep so n-gram adjacency
-    stays correct.
+    stays correct.  Null rows are treated as empty text (zero tokens)
+    rather than dropped, so parent indices ALWAYS refer to original row
+    positions — callers (minhash/simhash) index unfiltered doc_id
+    arrays positionally and would mis-attribute every token after a
+    dropped null row.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    arr = pc.drop_null(arr) if arr.null_count else arr
+    arr = pc.fill_null(arr, "") if arr.null_count else arr
     tokens = pc.utf8_split_whitespace(arr)
     flat = pc.list_flatten(tokens)
     parents = pc.list_parent_indices(tokens)

@@ -211,13 +211,19 @@ def build_partials(
                 # low-cardinality grouping: one mask filter per group value
                 keyarrs = [tbl.column(c) for c in group_cols]
                 key_df = pa.table(keyarrs, names=group_cols).to_pandas()
+                # use_na_sentinel=False keeps null keys as a real group
+                # (SQL groupBy semantics) instead of factorize's silent
+                # -1 drop; NaN/NaT group values normalize to None so the
+                # output Arrow batch carries a proper null key
                 codes, uniques = pd.factorize(
-                    pd.MultiIndex.from_frame(key_df) if len(group_cols) > 1 else key_df[group_cols[0]]
+                    pd.MultiIndex.from_frame(key_df) if len(group_cols) > 1 else key_df[group_cols[0]],
+                    use_na_sentinel=False,
                 )
                 groups = []
                 for gi, gval in enumerate(uniques):
                     mask = pa.array(codes == gi)
-                    gkey = tuple(gval) if len(group_cols) > 1 else (gval,)
+                    raw = tuple(gval) if len(group_cols) > 1 else (gval,)
+                    gkey = tuple(None if pd.isna(v) else v for v in raw)
                     groups.append((gkey, tbl.filter(mask)))
             for gkey, gtbl in groups:
                 sk = bucket(gkey)
@@ -368,8 +374,11 @@ def keyed_sketch_aggregate(
     per partition — right for low-cardinality keys (lang: 5 states).
     For 10^6+ hosts that map-side state explodes, so this path shuffles
     instead — but *salted*: rows go to ``(key, salt)`` reducers with
-    ``salt = pmod(xxhash64(row value), S)``, so a heavy-hitter host
-    spreads over S reducers and no single task sees the whole hot key.
+    ``salt = pmod(xxhash64(row_id, row values), S)``, so a heavy-hitter
+    host spreads over S reducers and no single task sees the whole hot
+    key.  The salt mixes a per-row id (monotonically_increasing_id), not
+    just the value columns, so even duplicate-row skew (a hot key whose
+    rows all carry identical values) still fans out across reducers.
     The S per-key states then tree-merge (KB-scale, exact homomorphism:
     the final state is byte-identical to any other partitioning).
 
@@ -379,7 +388,11 @@ def keyed_sketch_aggregate(
     key_cols = list(key_cols)
     value_cols = sorted({s.column for s in specs})
     salted = df.select(*key_cols, *value_cols).withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in value_cols]), F.lit(salt))
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in value_cols]),
+            F.lit(salt),
+        ).cast("int"),
     )
 
     key_schema = ", ".join(

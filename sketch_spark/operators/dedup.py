@@ -392,18 +392,62 @@ def simhash(
     return df.select(id_col, text_col).mapInArrow(run, schema)
 
 
-def simhash_candidate_pairs(sim_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def simhash_candidate_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_bucket: int = 1000
+) -> DataFrame:
     """Pairs sharing any 16-bit band (necessary condition for Hamming
-    distance <= 3 by pigeonhole over 4 bands)."""
-    outs = []
-    for band in range(4):
-        b = sim_df.select(F.col(id_col), F.col(f"band{band}").alias("bucket"))
-        l = b.withColumnRenamed(id_col, "id_a")
-        r = b.withColumnRenamed(id_col, "id_b")
-        outs.append(
-            l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    distance <= 3 by pigeonhole over 4 bands).
+
+    Same bounded-bucket treatment as ``lsh_candidate_pairs``: singleton
+    (band, bucket) groups are eliminated JVM-side, and a degenerate
+    bucket (>``max_bucket`` members — with only 2^16 buckets per band,
+    E[bucket] grows linearly in corpus size) is truncated to its
+    ``max_bucket`` smallest ids with ``capped=true`` on the emitted
+    pairs, so pair count is bounded by buckets x max_bucket^2 instead
+    of growing as N^2/65536 — the cap is flagged, never silent.
+    """
+    longf = sim_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    multi = (
+        longf.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("band", "bucket")
+    )
+    longf = longf.join(multi, ["band", "bucket"], "left_semi")
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "capped": pd.Series(dtype="bool"),
+            }
         )
-    pairs = outs[0]
-    for o in outs[1:]:
-        pairs = pairs.unionByName(o)
-    return pairs.dropDuplicates(["id_a", "id_b"])
+        pdf = pdf.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        capped = len(pdf) > max_bucket
+        if capped:
+            pdf = pdf.head(max_bucket)
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "capped": capped})
+
+    return (
+        longf.groupBy("band", "bucket")
+        .applyInPandas(pairs_fn, "id_a long, id_b long, capped boolean")
+        .groupBy("id_a", "id_b")
+        .agg(F.max("capped").alias("capped"))
+    )

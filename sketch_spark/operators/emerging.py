@@ -269,9 +269,12 @@ def emerging_heavy_hitters(
         "control_count", F.coalesce(F.col("control_count"), F.lit(0))
     )
     if mode == "reference":
+        # the reference stores est/GROWTH back into an int
+        # (sketch.cpp:181 `heavy_hitter.second /= GROWTH`) before the
+        # comparison — truncate (floor: est >= 0) to match exactly
         out = joined.filter(
             (F.col("est") >= threshold)
-            & (F.col("est") / F.lit(growth) > F.col("control_count"))
+            & (F.floor(F.col("est") / F.lit(growth)) > F.col("control_count"))
         ).select(
             "token",
             F.col("est").alias("freq"),

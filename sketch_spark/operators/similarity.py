@@ -28,6 +28,7 @@ from ..core.hashing import derive_seeds
 __all__ = [
     "cosine_topk",
     "exact_cosine_pairs",
+    "exact_cosine_pairs_blocked",
     "lsh_bucket_topk",
     "embedding_near_duplicates",
     "hyperplane_buckets",
@@ -83,12 +84,16 @@ def cosine_topk(
             if mat.size == 0:
                 continue
             sims = _normalize(mat) @ qmat_.T  # (n, Q) float64 BLAS
-            # local top-k per query
+            # round BEFORE the local cut so the partition-local top-k
+            # uses the same ordering as the final rank (rounded sim
+            # desc, vec_id asc) — raw-float argpartition could cut a
+            # candidate that ties at the k-th boundary after rounding
+            # but outranks on vec_id
+            sims = np.round(sims, sim_decimals)
             kk = min(k, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
             for qi in range(len(qids_)):
-                rows = top[:, qi]
-                for r in rows:
+                order = np.lexsort((ids, -sims[:, qi]))[:kk]
+                for r in order:
                     best[int(qids_[qi])].append((float(sims[r, qi]), int(ids[r])))
         out_q, out_v, out_s = [], [], []
         for q, lst in best.items():
@@ -120,17 +125,34 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int = 6,
+    strategy: str = "auto",
+    broadcast_budget_bytes: int = 256 << 20,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold via a broadcast corpus matrix.
+    """Exact all-pairs cosine >= threshold.
 
-    Each partition multiplies its (batch x d) block against the full
-    normalized matrix (one BLAS gemm per batch) and emits only pairs
-    with id_a < id_b above threshold — exact, and distributed over the
-    row blocks.  Scale ceiling: the corpus matrix must fit in executor
-    memory (n x d x 8 bytes); beyond that use
-    ``embedding_near_duplicates`` (hyperplane-blocked, approximate
-    recall, unbounded n).
+    strategy:
+      "broadcast" — collect + broadcast the full normalized corpus
+          matrix; each partition does one (batch x n) gemm.  Fastest
+          when n x d x 8 fits comfortably in executor memory; driver
+          OOM beyond that.
+      "blocked"   — no driver collect, no full-corpus broadcast: the
+          block-pair self-join (``exact_cosine_pairs_blocked``).  Exact
+          at any n the O(n^2) compute itself is affordable at.
+      "auto"      — estimate n x d x 8 with a count and pick: broadcast
+          under ``broadcast_budget_bytes``, blocked above.
     """
+    if strategy == "auto":
+        n = emb_df.count()
+        first = emb_df.select(F.size(F.col(vec_col)).alias("d")).first()
+        d = int(first["d"]) if first and first["d"] is not None else 0
+        strategy = "broadcast" if n * max(d, 1) * 8 <= broadcast_budget_bytes else "blocked"
+    if strategy == "blocked":
+        return exact_cosine_pairs_blocked(
+            emb_df, threshold, id_col, vec_col, sim_decimals, n_blocks=n_blocks
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
     rows = emb_df.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
@@ -159,6 +181,89 @@ def exact_cosine_pairs(
             )
 
     return emb_df.select(id_col, vec_col).mapInArrow(run, "id_a long, id_b long, cos double")
+
+
+def exact_cosine_pairs_blocked(
+    emb_df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+    n_blocks: int | None = None,
+    task_budget_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold with NO driver collect and no
+    full-corpus broadcast: the block-pair self-join.
+
+    Rows hash into B blocks (pmod(xxhash64(id), B)); each row is
+    replicated to the B block-pairs containing its block (an explode,
+    stays in codegen), and each (bi, bj) group runs one dense gemm over
+    its two blocks.  Cross pairs are emitted only by their (bi < bj)
+    group and within-block pairs only by the diagonal (bi == bj) group,
+    so every qualifying pair appears exactly once.  Shuffle volume is
+    n x B rows; a task materializes at most two blocks
+    (~2 n d 8 / B bytes) regardless of total n — the O(n^2) compute is
+    inherent to the exact semantics, but nothing ever funnels through
+    the driver.  ``n_blocks=None`` sizes B so two blocks fit in
+    ``task_budget_bytes`` (capped at 64 to bound replication).
+    """
+    if n_blocks is None:
+        n = emb_df.count()
+        first = emb_df.select(F.size(F.col(vec_col)).alias("d")).first()
+        d = int(first["d"]) if first and first["d"] is not None else 1
+        n_blocks = int(max(2, min(64, -(-2 * n * max(d, 1) * 8 // task_budget_bytes))))
+    B = int(n_blocks)
+    tagged = emb_df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    replicated = tagged.select(
+        id_col,
+        vec_col,
+        "_blk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(B - 1)),
+                lambda o: F.struct(
+                    F.least(F.col("_blk"), o).alias("bi"),
+                    F.greatest(F.col("_blk"), o).alias("bj"),
+                ),
+            )
+        ).alias("_bp"),
+    ).select(
+        id_col, vec_col, "_blk",
+        F.col("_bp.bi").alias("_bi"), F.col("_bp.bj").alias("_bj"),
+    )
+
+    def pairs_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = _normalize(np.stack(pdf[vec_col].apply(np.asarray).to_numpy()).astype(np.float64))
+        blk = pdf["_blk"].to_numpy()
+        if bi == bj:
+            sims = mat @ mat.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= threshold
+            a, b, s = ids[ia[keep]], ids[ib[keep]], sims[ia, ib][keep]
+        else:
+            sel_a, sel_b = blk == bi, blk == bj
+            ida, idb = ids[sel_a], ids[sel_b]
+            sims = mat[sel_a] @ mat[sel_b].T
+            ai, bi2 = np.nonzero(sims >= threshold)
+            a, b, s = ida[ai], idb[bi2], sims[ai, bi2]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "id_a": lo.astype(np.int64),
+                "id_b": hi.astype(np.int64),
+                "cos": np.round(s, sim_decimals).astype(np.float64),
+            }
+        )
+
+    return replicated.groupBy("_bi", "_bj").applyInPandas(
+        pairs_fn, "id_a long, id_b long, cos double"
+    )
 
 
 def hyperplane_buckets(
