@@ -463,6 +463,104 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path (IVF coarse quantizer, nprobe cells) — rows-only
+    contract entry; recall vs brute force is asserted in pytest
+    (tests/test_dedup_similarity.py)."""
+    from sketch_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(corpus, queries, k=5, n_cells=16, nprobe=6, seed=1)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path (hyperplane LSH buckets, Hamming<=1 probe) —
+    rows-only contract entry; recall floor asserted in pytest."""
+    from sketch_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return lsh_bucket_topk(corpus, queries, k=5, bits=8, seed=1, probe_hamming=1)
+
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus dedup end-to-end: MinHash signatures -> LSH
+    candidate buckets -> exact-Jaccard verify -> connected components
+    (label propagation over the pair graph) -> keep the smallest-id
+    representative per cluster.  Oracle: recursive-CTE components over
+    the exact all-pairs Jaccard graph — at sf0.01 every J>=0.4 pair is
+    comfortably above the LSH recall knee (no pair sits below J=0.6),
+    so the approximate pipeline provably recovers the exact pair set
+    and the survivors hash-match."""
+    from sketch_spark.operators.dedup import dedup_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup_corpus(
+        docs, "doc_id", "text", threshold=0.4, num_perm=64, bands=16,
+        shingle_k=3, seed=1,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_keyed_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit-salting skew path (north-star heavy-hitter clause):
+    per-source sketches via keyed_sketch_aggregate — rows fan out to
+    (key, salt) reducers, per-salt states tree-merge.  The merged
+    metadata (n_docs, n_tokens) is exact regardless of sketch content,
+    which is what the DuckDB oracle checks end-to-end: any row lost or
+    double-fed by the salting/merge would break the counts."""
+    from sketch_spark.operators.aggregate import SketchSpec, keyed_sketch_aggregate
+
+    docs = _read(spark, sf_dir, "documents")
+    spec = SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 14, "seed": 1})
+    merged = keyed_sketch_aggregate(docs, ["source"], [spec], salt=8)
+    return merged.select(
+        "source",
+        F.col("n_rows").alias("n_docs"),
+        F.col("n_values").alias("n_tokens"),
+    )
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated semi-join (exact mode): big-side rows are dropped by
+    the broadcast Bloom prefilter BEFORE any shuffle; the surviving
+    sliver takes the exact left-semi join, so output equals plain
+    ``WHERE key IN (...)``."""
+    from sketch_spark.operators.emerging import bloom_semi_join
+
+    orders = _read(spark, sf_dir, "orders")
+    keys = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    out = bloom_semi_join(orders, keys, "o_custkey", log2_bits=20, k=5, seed=1, exact=True)
+    return out.select("o_orderkey", "o_custkey")
+
+
+def q_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint per-row invariant as a contract operator: wrap text
+    into the html:binary template and extract it back — both pure
+    Catalyst column functions (sources/pages.py) — then md5 the
+    extracted bytes.  The oracle computes md5(text) independently, so
+    a single byte lost by extraction breaks the hash."""
+    from sketch_spark.sources.pages import extract_text_col, wrap_html_col
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.example.com/"), F.col("doc_id").cast("string"))
+    html = wrap_html_col(url, F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(extract_text_col(html)).alias("extracted_md5"),
+        F.length(html).cast("long").alias("n_html_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -503,6 +601,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
+        "dedup_corpus": q_dedup_corpus,
+        "keyed_stats_by_source": q_keyed_stats_by_source,
+        "bloom_semi_join": q_bloom_semi_join,
+        "html_roundtrip": q_html_roundtrip,
     }
 
 
@@ -736,5 +840,91 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        # exact all-pairs 3-shingle Jaccard: at sf0.01 every J>=0.4 pair
+        # is >= 0.6, comfortably above the LSH recall knee, so the
+        # MinHash pipeline recovers the exact pair set (deterministic,
+        # fixed seeds)
+        "minhash_near_dups": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             FOR i IN generate_series(1, len(t)-2)]) AS shingle
+              FROM toks WHERE len(t) >= 3
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(ni / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ni / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.4
+        """,
+        # connected components via transitive-closure recursive CTE over
+        # the exact pair graph; survivors = min-reachable-id == own id
+        "dedup_corpus": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             FOR i IN generate_series(1, len(t)-2)]) AS shingle
+              FROM toks WHERE len(t) >= 3
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE ni / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.4
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+            ), labels AS (
+              SELECT id, min(r) AS label FROM reach GROUP BY 1
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN labels l ON l.id = d.doc_id
+            WHERE l.label = l.id
+        """,
+        "keyed_stats_by_source": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT
+                   ) AS n_tokens
+            FROM documents GROUP BY source
+        """,
+        "bloom_semi_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            )
+        """,
+        "html_roundtrip": """
+            SELECT doc_id, md5(text) AS extracted_md5,
+                   CAST(octet_length(encode(
+                     '<html><head><title>' ||
+                     replace(replace(replace('https://docs.example.com/' || CAST(doc_id AS VARCHAR),
+                             '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+                     '</title></head><body><p>' ||
+                     replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+                     '</p></body></html>')) AS BIGINT) AS n_html_bytes
+            FROM documents
         """,
     }

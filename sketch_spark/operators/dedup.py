@@ -296,10 +296,13 @@ def dedup_corpus(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 1,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The end-to-end training-data dedup step: drop exact and near
     duplicates, keeping one representative (smallest id) per duplicate
     *cluster* (connected components over the near-dup pair graph).
+    ``pairs`` overrides the MinHash candidate stage with a precomputed
+    (id_a, id_b) edge set (e.g. exact Jaccard pairs for oracle runs).
 
     Components are resolved by iterative label propagation (min-id
     spreads along edges until fixpoint) — each round is two joins over
@@ -308,9 +311,11 @@ def dedup_corpus(
     duplicate clusters are shallow (mirrors of one source), so rounds
     ~= O(log(cluster diameter)), typically 2-4.
     """
-    pairs = minhash_near_duplicates(
-        df, id_col, text_col, num_perm, bands, shingle_k, threshold, seed
-    ).select("id_a", "id_b")
+    if pairs is None:
+        pairs = minhash_near_duplicates(
+            df, id_col, text_col, num_perm, bands, shingle_k, threshold, seed
+        )
+    pairs = pairs.select("id_a", "id_b")
     # the pair graph is candidate-scale; persist it so the iteration
     # below never recomputes the minhash pipeline, and cut lineage each
     # round (localCheckpoint) so plans don't grow with iterations

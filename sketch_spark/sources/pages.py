@@ -74,6 +74,45 @@ def extract_text_bytes(html: bytes) -> bytes:
     return _unescape(html[start:end])
 
 
+def wrap_html_col(url, text):
+    """Catalyst mirror of ``wrap_html``: html:binary built JVM-side
+    (concat + replace + encode, whole-stage codegen — no Python)."""
+    from pyspark.sql import functions as F
+
+    def esc(c):
+        c = F.col(c) if isinstance(c, str) else c
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    s = F.concat(
+        F.lit(_PRE.decode()), esc(url), F.lit(_MID.decode()), esc(text), F.lit(_POST.decode())
+    )
+    return F.encode(s, "UTF-8")
+
+
+def extract_text_col(html):
+    """Catalyst mirror of ``extract_text_bytes`` — byte-identical text
+    from the ``html:binary`` wrap (input_hint per-row invariant), as a
+    pure JVM expression usable at scan speed on 10^12 rows.
+
+    The marker literals contain '<', which escaped content cannot, so
+    first/last occurrence coincide and ``substring_index`` is exact;
+    unescape order (gt, lt, amp) matches ``_unescape``.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(html) if isinstance(html, str) else html
+    s = F.decode(c, "UTF-8")
+    inner = F.substring_index(
+        F.substring_index(s, _POST.decode(), 1), _MID.decode(), -1
+    )
+    u = F.replace(inner, F.lit("&gt;"), F.lit(">"))
+    u = F.replace(u, F.lit("&lt;"), F.lit("<"))
+    u = F.replace(u, F.lit("&amp;"), F.lit("&"))
+    return F.encode(u, "UTF-8")
+
+
 def generate_pages(
     n_rows: int,
     seed: int = 42,
@@ -278,12 +317,61 @@ def write_pages_spark(
     return out_dir
 
 
-def load_pages(spark, path: str):
-    """Table adapter (SURVEY.md §7.2): parquet today, Iceberg when a
-    runtime jar is on the classpath (``spark.read.table`` branch).
+def iceberg_available(spark) -> bool:
+    """True iff an Iceberg runtime jar is on the session's classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
 
-    Native partition discovery over ``<path>/pages/window=*`` gives the
-    ``window`` partition column — predicates on it prune files at the
-    scan, the parquet stand-in for Iceberg hidden partitioning.
+
+def load_pages(spark, path: str, catalog: str = "parquet"):
+    """Table adapter (SURVEY.md §7.2): ``--catalog parquet|iceberg``.
+
+    catalog="parquet" (default): native partition discovery over
+    ``<path>/pages/window=*`` gives the ``window`` partition column —
+    predicates on it prune files at the scan, the parquet stand-in for
+    Iceberg hidden partitioning on ``days(warc_ts)``.
+
+    catalog="iceberg": ``spark.read.table(path)`` against an Iceberg
+    catalog table identifier (e.g. ``cat.db.pages``) — requires the
+    iceberg-spark-runtime jar on the classpath (not present in this
+    sandbox; the dispatch raises a clear error rather than a
+    ClassNotFound deep in the scan).  Partition pruning on ``warc_ts``
+    then comes from Iceberg metadata instead of directory layout; every
+    operator downstream is unchanged (they only see a DataFrame).
     """
-    return spark.read.parquet(os.path.join(path, "pages"))
+    if catalog == "parquet":
+        return spark.read.parquet(os.path.join(path, "pages"))
+    if catalog == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "catalog='iceberg' requires the iceberg-spark-runtime jar on "
+                "the classpath (spark.jars.packages=org.apache.iceberg:"
+                "iceberg-spark-runtime-...); falling back is explicit: pass "
+                "catalog='parquet'"
+            )
+        return spark.read.table(path)
+    raise ValueError(f"unknown catalog {catalog!r}: expected 'parquet' or 'iceberg'")
+
+
+def write_pages_table(spark, df, path: str, catalog: str = "parquet") -> None:
+    """Write side of the adapter: parquet dir layout or Iceberg
+    ``writeTo`` with hidden partitioning on ``days(warc_ts)``."""
+    if catalog == "parquet":
+        df.write.mode("overwrite").partitionBy("window").parquet(
+            os.path.join(path, "pages")
+        )
+        return
+    if catalog == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "catalog='iceberg' requires the iceberg-spark-runtime jar on "
+                "the classpath; pass catalog='parquet' for the directory layout"
+            )
+        from pyspark.sql import functions as F
+
+        df.writeTo(path).partitionedBy(F.days("warc_ts")).createOrReplace()
+        return
+    raise ValueError(f"unknown catalog {catalog!r}: expected 'parquet' or 'iceberg'")
