@@ -51,7 +51,20 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from sketch_spark.session import get_spark
 
-    spark = get_spark("sketch_spark-bench", cores=cpus)
+    # bench-session tuning for the sandbox's oversubscription-prone VM
+    # (BENCH.md "local[32] mapInArrow" diagnosis): shuffle partitions
+    # capped at 16 (AQE re-coalesces anyway at this sf), bigger Arrow
+    # batches (fewer JVM<->Python handoffs), no locality wait (local
+    # mode has nothing to wait for).  Configs only — operators unchanged.
+    spark = get_spark(
+        "sketch_spark-bench",
+        cores=cpus,
+        shuffle_partitions=min(cpus, 16),
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "16384",
+            "spark.locality.wait": "0",
+        },
+    )
     qs = entrymod.queries()
 
     # warm the JVM/Arrow path once so per-query numbers measure the

@@ -190,8 +190,8 @@ def lsh_candidate_pairs(
     banded = sig_df.select(F.col(id_col), F.col("sig"), bands_col.alias("band", "bucket"))
 
     # singleton buckets (the vast majority) can never produce a pair —
-    # drop them JVM-side before the pandas stage, which otherwise pays
-    # per-group overhead once per bucket
+    # drop them JVM-side before the pair join, which otherwise pays a
+    # window pass over every bucket
     multi = (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("_n"))
@@ -203,41 +203,42 @@ def lsh_candidate_pairs(
     # makes it large (forcing broadcast here would OOM the driver then)
     banded = banded.join(multi, ["band", "bucket"], "left_semi")
 
-    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "sig_est": pd.Series(dtype="float64"),
-                "capped": pd.Series(dtype="bool"),
-            }
-        )
-        pdf = pdf.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        capped = len(pdf) > max_bucket
-        if capped:
-            pdf = pdf.head(max_bucket)
-        if len(pdf) < 2:
-            return empty
-        ids = pdf[id_col].to_numpy()
-        sigs = np.stack(pdf["sig"].apply(np.asarray).to_numpy())  # (n, P)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= est_threshold
-        if not keep.any():
-            return empty
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "sig_est": est[keep],
-                "capped": capped,
-            }
-        )
+    # pair generation stays ENTIRELY JVM-side (codegen): a per-bucket
+    # window caps degenerate buckets at their max_bucket smallest ids
+    # (flagged, never silent), a bucket self-join emits id_a < id_b
+    # candidates, and the signature-agreement Jaccard estimate is a
+    # zip_with/filter expression — no Python stage, no per-group pandas
+    # overhead (the previous applyInPandas paid ~1 ms x n_buckets)
+    from pyspark.sql import Window as W
 
+    wb = W.partitionBy("band", "bucket")
+    ranked = banded.withColumn("_bn", F.count("*").over(wb)).withColumn(
+        "_rn", F.row_number().over(wb.orderBy(id_col))
+    )
+    kept = ranked.filter(F.col("_rn") <= max_bucket)
+    left = kept.select(
+        "band",
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        (F.col("_bn") > max_bucket).alias("capped"),
+    )
+    right = kept.select(
+        "band", "bucket", F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.size("sig_a")
     pairs = (
-        banded.groupBy("band", "bucket")
-        .applyInPandas(pairs_fn, "id_a long, id_b long, sig_est double, capped boolean")
-        .dropDuplicates(["id_a", "id_b"])
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sig_est", est)
+        .filter(F.col("sig_est") >= est_threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("sig_est").alias("sig_est"), F.max("capped").alias("capped"))
     )
     return pairs
 
@@ -432,27 +433,24 @@ def simhash_candidate_pairs(
     )
     longf = longf.join(multi, ["band", "bucket"], "left_semi")
 
-    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "capped": pd.Series(dtype="bool"),
-            }
-        )
-        pdf = pdf.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        capped = len(pdf) > max_bucket
-        if capped:
-            pdf = pdf.head(max_bucket)
-        if len(pdf) < 2:
-            return empty
-        ids = pdf[id_col].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "capped": capped})
+    # JVM-side pair generation (same shape as lsh_candidate_pairs): a
+    # per-bucket window caps the bucket, a bucket self-join emits the
+    # id_a < id_b candidates — no Python stage
+    from pyspark.sql import Window as W
 
+    wb = W.partitionBy("band", "bucket")
+    ranked = longf.withColumn("_bn", F.count("*").over(wb)).withColumn(
+        "_rn", F.row_number().over(wb.orderBy(id_col))
+    )
+    kept = ranked.filter(F.col("_rn") <= max_bucket)
+    left = kept.select(
+        "band", "bucket", F.col(id_col).alias("id_a"),
+        (F.col("_bn") > max_bucket).alias("capped"),
+    )
+    right = kept.select("band", "bucket", F.col(id_col).alias("id_b"))
     return (
-        longf.groupBy("band", "bucket")
-        .applyInPandas(pairs_fn, "id_a long, id_b long, capped boolean")
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.max("capped").alias("capped"))
     )
