@@ -561,6 +561,33 @@ def q_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline token counting with the BPE-style pre-tokenization
+    split (letter runs / digit runs / single punctuation) — a pure
+    Catalyst regexp whose semantics match RE2 so DuckDB reproduces it."""
+    from sketch_spark.functions.text import bpe_ish_tokens_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(bpe_ish_tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 500)
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash document fingerprints as a pure
+    Catalyst per-doc expression — every shared >= k+window-1 word run
+    yields a shared fingerprint."""
+    from sketch_spark.functions.text import winnow_fingerprints_col
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.explode(winnow_fingerprints_col("text", 3, 4)).alias("fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -607,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
         "html_roundtrip": q_html_roundtrip,
+        "bpe_token_counts": q_bpe_token_counts,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -915,6 +944,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
             )
+        """,
+        "bpe_token_counts": """
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token
+              FROM documents
+            ) GROUP BY token HAVING count(*) >= 500
+        """,
+        "winnow_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE doc_id < 100
+            ), grams AS (
+              SELECT doc_id,
+                     [md5(array_to_string(t[i:i+2], ' '))
+                      FOR i IN generate_series(1, len(t)-2)] AS h
+              FROM toks
+            ), fp AS (
+              SELECT doc_id,
+                     CASE WHEN len(h) >= 4 THEN
+                            list_distinct([list_min(h[i:i+3])
+                                           FOR i IN generate_series(1, len(h)-3)])
+                          WHEN len(h) > 0 THEN [list_min(h)]
+                          ELSE [] END AS fps
+              FROM grams
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM fp
         """,
         "html_roundtrip": """
             SELECT doc_id, md5(text) AS extracted_md5,

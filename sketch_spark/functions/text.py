@@ -211,6 +211,51 @@ def word_ngrams_col(text: str | Column, n: int, lowercase: bool = False) -> Colu
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+_BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens_col(text: str | Column) -> Column:
+    """Subword-ish tokenization as a Catalyst expression: runs of
+    letters, runs of digits, and single punctuation marks — the
+    BPE-style pre-tokenization split (GPT-2's pattern family,
+    simplified to a regex whose semantics are identical in Java regex
+    and RE2 so the DuckDB oracle matches byte-for-byte).  Token counts
+    over this are the LLM-pipeline "how many tokens is this corpus"
+    estimator that whitespace counting understates on punctuated text.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(_BPE_ISH_PATTERN), 0)
+
+
+def winnow_fingerprints_col(
+    text: str | Column, k: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm) as a pure Catalyst expression: hash every word
+    k-gram, slide a ``window`` over the hash sequence, keep each
+    window's minimum, dedupe.  Guarantees every shared substring of at
+    least k+window-1 words produces a shared fingerprint — the
+    rolling-hash fingerprint family for plagiarism/near-dup detection.
+
+    The hash is ``md5`` of the space-joined gram so the DuckDB oracle
+    can reproduce fingerprints exactly; per-doc work is O(tokens),
+    whole-stage codegen'd, no shuffle until the caller aggregates.
+    Docs with fewer than ``window`` grams contribute min-of-all (the
+    standard short-document degeneration); gram-less docs are empty.
+    """
+    grams = word_ngrams_col(text, k)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    n = F.size(hashes)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - F.lit(window - 1)),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    short = F.when(n > 0, F.array(F.array_min(hashes))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(F.when(n >= window, windows).otherwise(short))
+
+
 def quality_columns(text: str | Column) -> dict[str, Column]:
     """Deterministic quality-scoring signals, all pure Catalyst
     expressions (whole-stage codegen; identical semantics in ANSI SQL

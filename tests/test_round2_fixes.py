@@ -140,3 +140,40 @@ def test_binary_metadata_no_python_stage(spark):
 
     assert pdf.content_md5.iloc[0] == hashlib.md5(b"\x89PNG....payload").hexdigest()
     assert list(pdf.n_bytes) == [15, 11]
+
+
+def test_bpe_ish_tokens_col(spark):
+    from sketch_spark.functions.text import bpe_ish_tokens_col
+
+    df = spark.createDataFrame(
+        [("Hello, world! x42 a-b",), ("",)], "text string"
+    )
+    rows = df.select(bpe_ish_tokens_col("text").alias("t")).collect()
+    assert rows[0].t == ["Hello", ",", "world", "!", "x", "42", "a", "-", "b"]
+    assert rows[1].t == []
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= k+window-1
+    words share at least one fingerprint; short/gram-less docs behave."""
+    from sketch_spark.functions.text import winnow_fingerprints_col
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = k+window-1
+    rows = [
+        (0, f"prefix one two {shared} suffix three"),
+        (1, f"{shared} completely different tail words here"),
+        (2, "unrelated tokens nothing in common at all"),
+        (3, "tiny doc"),  # < k tokens -> no grams -> empty
+        (4, "four words here now"),  # 2 grams < window -> min-of-all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", winnow_fingerprints_col("text", 3, 4).alias("fp")
+        ).collect()
+    }
+    assert got[0] & got[1], "shared 6-word run must share a fingerprint"
+    assert not (got[0] & got[2])
+    assert got[3] == set()
+    assert len(got[4]) == 1
