@@ -166,6 +166,56 @@ def ngram_occurrences(
     return combined[same_row], joined.filter(pa.array(same_row))
 
 
+def ngram_count_df(
+    df,
+    text_col: str = "text",
+    n: int = 2,
+    lowercase: bool = False,
+    min_count: int | None = None,
+    out_col: str | None = None,
+):
+    """Exact word n-gram counts as a DataFrame (out_col, cnt) via Arrow
+    map-side combine: each partition tokenizes with the vectorized
+    kernels, value-counts its grams, and folds batches with one Arrow
+    ``group_by`` — the shuffle then carries per-partition UNIQUE grams
+    (vocab-scale), not per-occurrence rows.  ~6x faster than the
+    codegen explode+hash-agg on Zipf text (BENCH.md) and the identical
+    exact semantics (the DuckDB oracle is unchanged).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (module-level F is fine)
+
+    out_col = out_col or ("token" if n == 1 else f"ngram{n}")
+
+    def run(batches):
+        parts = []
+        for b in batches:
+            _, strs = ngram_occurrences(b.column(0), seed=1, ngram=n, lowercase=lowercase)
+            if len(strs) == 0:
+                continue
+            vc = strs.value_counts()
+            parts.append(
+                pa.table({"g": vc.field("values"), "c": vc.field("counts").cast(pa.int64())})
+            )
+        if not parts:
+            yield pa.RecordBatch.from_pydict(
+                {out_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+            return
+        t = (
+            pa.concat_tables(parts)
+            .group_by("g")
+            .aggregate([("c", "sum")])
+            .rename_columns([out_col, "cnt"])
+        )
+        yield from t.to_batches()
+
+    partial = df.select(text_col).mapInArrow(run, f"{out_col} string, cnt long")
+    out = partial.groupBy(out_col).agg(F.sum("cnt").alias("cnt"))
+    if min_count is not None:
+        out = out.filter(F.col("cnt") >= min_count)
+    return out
+
+
 def unique_token_counts(
     arr: pa.Array | pa.ChunkedArray, lowercase: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:

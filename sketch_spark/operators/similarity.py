@@ -420,9 +420,26 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     seed: int = 1,
     max_bucket: int = 1000,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within
-    hyperplane buckets — the embedding analogue of MinHash-LSH dedup."""
+    hyperplane buckets — the embedding analogue of MinHash-LSH dedup.
+
+    ``n_tables`` OR-amplifies recall: pairs are unioned across L
+    independent hyperplane tables (deduped on (id_a, id_b)), so a pair
+    at angle theta is found with prob 1-(1-(1-theta/pi)^bits)^L instead
+    of the single-table (1-theta/pi)^bits — the standard recall dial,
+    at L x the bucketing cost and the same per-bucket cap.
+    """
+    if n_tables > 1:
+        out = None
+        for t in range(n_tables):
+            part = embedding_near_duplicates(
+                emb_df, threshold, bits, id_col, vec_col,
+                seed + 7919 * t, max_bucket, n_tables=1,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))
     buckets = hyperplane_buckets(emb_df, bits, None, id_col, vec_col, seed)
     with_b = emb_df.join(buckets, id_col)
 

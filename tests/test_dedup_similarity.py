@@ -314,3 +314,44 @@ def test_dedup_corpus_clusters(spark):
         chain = {i * 10, i * 10 + 1, i * 10 + 2}
         surviving = chain & kept
         assert surviving == {i * 10}, f"chain {i}: kept {surviving}"
+
+
+def test_embedding_near_dup_multi_table_recall(spark):
+    """OR-amplification: n_tables=4 recall strictly dominates a single
+    table and clears 90% on planted near-dup twins."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(120):
+        v = rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((2 * i, v.tolist()))
+        w = v + 0.05 * rng.standard_normal(16)  # near-dup twin, cos ~ 0.98
+        w /= np.linalg.norm(w)
+        rows.append((2 * i + 1, w.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from sketch_spark.operators.similarity import (
+        embedding_near_duplicates,
+        exact_cosine_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_cosine_pairs(df, 0.95, strategy="broadcast").collect()
+    }
+    assert len(exact) >= 100  # the planted twins qualify
+
+    def recall(n_tables):
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_duplicates(
+                df, 0.95, bits=10, seed=3, n_tables=n_tables
+            ).collect()
+        }
+        assert got <= exact or all(p in exact for p in got)  # precision exact
+        return len(got & exact) / len(exact)
+
+    r1, r6 = recall(1), recall(6)
+    assert r6 >= r1
+    assert r6 >= 0.9

@@ -112,3 +112,44 @@ def test_null_and_empty_text_robustness(spark):
     assert cm.total == 5  # a,b,c,a,a
     assert cm.estimate_tokens(["a"])[0] >= 3
     assert round(res.sketch("hll").estimate()) == 3
+
+
+def test_streaming_exact_dedup(spark, pages_dir, tmp_path):
+    """Streaming first-arrival dedup equals batch distinct-by-md5."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src = os.path.join(pages_dir, "pages", "window=test")
+    # plant duplicates: re-write a copy of the source with half the rows
+    dup_dir = str(tmp_path / "dup_src")
+    base = spark.read.parquet(src)
+    base.write.parquet(dup_dir)
+    base.limit(200).write.mode("append").parquet(dup_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(dup_dir)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_exact_dedup(stream, "text", "warc_ts", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    n_hashes = got.select("content_md5").distinct().count()
+    assert got.count() == n_hashes  # exactly one survivor per content
+    expected = base.select(F.md5("text").alias("m")).distinct().count()
+    assert n_hashes == expected
