@@ -1,0 +1,177 @@
+"""spark-submit entry points (north_rule: "run via spark-submit
+--py-files on a multi-executor cluster").
+
+Launch shape:
+
+    spark-submit --master <cluster> \
+        --py-files sketch_spark.zip \
+        scripts/run_job.py <subcommand> [args...]
+
+The script gets its SparkSession from the submit configs (master,
+executor counts, memory all come from the cluster launcher, never from
+this code); ``sketch_spark.session.package_zip()`` builds the
+``--py-files`` artifact.  Subcommands:
+
+  build      one pass over a parquet/Iceberg table -> merged sketch
+             states written as a parquet state table (executor-side
+             write, no driver collect) + a metrics JSON.
+  build-ckpt same, through the resumable checkpointed job (bucket
+             lineage; re-running after a kill completes only the
+             remaining buckets).
+  estimate   point queries against a written state table.
+  dedup      corpus near-dup dedup -> survivors parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+_DEFAULT_PARAMS = {
+    "cmcu": {"depth": 4, "log2_width": 14},
+    "cm": {"depth": 4, "log2_width": 14},
+    "hll": {"p": 14},
+    "bloom": {"log2_bits": 20, "k": 5},
+    "kll": {"k": 200},
+    "tdigest": {"delta": 100},
+}
+
+
+def _specs(kinds: str, text_col: str, seed: int, params_json: str | None):
+    from .operators.aggregate import SketchSpec
+
+    overrides = json.loads(params_json) if params_json else {}
+    specs = []
+    for kind in kinds.split(","):
+        kind = kind.strip()
+        params = dict(_DEFAULT_PARAMS.get(kind, {}))
+        params.update(overrides.get(kind, {}))
+        params["seed"] = seed
+        mode = "numeric" if kind in ("kll", "tdigest") else "tokens"
+        specs.append(SketchSpec(kind, kind, text_col, mode=mode, params=params))
+    return specs
+
+
+def cmd_build(args) -> None:
+    from .operators.aggregate import build_partials, merge_partials
+
+    spark = _spark("sketch-build")
+    df = spark.read.parquet(args.input)
+    group_cols = args.group_by.split(",") if args.group_by else []
+    specs = _specs(args.kinds, args.text_col, args.seed, args.params)
+    partials = build_partials(df, specs, group_cols)
+    merged = merge_partials(partials, group_cols)
+    # states flow executor-side straight into the parquet sink — the
+    # driver never holds them
+    merged.write.mode("overwrite").parquet(os.path.join(args.out, "states"))
+    meta = (
+        spark.read.parquet(os.path.join(args.out, "states"))
+        .select(*group_cols, "spec", "n_rows", "n_values", "wall_ms")
+        .collect()
+    )
+    metrics = [r.asDict() for r in meta]
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1, default=str)
+    print(json.dumps({"states": len(metrics), "out": args.out}))
+
+
+def cmd_build_ckpt(args) -> None:
+    from .operators.checkpoint import CheckpointedSketchJob
+
+    spark = _spark("sketch-build-ckpt")
+    df = spark.read.parquet(args.input)
+    specs = _specs(args.kinds, args.text_col, args.seed, args.params)
+    job = CheckpointedSketchJob(
+        df, specs, args.out, key_col=args.key_col, n_buckets=args.n_buckets
+    )
+    job.run()
+    res = job.result(validate_lineage=True)
+    print(json.dumps({"specs": sorted(k[-1] for k in res.keys()), "out": args.out}))
+
+
+def cmd_estimate(args) -> None:
+    from .core import sketch_from_bytes
+
+    spark = _spark("sketch-estimate")
+    rows = (
+        spark.read.parquet(os.path.join(args.states, "states"))
+        .filter(f"spec = '{args.spec}'")
+        .collect()
+    )
+    if not rows:
+        raise SystemExit(f"no state rows for spec {args.spec!r}")
+    sk = sketch_from_bytes(rows[0]["state"])
+    for r in rows[1:]:
+        sk.merge(sketch_from_bytes(r["state"]))
+    tokens = args.tokens.split(",")
+    est = sk.estimate_tokens(tokens)
+    print(json.dumps(dict(zip(tokens, [int(e) for e in est]))))
+
+
+def cmd_dedup(args) -> None:
+    from .operators.dedup import dedup_corpus
+
+    spark = _spark("corpus-dedup")
+    df = spark.read.parquet(args.input)
+    out = dedup_corpus(
+        df, args.id_col, args.text_col, threshold=args.threshold, seed=args.seed
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"survivors": spark.read.parquet(args.out).count()}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="sketch_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--kinds", default="cmcu,hll,bloom")
+    b.add_argument("--group-by", default="")
+    b.add_argument("--seed", type=int, default=1)
+    b.add_argument("--params", default=None, help="JSON {kind: {param: value}}")
+    b.set_defaults(fn=cmd_build)
+
+    c = sub.add_parser("build-ckpt")
+    c.add_argument("--input", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--kinds", default="cmcu")
+    c.add_argument("--key-col", default="url")
+    c.add_argument("--n-buckets", type=int, default=16)
+    c.add_argument("--seed", type=int, default=1)
+    c.add_argument("--params", default=None)
+    c.set_defaults(fn=cmd_build_ckpt)
+
+    e = sub.add_parser("estimate")
+    e.add_argument("--states", required=True)
+    e.add_argument("--spec", default="cmcu")
+    e.add_argument("--tokens", required=True)
+    e.set_defaults(fn=cmd_estimate)
+
+    d = sub.add_parser("dedup")
+    d.add_argument("--input", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--seed", type=int, default=1)
+    d.set_defaults(fn=cmd_dedup)
+
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""The spark-submit --py-files launch path (north_rule clause), exercised
+for real: a subprocess spark-submit run of scripts/run_job.py with the
+package shipped ONLY via --py-files (cwd outside the repo), plus
+in-process CLI tests for the other subcommands."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF001 = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_spark_submit_py_files_build(tmp_path):
+    import pyspark
+
+    from sketch_spark.session import package_zip
+
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    out = str(tmp_path / "states_out")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    res = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "scripts", "run_job.py"),
+            "build",
+            "--input", SF001,
+            "--out", out,
+            "--kinds", "cmcu,hll",
+            "--group-by", "lang",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),  # NOT the repo: imports must come from --py-files
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["states"] == 2 * 5  # 2 specs x 5 langs
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+
+    # the written state table round-trips into working sketches
+    from sketch_spark.core import sketch_from_bytes
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(out, "states")).to_pylist()
+    hll = [r for r in tbl if r["spec"] == "hll"]
+    assert len(hll) == 5
+    sk = sketch_from_bytes(hll[0]["state"])
+    assert sk.estimate() > 0
+
+
+def test_cli_estimate_roundtrip(spark, tmp_path, monkeypatch):
+    from sketch_spark import cli
+
+    out = str(tmp_path / "states")
+    cli.main([
+        "build", "--input", SF001, "--out", out, "--kinds", "cmcu",
+    ])
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(["estimate", "--states", out, "--spec", "cmcu", "--tokens", "the,zzzz"])
+    est = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert set(est) == {"the", "zzzz"}
+    assert est["the"] >= 0 and est["zzzz"] >= 0
+
+
+def test_cli_build_ckpt_resume(spark, tmp_path):
+    from sketch_spark import cli
+    from sketch_spark.operators.checkpoint import CheckpointedSketchJob, SimulatedFailure
+
+    ckpt = str(tmp_path / "ckpt")
+    # kill a direct run mid-way, then the CLI resume completes the rest
+    df = spark.read.parquet(SF001)
+    specs = cli._specs("cmcu", "text", 1, None)
+    job = CheckpointedSketchJob(df, specs, ckpt, key_col="doc_id", n_buckets=8, wave_size=2)
+    with pytest.raises(SimulatedFailure):
+        job.run(fail_after_waves=2)
+    assert 0 < len(job.completed_buckets()) < 8
+    cli.main([
+        "build-ckpt", "--input", SF001, "--out", ckpt,
+        "--kinds", "cmcu", "--key-col", "doc_id", "--n-buckets", "8",
+    ])
+    res = CheckpointedSketchJob(df, specs, ckpt, key_col="doc_id", n_buckets=8).result(
+        validate_lineage=True
+    )
+    assert res.metrics[("cmcu",)]["n_rows"] == df.count()
