@@ -586,6 +586,32 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup table (hypertable analogue): materialize one merged
+    HLL state per day over events, then read the STATE TABLE back — the
+    per-bucket exact accounting (n_events) is what DuckDB oracles, so a
+    bucket lost or double-merged by the rollup path breaks the hash.
+    Range queries over the states (no rescan) are covered in
+    tests/test_rollup.py."""
+    import tempfile
+
+    from sketch_spark.operators.aggregate import SketchSpec
+    from sketch_spark.operators.rollup import build_sketch_rollup
+
+    events = _read(spark, sf_dir, "events")
+    spec = SketchSpec("hll", "hll", "user_id", mode="value", params={"p": 14, "seed": 1})
+    out = tempfile.mkdtemp(prefix="sketch_rollup_contract_")
+    build_sketch_rollup(events, "ts", [spec], out, granularity="day")
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("spec") == "hll")
+        .select(
+            F.col("bucket").alias("day"),
+            F.col("n_rows").cast("long").alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -634,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_roundtrip": q_html_roundtrip,
         "bpe_token_counts": q_bpe_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "rollup_daily": q_rollup_daily,
     }
 
 
@@ -942,6 +969,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
             )
+        """,
+        "rollup_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
         """,
         "bpe_token_counts": """
             SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (

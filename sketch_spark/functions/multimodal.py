@@ -18,7 +18,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["binary_metadata", "decode_image", "fake_features", "extract_features_df"]
+__all__ = ["binary_metadata", "decode_image", "fake_features", "extract_features_df", "resize_images_df", "sample_video_frames_df"]
 
 _MAGIC = {
     b"\xff\xd8\xff": "jpeg",
@@ -97,4 +97,78 @@ def extract_features_df(
 
     return df.select(id_col, bin_col).mapInPandas(
         run, f"{id_col} string, features array<double>"
+    )
+
+
+def _fake_pixels(buf: bytes, width: int, height: int) -> bytes:
+    """STUB pixel decode — deterministic digest-derived RGB buffer of the
+    right size (no PIL/opencv in this container); the Spark plumbing
+    around it (schema, batch shape, per-row sizing) is real."""
+    need = width * height * 3
+    digest = hashlib.sha256(buf).digest()
+    return (digest * (need // len(digest) + 1))[:need]
+
+
+def resize_images_df(
+    df: DataFrame,
+    bin_col: str = "image",
+    id_col: str = "url",
+    width: int = 64,
+    height: int = 64,
+) -> DataFrame:
+    """Decode+resize plumbing over an opaque image column: one output
+    row per image with typed (width, height, pixels:binary) — exactly
+    the schema a PIL/opencv decoder would fill.  The decode itself is
+    the clearly-marked ``_fake_pixels`` stub (swap for
+    ``PIL.Image.open(io.BytesIO(buf)).resize((w, h)).tobytes()`` on a
+    cluster with the libraries); everything Spark-side — column
+    pruning, Arrow batching, fixed-size binary output — is real and
+    tested, and the operator is embarrassingly parallel (mapInPandas,
+    no shuffle)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "pixels": [_fake_pixels(bytes(b), width, height) for b in pdf[bin_col]],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run, f"{id_col} string, width int, height int, pixels binary"
+    )
+
+
+def sample_video_frames_df(
+    df: DataFrame,
+    bin_col: str = "video",
+    id_col: str = "url",
+    n_frames: int = 4,
+    width: int = 32,
+    height: int = 32,
+) -> DataFrame:
+    """Frame-sampling plumbing over an opaque video column: N output
+    rows per input row, (id, frame_idx, frame:binary) — the row
+    multiplication a real ffmpeg/av sampler produces, with the decode
+    stubbed deterministically (frame i = digest-derived pixels of
+    (buf, i)).  Partition behavior matters here: output is N x input
+    rows but still shuffle-free; downstream per-frame feature
+    extraction parallelizes over the same partitions."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for rid, buf in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(buf)
+                for i in range(n_frames):
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(_fake_pixels(b + i.to_bytes(4, "little"), width, height))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run, f"{id_col} string, frame_idx int, frame binary"
     )

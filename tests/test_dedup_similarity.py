@@ -355,3 +355,30 @@ def test_embedding_near_dup_multi_table_recall(spark):
     r1, r6 = recall(1), recall(6)
     assert r6 >= r1
     assert r6 >= 0.9
+
+
+def test_resize_and_frame_sample_plumbing(spark, pages_dir):
+    from sketch_spark.functions.multimodal import (
+        resize_images_df,
+        sample_video_frames_df,
+    )
+    from sketch_spark.sources.pages import load_pages
+
+    df = load_pages(spark, pages_dir).limit(20)
+    n = df.count()
+
+    resized = resize_images_df(df, "html", "url", width=8, height=6).toPandas()
+    assert len(resized) == n
+    assert (resized.width == 8).all() and (resized.height == 6).all()
+    assert all(len(bytes(p)) == 8 * 6 * 3 for p in resized.pixels)
+    # deterministic across runs (stub decode is digest-derived, no RNG)
+    again = resize_images_df(df, "html", "url", width=8, height=6).toPandas()
+    a = dict(zip(resized.url, resized.pixels))
+    b = dict(zip(again.url, again.pixels))
+    assert all(bytes(a[u]) == bytes(b[u]) for u in a)
+
+    frames = sample_video_frames_df(df, "html", "url", n_frames=3, width=4, height=4).toPandas()
+    assert len(frames) == 3 * n  # row multiplication, shuffle-free
+    assert sorted(frames.frame_idx.unique()) == [0, 1, 2]
+    per_url = frames.groupby("url").frame.nunique()
+    assert (per_url == 3).all()  # distinct frame per index
