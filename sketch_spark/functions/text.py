@@ -209,7 +209,9 @@ def ngram_count_df(
         )
         yield from t.to_batches()
 
-    partial = df.select(text_col).mapInArrow(run, f"{out_col} string, cnt long")
+    from ..operators.aggregate import ensure_min_partitions
+
+    partial = ensure_min_partitions(df.select(text_col)).mapInArrow(run, f"{out_col} string, cnt long")
     out = partial.groupBy(out_col).agg(F.sum("cnt").alias("cnt"))
     if min_count is not None:
         out = out.filter(F.col("cnt") >= min_count)

@@ -43,7 +43,29 @@ from ..core.base import Sketch, unique_with_counts
 from ..core.hashing import hash_strings, hash_u64
 from ..functions.text import token_hash_counts, token_hashes
 
-__all__ = ["SketchSpec", "build_partials", "merge_partials", "sketch_aggregate", "SketchResult"]
+__all__ = [
+    "SketchSpec",
+    "build_partials",
+    "merge_partials",
+    "sketch_aggregate",
+    "SketchResult",
+    "ensure_min_partitions",
+]
+
+
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Spread an underpartitioned input before a CPU-bound map pass.
+
+    A small-file table (one parquet split) would run every mapInArrow
+    task on one core; repartitioning to defaultParallelism costs one
+    cheap row shuffle and restores data parallelism.  A properly
+    partitioned 100TB input (thousands of splits) passes through
+    untouched — this guard exists for the small end, not the large.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < max(2, sc.defaultParallelism // 2):
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 @dataclass(frozen=True)
@@ -184,6 +206,8 @@ def build_partials(
     narrow = df.select(*needed)  # column pruning reaches the scan
     if coalesce_to is not None:
         narrow = narrow.coalesce(coalesce_to)
+    else:
+        narrow = ensure_min_partitions(narrow)
     out_schema = _partial_schema(group_cols, df)
     arrow_schema = out_schema
 

@@ -136,7 +136,9 @@ def candidate_token_counts(
         )
         yield out
 
-    partial = df.select(text_col).mapInArrow(run, "token string, cnt long")
+    from .aggregate import ensure_min_partitions
+
+    partial = ensure_min_partitions(df.select(text_col)).mapInArrow(run, "token string, cnt long")
     return partial.groupBy("token").agg(F.sum("cnt").alias("cnt"))
 
 
