@@ -50,6 +50,8 @@ __all__ = [
     "sketch_aggregate",
     "SketchResult",
     "ensure_min_partitions",
+    "state_estimate_col",
+    "keyed_distinct_estimates",
 ]
 
 
@@ -453,6 +455,48 @@ def keyed_sketch_aggregate(
 
     stage1 = salted.groupBy(*key_cols, "_salt").applyInPandas(build_state, out_ddl)
     return merge_partials(stage1.drop("_salt"), key_cols, two_level=False)
+
+
+def state_estimate_col():
+    """pandas UDF mapping a binary sketch state column -> its scalar
+    estimate (HLL/Bloom cardinality, CM/CMCU total-aware sketches
+    return their ``estimate()``), so per-key estimates over 10^6+ keys
+    are extracted EXECUTOR-side from the merged state rows — the driver
+    never collects states (the 11 MB/s driver-serde trap, BENCH.md).
+    Cost is per STATE row (key-scale), never per data row.
+    """
+
+    @F.pandas_udf("double")
+    def est(states: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(sketch_from_bytes(bytes(b)).estimate()) for b in states]
+        )
+
+    return est
+
+
+def keyed_distinct_estimates(
+    df: DataFrame,
+    key_cols: list[str],
+    column: str,
+    p: int = 14,
+    seed: int = 1,
+    salt: int = 8,
+    mode: str = "tokens",
+) -> DataFrame:
+    """Per-key HLL distinct estimates end-to-end without any driver
+    involvement: salted keyed build -> tree merge -> executor-side
+    estimate extraction.  Output (key_cols..., est_distinct:long,
+    n_rows, n_values) stays a DataFrame — write it, join it, never
+    collect it."""
+    spec = SketchSpec("hll", "hll", column, mode=mode, params={"p": p, "seed": seed})
+    merged = keyed_sketch_aggregate(df, key_cols, [spec], salt=salt)
+    return merged.select(
+        *key_cols,
+        F.round(state_estimate_col()(F.col("state"))).cast("long").alias("est_distinct"),
+        "n_rows",
+        "n_values",
+    )
 
 
 class SketchResult:

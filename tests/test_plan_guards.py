@@ -1,0 +1,96 @@
+"""Plan-regression guards: the scale-critical plan properties PLANS.md
+documents, pinned as tests so they can't silently regress."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+PY_NODES = ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInArrow", "FlatMapGroupsInPandas")
+
+
+def test_html_roundtrip_plan_pure_codegen(spark, sf001):
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_html_roundtrip(spark, sf001))
+    for marker in PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_binary_metadata_plan_pure_codegen(spark, sf001):
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_multimodal_meta(spark, sf001))
+    for marker in PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_lsh_pairs_no_pandas_groups(spark, sf001):
+    from sketch_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    sigs = minhash_signatures(docs, "doc_id", "text", 64, 3, 1)
+    plan = _plan(lsh_candidate_pairs(sigs, "doc_id", 16))
+    # signature build is the ONLY python stage; pair join stays codegen
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInArrow" in plan
+
+
+def test_bloom_prefilter_below_join(spark, sf001):
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_bloom_semi_join(spark, sf001))
+    join_pos = plan.find("Join")
+    eval_pos = plan.find("ArrowEvalPython")
+    assert -1 < join_pos < eval_pos, "Bloom filter must sit below (after in tree text) the join"
+
+
+def test_sketch_scan_prunes_to_text(spark, sf001):
+    from sketch_spark.operators.aggregate import SketchSpec, build_partials
+
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    spec = SketchSpec("cm", "cm", "text", params={"depth": 4, "log2_width": 12, "seed": 1})
+    plan = _plan(build_partials(docs, [spec]))
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_tpch_filter_pushdown(spark, sf001):
+    li = spark.read.parquet(os.path.join(sf001, "lineitem.parquet"))
+    plan = _plan(li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_quantity"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_revenue_joins_broadcast(spark, sf001):
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_revenue_by_region(spark, sf001))
+    assert plan.count("BroadcastHashJoin") >= 4  # all four dims broadcast
+
+
+def test_keyed_distinct_estimates_accuracy(spark, sf001):
+    """Executor-side estimate extraction: per-source HLL distincts land
+    within 3x RSE of exact, with exact row/value accounting."""
+    from sketch_spark.operators.aggregate import keyed_distinct_estimates
+
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    got = keyed_distinct_estimates(docs, ["source"], "text", p=12).toPandas()
+    plan_df = keyed_distinct_estimates(docs, ["source"], "text", p=12)
+    assert "CollectLimit" not in _plan(plan_df)  # stays a distributed plan
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.select(
+            "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("n"))
+        .collect()
+    }
+    rse = 3 * 1.04 / (2 ** (12 / 2))
+    for _, row in got.iterrows():
+        rel = abs(row.est_distinct - exact[row.source]) / exact[row.source]
+        assert rel <= 3 * rse, (row.source, rel)
