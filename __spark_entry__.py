@@ -405,6 +405,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "doc_id", "text", seed=1)
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SimHash near-dup pairs (banded candidates + exact
+    full-64-bit Hamming verify, JVM bit_count) — rows-only; exactness
+    vs brute force is pinned in tests/test_round2_fixes.py."""
+    from sketch_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3, seed=1)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for doc pairs (doc_id < 100) with
     J >= 0.9 — fully SQL-expressible n-gram dedup oracle (n=1; the
@@ -649,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,

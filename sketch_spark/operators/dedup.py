@@ -39,6 +39,7 @@ __all__ = [
     "dedup_corpus",
     "simhash",
     "simhash_candidate_pairs",
+    "simhash_near_duplicates",
 ]
 
 
@@ -453,4 +454,49 @@ def simhash_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.max("capped").alias("capped"))
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 1,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """End-to-end SimHash near-dup pairs: fingerprint -> banded
+    candidates -> EXACT Hamming verification, all verification JVM-side
+    (``bit_count(xor)`` in codegen).
+
+    The stored ``simhash`` column is the 64-bit fingerprint shifted
+    right once (to fit signed int64); the dropped low bit is recovered
+    from ``band0`` (the fingerprint's low 16 bits), so the Hamming
+    distance is over the FULL 64 bits.  By pigeonhole over the 4 bands,
+    every pair with distance <= 3 shares a band, so recall is 1.0 up to
+    the flagged bucket cap.  Output: (id_a, id_b, hamming, capped).
+    """
+    # the fingerprint table feeds candidate generation AND both
+    # verify joins — persist so the Arrow pass runs once
+    sim = simhash(df, id_col, text_col, seed).persist()
+    pairs = simhash_candidate_pairs(sim, id_col, max_bucket)
+    a = sim.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("h_a"),
+        (F.col("band0") % 2).alias("b_a"),
+    )
+    b = sim.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("h_b"),
+        (F.col("band0") % 2).alias("b_b"),
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) + (
+        F.col("b_a") != F.col("b_b")
+    ).cast("int")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming", "capped")
     )

@@ -26,6 +26,7 @@ def test_oracle_keys_subset_of_queries():
         "tdigest_value_quantiles",
         "bloom_membership",
         "simhash",
+        "simhash_near_dups",
         "ivf_topk",
         "lsh_topk",
     }
