@@ -92,6 +92,54 @@ def token_hash_counts(
     return hd, counts
 
 
+def token_base(
+    arr: pa.Array | pa.ChunkedArray, seed: int, lowercase: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(dict hashes, dict indices, parent rows): ONE tokenize + ONE
+    dictionary-encode + ONE unique-hash pass for a batch — the shared
+    base every n-gram order and the unigram count path derive from.
+    Multi-spec builds cache this per (column, lowercase, seed) so a
+    4-order job tokenizes each batch once, not eight times.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if lowercase:
+        arr = pc.utf8_lower(arr)
+    flat, parents = tokenize_batch(arr)
+    if len(flat) == 0:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+            parents,
+        )
+    hd, idx = _dict_hashes(flat, seed)
+    return hd, idx, parents
+
+
+def hashes_from_base(
+    base: tuple[np.ndarray, np.ndarray, np.ndarray], ngram: int
+) -> np.ndarray:
+    """Per-occurrence (n-gram) hashes from a ``token_base`` — the
+    rolling combine over pre-gathered unigram hashes; no re-tokenize,
+    no re-hash."""
+    hd, idx, parents = base
+    if len(idx) == 0:
+        return np.empty(0, dtype=np.uint64)
+    h = hd[idx]
+    if ngram <= 1:
+        return h
+    n = len(h)
+    if n < ngram:
+        return np.empty(0, dtype=np.uint64)
+    combined = h[: n - ngram + 1].copy()
+    for j in range(1, ngram):
+        combined = mix_u64(
+            combined * _NGRAM_PRIME ^ h[j : n - ngram + 1 + j], np.uint64(j)
+        )
+    same_row = parents[: n - ngram + 1] == parents[ngram - 1 :]
+    return combined[same_row]
+
+
 def token_hashes(
     arr: pa.Array | pa.ChunkedArray,
     seed: int,
@@ -107,29 +155,7 @@ def token_hashes(
     work per extra order instead of re-hashing materialized n-gram
     strings.
     """
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if lowercase:
-        arr = pc.utf8_lower(arr)
-        lowercase = False
-    flat = _flat_tokens(arr, False)
-    if len(flat) == 0:
-        return np.empty(0, dtype=np.uint64)
-    hd, idx = _dict_hashes(flat, seed)
-    h = hd[idx]
-    if ngram <= 1:
-        return h
-    n = len(h)
-    if n < ngram:
-        return np.empty(0, dtype=np.uint64)
-    _, parents = tokenize_batch(arr)
-    combined = h[: n - ngram + 1].copy()
-    for j in range(1, ngram):
-        combined = mix_u64(
-            combined * _NGRAM_PRIME ^ h[j : n - ngram + 1 + j], np.uint64(j)
-        )
-    same_row = parents[: n - ngram + 1] == parents[ngram - 1 :]
-    return combined[same_row]
+    return hashes_from_base(token_base(arr, seed, lowercase), ngram)
 
 
 def ngram_occurrences(

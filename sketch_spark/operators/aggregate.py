@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..core import make_sketch, sketch_from_bytes
 from ..core.base import Sketch, unique_with_counts
 from ..core.hashing import hash_strings, hash_u64
-from ..functions.text import token_hash_counts, token_hashes
+from ..functions.text import hashes_from_base, token_base
 
 __all__ = [
     "SketchSpec",
@@ -122,23 +122,30 @@ class SketchSpec:
                 keys = hash_u64(col.to_numpy(zero_copy_only=False), seed=self._seed())
             sketch.update_hashed(keys)
             return len(keys)
+        # shared tokenize+dictionary base per (column, lowercase, seed):
+        # every n-gram order and the unigram count path derive from it,
+        # so a 4-order multi-length job tokenizes each batch exactly once
+        base_key = ("tokbase", self.column, self.lowercase, self._seed())
+        if cache is not None and base_key in cache:
+            base = cache[base_key]
+        else:
+            base = token_base(col, seed=self._seed(), lowercase=self.lowercase)
+            if cache is not None:
+                cache[base_key] = base
         if self.ngram <= 1:
-            # fast path: dictionary-encoded unique hashes + counts
+            # fast path: dictionary-unique hashes + occurrence bincount
             # (no per-occurrence hashing, no sort)
-            key = ("tok1", self.column, self.lowercase, self._seed())
-            if cache is not None and key in cache:
-                uk, c = cache[key]
-            else:
-                uk, c = token_hash_counts(col, seed=self._seed(), lowercase=self.lowercase)
-                if cache is not None:
-                    cache[key] = (uk, c)
-            sketch.update_hashed(uk, c)
+            hd, idx, _ = base
+            if len(hd) == 0:
+                return 0
+            c = np.bincount(idx, minlength=len(hd)).astype(np.int64)
+            sketch.update_hashed(hd, c)
             return int(c.sum())
         key = ("ngram", self.column, self.lowercase, self._seed(), self.ngram)
         if cache is not None and key in cache:
             uk, c = cache[key]
         else:
-            keys = token_hashes(col, seed=self._seed(), ngram=self.ngram, lowercase=self.lowercase)
+            keys = hashes_from_base(base, self.ngram)
             uk, c = unique_with_counts(keys) if len(keys) else (keys, keys)
             if cache is not None:
                 cache[key] = (uk, c)
