@@ -120,7 +120,11 @@ def q_distinct_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sketch_spark.functions.text import quality_columns, stopword_ratio_col
+    from sketch_spark.functions.text import (
+        punct_ratio_col,
+        quality_columns,
+        stopword_ratio_col,
+    )
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     qc = quality_columns("text")
@@ -131,6 +135,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         qc["n_distinct_tokens"].alias("n_distinct_tokens"),
         qc["distinct_ratio"].alias("distinct_ratio"),
         stopword_ratio_col("text").alias("stopword_ratio"),
+        punct_ratio_col("text").alias("punct_ratio"),
     )
 
 
@@ -759,7 +764,9 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) AS distinct_ratio,
                    round(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
                          ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by']))
-                         / CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE), 4) AS stopword_ratio
+                         / CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE), 4) AS stopword_ratio,
+                   round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                         / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio
             FROM documents WHERE doc_id < 100
         """,
         "lang_id": lang_id_sql(),

@@ -358,6 +358,15 @@ _STOPWORDS = (
 ).split()
 
 
+def punct_ratio_col(text: str | Column) -> Column:
+    """Punctuation-character ratio (chars outside [A-Za-z0-9\\s] over
+    all chars) — the remaining quality signal of the brief's
+    length/punct/stopword trio, pure Catalyst and SQL-identical."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 4)
+
+
 def stopword_ratio_col(text: str | Column) -> Column:
     toks = tokens_col(text, lowercase=True)
     stop = F.array(*[F.lit(w) for w in _STOPWORDS])

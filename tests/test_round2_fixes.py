@@ -218,3 +218,51 @@ def test_simhash_near_duplicates_end_to_end(spark):
     ham = dict(zip(zip(got.id_a, got.id_b), got.hamming))
     for (a, b), h in ham.items():
         assert h == bin(fp[a] ^ fp[b]).count("1")
+
+
+def test_word_ngrams_col_matches_arrow_kernel(spark):
+    """Cross-engine invariant: the JVM/Catalyst n-gram expression (the
+    oracle-checkable path) and the Arrow rolling-hash kernel (the sketch
+    hot path) enumerate exactly the same n-gram strings."""
+    import numpy as np
+
+    from sketch_spark.functions.text import ngram_occurrences, word_ngrams_col
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [" ".join(rng.choice(vocab, size=int(n))) for n in rng.integers(0, 12, 60)]
+    rows += ["", "single", "two tokens"]
+    df = spark.createDataFrame([(r,) for r in rows], "text string")
+    for n in (2, 3):
+        jvm = sorted(
+            r.g
+            for r in df.select(F.explode(word_ngrams_col("text", n)).alias("g")).collect()
+        )
+        import pyarrow as pa
+
+        _, strs = ngram_occurrences(pa.array(rows), seed=1, ngram=n)
+        assert jvm == sorted(strs.to_pylist())
+
+
+def test_punct_ratio_col(spark):
+    from sketch_spark.functions.text import punct_ratio_col
+
+    df = spark.createDataFrame(
+        [("abc def!",), ("!!!",), ("",), ("no punct here",)], "text string"
+    )
+    got = [r.p for r in df.select(punct_ratio_col("text").alias("p")).collect()]
+    assert got == [round(1 / 8, 4), 1.0, 0.0, 0.0]
+
+
+def test_write_pages_table_roundtrip(spark, pages_dir, tmp_path):
+    from sketch_spark.sources.pages import load_pages, write_pages_table
+
+    src = load_pages(spark, pages_dir)
+    out = str(tmp_path / "copy")
+    write_pages_table(spark, src, out, catalog="parquet")
+    back = load_pages(spark, out)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    a = src.selectExpr("md5(text) m").groupBy().agg(F.count("m"), F.count_distinct("m")).first()
+    b = back.selectExpr("md5(text) m").groupBy().agg(F.count("m"), F.count_distinct("m")).first()
+    assert a == b
