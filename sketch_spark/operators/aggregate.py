@@ -398,22 +398,25 @@ def keyed_sketch_aggregate(
     key_cols: list[str],
     specs: list[SketchSpec],
     salt: int = 8,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Per-key sketches for HIGH-cardinality keys (hosts, urls) with
     explicit skew salting (north_star: "explicit salting/repartitioning
     to defuse heavy-hitter URL/host skew").
 
-    ``build_partials(group_cols=...)`` holds one state per distinct key
-    per partition — right for low-cardinality keys (lang: 5 states).
-    For 10^6+ hosts that map-side state explodes, so this path shuffles
-    instead — but *salted*: rows go to ``(key, salt)`` reducers with
-    ``salt = pmod(xxhash64(row_id, row values), S)``, so a heavy-hitter
-    host spreads over S reducers and no single task sees the whole hot
-    key.  The salt mixes a per-row id (monotonically_increasing_id), not
-    just the value columns, so even duplicate-row skew (a hot key whose
-    rows all carry identical values) still fans out across reducers.
-    The S per-key states then tree-merge (KB-scale, exact homomorphism:
-    the final state is byte-identical to any other partitioning).
+    Shape: one explicit ``repartition(P, key..., _salt)`` shuffle with
+    ``salt = pmod(xxhash64(row_id, row values), S)`` — a heavy-hitter
+    host spreads over up to S partitions, so no single task sees the
+    whole hot key (the salt mixes a per-row id, so even duplicate-row
+    skew fans out) — then ONE vectorized ``build_partials`` pass per
+    partition (per-batch factorize grouping, shared tokenize base; no
+    per-group pandas calls: an applyInPandas stage here would pay ~1 ms
+    x (keys x S) groups, the same trap the LSH pair stage hit), then
+    the keyed tree merge.  Per-task state memory is (distinct keys in
+    partition) x state size — bounded by the partition count, which is
+    the lever to raise for wide sketches over many keys.  The S per-key
+    states tree-merge (KB-scale, exact homomorphism: the final state is
+    byte-identical to any other partitioning).
 
     Returns a DataFrame (key_cols..., spec, state, n_rows, n_values,
     wall_ms) — one row per (key, spec).
@@ -427,41 +430,11 @@ def keyed_sketch_aggregate(
             F.lit(salt),
         ).cast("int"),
     )
-
-    key_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.select(*key_cols).schema.fields
-    )
-    out_ddl = (
-        key_schema
-        + ", _salt int, spec string, state binary, n_rows long, n_values long, wall_ms double"
-    )
-
-    def build_state(pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.perf_counter()
-        sketches = {s.name: s.make() for s in specs}
-        nvals = {s.name: 0 for s in specs}
-        cache: dict = {}
-        for s in specs:
-            col = pa.array(pdf[s.column])
-            nvals[s.name] += s.feed(sketches[s.name], col, cache=cache)
-        wall = (time.perf_counter() - t0) * 1e3
-        rows = []
-        for s in specs:
-            row = {k: pdf[k].iloc[0] for k in key_cols}
-            row.update(
-                _salt=int(pdf["_salt"].iloc[0]),
-                spec=s.name,
-                state=sketches[s.name].to_bytes(),
-                n_rows=len(pdf),
-                n_values=nvals[s.name],
-                wall_ms=wall / len(specs),
-            )
-            rows.append(row)
-        return pd.DataFrame(rows)
-
-    stage1 = salted.groupBy(*key_cols, "_salt").applyInPandas(build_state, out_ddl)
-    return merge_partials(stage1.drop("_salt"), key_cols, two_level=False)
+    sc = df.sparkSession.sparkContext
+    n_parts = partitions or max(sc.defaultParallelism, salt)
+    spread = salted.repartition(n_parts, *key_cols, F.col("_salt")).drop("_salt")
+    stage1 = build_partials(spread, specs, group_cols=key_cols)
+    return merge_partials(stage1, key_cols, two_level=False)
 
 
 def state_estimate_col():
