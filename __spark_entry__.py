@@ -146,6 +146,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id_col("text").alias("lang_pred"))
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (the n-gram-heuristic variant of
+    lang_id) — pure Catalyst, exact SQL mirror."""
+    from sketch_spark.functions.text import lang_id_ngram_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_ngram_col("text").alias("lang_pred"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -644,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_tokens_by_lang": q_distinct_tokens_by_lang,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "multimodal_meta": q_multimodal_meta,
@@ -687,7 +697,7 @@ _TOKENS_CTE = (
 
 
 def oracle_sql() -> dict[str, str]:
-    from sketch_spark.functions.text import lang_id_sql
+    from sketch_spark.functions.text import lang_id_ngram_sql, lang_id_sql
 
     return {
         "token_counts": """
@@ -770,6 +780,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 100
         """,
         "lang_id": lang_id_sql(),
+        "lang_id_ngram": lang_id_ngram_sql(),
         "doc_fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
         "exact_dedup": """
             SELECT md5(text) AS content_md5, CAST(count(*) AS BIGINT) AS n_docs,

@@ -421,3 +421,64 @@ def lang_id_sql(table_expr: str = "documents", text_col: str = "text", id_col: s
         SELECT {id_col}, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
         FROM (SELECT {id_col}, {', '.join(score_exprs)} FROM {table_expr})
     """
+
+
+# char-n-gram language ID: the brief's "n-gram heuristic" variant —
+# frequency of characteristic character trigrams instead of whole
+# marker words; robust to missing spaces/concatenations, and still a
+# pure Catalyst expression with an exact SQL mirror
+LANG_CHAR_TRIGRAMS: dict[str, list[str]] = {
+    "en": [" th", "he ", "ing", " an"],
+    "es": [" de", " la", "os ", " qu"],
+    "de": ["er ", " de", "ie ", "ch "],
+    "fr": [" le", "es ", " et", "nt "],
+}
+
+
+def _count_occurrences(c: Column, sub: str) -> Column:
+    return (F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))) / len(sub)
+
+
+def lang_ngram_scores(text: str | Column) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.concat(F.lit(" "), F.lower(c), F.lit(" "))  # pad so edge grams match
+    return {
+        lang: sum(
+            (_count_occurrences(c, t) for t in tris), F.lit(0)
+        ).cast("long")
+        for lang, tris in LANG_CHAR_TRIGRAMS.items()
+    }
+
+
+def lang_id_ngram_col(text: str | Column) -> Column:
+    """argmax of char-trigram hit counts, precedence en>es>de>fr on
+    ties; 'und' when nothing matches — same decision shape as
+    ``lang_id_col`` with n-gram evidence instead of word markers."""
+    s = lang_ngram_scores(text)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    for lang in ["fr", "de", "es", "en"]:
+        out = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_id_ngram_sql(
+    table_expr: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB SQL computing exactly ``lang_id_ngram_col`` per row."""
+    padded = f"' ' || lower({text_col}) || ' '"
+    score_exprs = []
+    for lang, tris in LANG_CHAR_TRIGRAMS.items():
+        terms = [
+            f"(length({padded}) - length(replace({padded}, '{t}', ''))) / {len(t)}"
+            for t in tris
+        ]
+        score_exprs.append(f"CAST({' + '.join(terms)} AS BIGINT) AS s_{lang}")
+    cases = []
+    for lang in ["en", "es", "de", "fr"]:
+        others = [f"s_{lang} >= s_{o}" for o in LANG_CHAR_TRIGRAMS if o != lang]
+        cases.append(f"WHEN s_{lang} > 0 AND {' AND '.join(others)} THEN '{lang}'")
+    return f"""
+        SELECT {id_col}, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
+        FROM (SELECT {id_col}, {', '.join(score_exprs)} FROM {table_expr})
+    """

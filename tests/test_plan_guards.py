@@ -94,3 +94,15 @@ def test_keyed_distinct_estimates_accuracy(spark, sf001):
     for _, row in got.iterrows():
         rel = abs(row.est_distinct - exact[row.source]) / exact[row.source]
         assert rel <= 3 * rse, (row.source, rel)
+
+
+def test_keyed_aggregate_no_pandas_groups(spark, sf001):
+    """Keyed skew path: one repartition + vectorized MapInArrow pass —
+    no per-(key, salt) pandas stage."""
+    from sketch_spark.operators.aggregate import SketchSpec, keyed_sketch_aggregate
+
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    spec = SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 12, "seed": 1})
+    plan = _plan(keyed_sketch_aggregate(docs, ["source"], [spec], salt=8))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInArrow" in plan

@@ -145,6 +145,22 @@ def main() -> None:
         f"- the Bloom membership filter (ArrowEvalPython) appears below the semi-join in the plan tree (prefilter runs at the scan side, before any shuffle): {eval_pos > join_pos > -1}.",
     ))
 
+    # 8b. keyed skew path: repartition + vectorized pass, no pandas groups
+    from sketch_spark.operators.aggregate import keyed_sketch_aggregate
+
+    df = keyed_sketch_aggregate(
+        docs, ["source"],
+        [SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 12, "seed": 1})],
+        salt=8,
+    )
+    plan = explain_str(df)
+    no_pandas = "FlatMapGroupsInPandas" not in plan
+    sections.append((
+        "Keyed sketch aggregation (salted skew path)",
+        plan,
+        f"- one explicit repartition on (key, salt) then a vectorized MapInArrow pass; no per-(key, salt) pandas stage (FlatMapGroupsInPandas absent: {no_pandas}).",
+    ))
+
     # 9. html extract: byte-identity invariant as pure codegen
     from sketch_spark.sources.pages import extract_text_col
 
