@@ -29,6 +29,7 @@ __all__ = [
     "cosine_topk",
     "exact_cosine_pairs",
     "exact_cosine_pairs_blocked",
+    "cosine_sim_col",
     "lsh_bucket_topk",
     "embedding_near_duplicates",
     "hyperplane_buckets",
@@ -457,3 +458,25 @@ def embedding_near_duplicates(
         )
 
     return with_b.groupBy("bucket").applyInPandas(pairs_fn, "id_a long, id_b long, cos double")
+
+
+def cosine_sim_col(a, b):
+    """Cosine similarity of two array<float/double> columns as a PURE
+    Catalyst expression (zip_with products + aggregate sums — stays in
+    codegen, no Python).  The numpy-gemm mapInArrow kernels above are
+    the batch paths; this column form is for row-level joins/filters
+    where a per-pair expression composes better (e.g. verifying a small
+    candidate join entirely JVM-side)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    na = F.sqrt(dot(ca, ca))
+    nb = F.sqrt(dot(cb, cb))
+    return dot(ca, cb) / F.greatest(na * nb, F.lit(1e-300))

@@ -382,3 +382,23 @@ def test_resize_and_frame_sample_plumbing(spark, pages_dir):
     assert sorted(frames.frame_idx.unique()) == [0, 1, 2]
     per_url = frames.groupby("url").frame.nunique()
     assert (per_url == 3).all()  # distinct frame per index
+
+
+def test_cosine_sim_col_matches_numpy(spark):
+    import numpy as np
+
+    from sketch_spark.operators.similarity import cosine_sim_col
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (rng.standard_normal(8).tolist(), rng.standard_normal(8).tolist())
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = [r.c for r in df.select(cosine_sim_col("a", "b").alias("c")).collect()]
+    plan = df.select(cosine_sim_col("a", "b").alias("c"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # pure Catalyst
+    for (a, b), g in zip(rows, got):
+        a, b = np.array(a), np.array(b)
+        exp = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(g - exp) < 1e-12
