@@ -74,14 +74,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     rowcounts: dict[str, int] = {}
     for name in HEADLINE:
-        best = None
-        for _ in range(2):  # min of 2: the sandbox VM has steal-time jitter
+        # min of 2, plus a tie-breaker run when the two disagree by
+        # >30% — the sandbox VM has bursty steal time and the driver
+        # records a single invocation of this script
+        runs = []
+        for _ in range(2):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if max(runs) > 1.3 * min(runs) and min(runs) > 0.3:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
         rowcounts[name] = n
 
     total = round(sum(timings.values()), 3)
