@@ -348,16 +348,24 @@ def q_cmcu_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_distinct_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
+    """Per-lang HLL distinct tokens with a FULLY executor-side plan:
+    build partials -> tree merge -> estimate extraction as a pandas UDF
+    over the merged state rows — no driver collect anywhere (closes the
+    round-1 watch item about local-relation result construction)."""
+    from sketch_spark.operators.aggregate import (
+        SketchSpec,
+        build_partials,
+        merge_partials,
+        state_estimate_col,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     spec = SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 14, "seed": 1})
-    res = sketch_aggregate(docs, [spec], group_cols=["lang"], fanout=8)
-    rows = [
-        (k[0], int(round(res.sketch("hll", k[0]).estimate())))
-        for k in res.keys()
-    ]
-    return spark.createDataFrame(rows, "lang string, est_distinct long")
+    merged = merge_partials(build_partials(docs, [spec], ["lang"]), ["lang"], fanout=8)
+    return merged.select(
+        "lang",
+        F.round(state_estimate_col()(F.col("state"))).cast("long").alias("est_distinct"),
+    )
 
 
 def q_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,7 +632,9 @@ def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _read(spark, sf_dir, "events")
     spec = SketchSpec("hll", "hll", "user_id", mode="value", params={"p": 14, "seed": 1})
-    out = tempfile.mkdtemp(prefix="sketch_rollup_contract_")
+    # fixed scratch path (mode=overwrite) so repeated contract runs are
+    # idempotent instead of leaking a new temp dir per invocation
+    out = os.path.join(tempfile.gettempdir(), "sketch_rollup_contract")
     build_sketch_rollup(events, "ts", [spec], out, granularity="day")
     return (
         spark.read.parquet(out)
