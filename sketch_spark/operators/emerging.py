@@ -226,7 +226,7 @@ def emerging_heavy_hitters(
     log2_width: int = 14,
     seed: int = 1,
     mode: str = "reference",
-    fanout: int = 16,
+    fanout: int | None = None,
     lowercase: bool = False,
     ngram: int = 1,
     prebuilt_sketch: CountMinCU | None = None,
