@@ -785,7 +785,7 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
                          ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by']))
                          / CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE), 4) AS stopword_ratio,
-                   round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   round(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                          / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio
             FROM documents WHERE doc_id < 100
         """,
@@ -934,10 +934,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         """,
-        # exact all-pairs 3-shingle Jaccard: at sf0.01 every J>=0.4 pair
-        # is >= 0.6, comfortably above the LSH recall knee, so the
-        # MinHash pipeline recovers the exact pair set (deterministic,
-        # fixed seeds)
+        # exact all-pairs 3-shingle Jaccard: this oracle encodes a
+        # DETERMINISTIC property of the fixed (fixture, seeds) pair, not
+        # a universal LSH invariant — every J>=0.4 pair in the testdata
+        # sits >= 0.6, comfortably above the recall knee, so the MinHash
+        # pipeline provably recovers the exact pair set.  Verified green
+        # at BOTH sf0.01 (the driver's gate) and sf0.1
+        # (tools/check_contract.py --sf .../sf0.1); on a fixture with
+        # borderline-J pairs the honest registration would be rows-only
+        # + the recall pytest, as for the ANN paths
         "minhash_near_dups": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
@@ -1016,7 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_token_counts": """
             SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
-              SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token
+              SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS token
               FROM documents
             ) GROUP BY token HAVING count(*) >= 500
         """,

@@ -46,7 +46,13 @@ _DEFAULT_PARAMS = {
 }
 
 
-def _specs(kinds: str, text_col: str, seed: int, params_json: str | None):
+def _specs(
+    kinds: str,
+    text_col: str,
+    seed: int,
+    params_json: str | None,
+    numeric_col: str | None = None,
+):
     from .operators.aggregate import SketchSpec
 
     overrides = json.loads(params_json) if params_json else {}
@@ -55,9 +61,17 @@ def _specs(kinds: str, text_col: str, seed: int, params_json: str | None):
         kind = kind.strip()
         params = dict(_DEFAULT_PARAMS.get(kind, {}))
         params.update(overrides.get(kind, {}))
-        params["seed"] = seed
-        mode = "numeric" if kind in ("kll", "tdigest") else "tokens"
-        specs.append(SketchSpec(kind, kind, text_col, mode=mode, params=params))
+        # --params can pin a per-kind seed; --seed is only the default
+        params.setdefault("seed", seed)
+        if kind in ("kll", "tdigest"):
+            if numeric_col is None:
+                raise SystemExit(
+                    f"sketch kind {kind!r} needs --numeric-col (it consumes raw "
+                    "numeric values, not tokenized text)"
+                )
+            specs.append(SketchSpec(kind, kind, numeric_col, mode="numeric", params=params))
+        else:
+            specs.append(SketchSpec(kind, kind, text_col, mode="tokens", params=params))
     return specs
 
 
@@ -67,7 +81,7 @@ def cmd_build(args) -> None:
     spark = _spark("sketch-build")
     df = spark.read.parquet(args.input)
     group_cols = args.group_by.split(",") if args.group_by else []
-    specs = _specs(args.kinds, args.text_col, args.seed, args.params)
+    specs = _specs(args.kinds, args.text_col, args.seed, args.params, args.numeric_col)
     partials = build_partials(df, specs, group_cols)
     merged = merge_partials(partials, group_cols)
     # states flow executor-side straight into the parquet sink — the
@@ -89,7 +103,7 @@ def cmd_build_ckpt(args) -> None:
 
     spark = _spark("sketch-build-ckpt")
     df = spark.read.parquet(args.input)
-    specs = _specs(args.kinds, args.text_col, args.seed, args.params)
+    specs = _specs(args.kinds, args.text_col, args.seed, args.params, args.numeric_col)
     job = CheckpointedSketchJob(
         df, specs, args.out, key_col=args.key_col, n_buckets=args.n_buckets
     )
@@ -102,9 +116,11 @@ def cmd_estimate(args) -> None:
     from .core import sketch_from_bytes
 
     spark = _spark("sketch-estimate")
+    from pyspark.sql import functions as F
+
     rows = (
         spark.read.parquet(os.path.join(args.states, "states"))
-        .filter(f"spec = '{args.spec}'")
+        .filter(F.col("spec") == F.lit(args.spec))
         .collect()
     )
     if not rows:
@@ -112,6 +128,11 @@ def cmd_estimate(args) -> None:
     sk = sketch_from_bytes(rows[0]["state"])
     for r in rows[1:]:
         sk.merge(sketch_from_bytes(r["state"]))
+    if not hasattr(sk, "estimate_tokens"):
+        raise SystemExit(
+            f"spec {args.spec!r} ({type(sk).__name__}) is not token-estimable; "
+            "point --spec at a cm/cmcu state"
+        )
     tokens = args.tokens.split(",")
     est = sk.estimate_tokens(tokens)
     print(json.dumps(dict(zip(tokens, [int(e) for e in est]))))
@@ -140,6 +161,7 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--kinds", default="cmcu,hll,bloom")
     b.add_argument("--group-by", default="")
     b.add_argument("--seed", type=int, default=1)
+    b.add_argument("--numeric-col", default=None, help="column for kll/tdigest specs")
     b.add_argument("--params", default=None, help="JSON {kind: {param: value}}")
     b.set_defaults(fn=cmd_build)
 
@@ -151,6 +173,7 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--key-col", default="url")
     c.add_argument("--n-buckets", type=int, default=16)
     c.add_argument("--seed", type=int, default=1)
+    c.add_argument("--numeric-col", default=None, help="column for kll/tdigest specs")
     c.add_argument("--params", default=None)
     c.set_defaults(fn=cmd_build_ckpt)
 

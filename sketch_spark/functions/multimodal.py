@@ -137,8 +137,9 @@ def resize_images_df(
                 }
             )
 
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, bin_col).mapInPandas(
-        run, f"{id_col} string, width int, height int, pixels binary"
+        run, f"{id_col} {id_ddl}, width int, height int, pixels binary"
     )
 
 
@@ -169,6 +170,7 @@ def sample_video_frames_df(
                     frames.append(_fake_pixels(b + i.to_bytes(4, "little"), width, height))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, bin_col).mapInPandas(
-        run, f"{id_col} string, frame_idx int, frame binary"
+        run, f"{id_col} {id_ddl}, frame_idx int, frame binary"
     )

@@ -289,7 +289,11 @@ def word_ngrams_col(text: str | Column, n: int, lowercase: bool = False) -> Colu
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-_BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# whitespace written out explicitly: Java's \s includes \x0B (vertical
+# tab) while RE2's (DuckDB) does not — an explicit class keeps the
+# Spark expression and its SQL oracle byte-identical on any input
+_WS_CLASS = r" \t\n\x0B\f\r"
+_BPE_ISH_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CLASS}]"
 
 
 def bpe_ish_tokens_col(text: str | Column) -> Column:
@@ -363,7 +367,7 @@ def punct_ratio_col(text: str | Column) -> Column:
     all chars) — the remaining quality signal of the brief's
     length/punct/stopword trio, pure Catalyst and SQL-identical."""
     c = F.col(text) if isinstance(text, str) else text
-    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(c, rf"[A-Za-z0-9{_WS_CLASS}]", ""))
     return F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 4)
 
 

@@ -134,11 +134,22 @@ class SketchSpec:
                 cache[base_key] = base
         if self.ngram <= 1:
             # fast path: dictionary-unique hashes + occurrence bincount
-            # (no per-occurrence hashing, no sort)
-            hd, idx, _ = base
+            # (no per-occurrence hashing, no sort); the bincount itself
+            # is cached too so N unigram specs pay it once per batch
+            key = ("tok1", self.column, self.lowercase, self._seed())
+            if cache is not None and key in cache:
+                hd, c = cache[key]
+            else:
+                hd, idx, _ = base
+                c = (
+                    np.bincount(idx, minlength=len(hd)).astype(np.int64)
+                    if len(hd)
+                    else np.empty(0, dtype=np.int64)
+                )
+                if cache is not None:
+                    cache[key] = (hd, c)
             if len(hd) == 0:
                 return 0
-            c = np.bincount(idx, minlength=len(hd)).astype(np.int64)
             sketch.update_hashed(hd, c)
             return int(c.sum())
         key = ("ngram", self.column, self.lowercase, self._seed(), self.ngram)
@@ -189,11 +200,24 @@ def _partial_schema(group_cols: list[str], df: DataFrame) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _norm_group_val(v):
+    """Arrow/pandas group-key scalar -> plain python (None for NA)."""
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    return v.item() if hasattr(v, "item") else v
+
+
 def build_partials(
     df: DataFrame,
     specs: list[SketchSpec],
     group_cols: list[str] | None = None,
     coalesce_to: int | None = None,
+    spread_small_inputs: bool = True,
 ) -> DataFrame:
     """One row of binary sketch state per (input partition, group, spec).
 
@@ -215,7 +239,7 @@ def build_partials(
     narrow = df.select(*needed)  # column pruning reaches the scan
     if coalesce_to is not None:
         narrow = narrow.coalesce(coalesce_to)
-    else:
+    elif spread_small_inputs:
         narrow = ensure_min_partitions(narrow)
     out_schema = _partial_schema(group_cols, df)
     arrow_schema = out_schema
@@ -241,22 +265,32 @@ def build_partials(
             if not group_cols:
                 groups = [((), tbl)]
             else:
-                # low-cardinality grouping: one mask filter per group value
-                keyarrs = [tbl.column(c) for c in group_cols]
-                key_df = pa.table(keyarrs, names=group_cols).to_pandas()
+                # low-cardinality grouping: one mask filter per group value.
                 # use_na_sentinel=False keeps null keys as a real group
                 # (SQL groupBy semantics) instead of factorize's silent
-                # -1 drop; NaN/NaT group values normalize to None so the
-                # output Arrow batch carries a proper null key
-                codes, uniques = pd.factorize(
-                    pd.MultiIndex.from_frame(key_df) if len(group_cols) > 1 else key_df[group_cols[0]],
-                    use_na_sentinel=False,
+                # -1 drop.  Columns factorize INDEPENDENTLY on ArrowDtype
+                # series (no float64 coercion: nullable int64 keys keep
+                # exact values above 2^53) and combine via row-unique
+                # codes; NA group values normalize to None so the output
+                # Arrow batch carries a proper null key.
+                keyarrs = [tbl.column(c) for c in group_cols]
+                key_df = pa.table(keyarrs, names=group_cols).to_pandas(
+                    types_mapper=pd.ArrowDtype
                 )
+                col_codes, col_uniques = [], []
+                for c in group_cols:
+                    cc, cu = pd.factorize(key_df[c], use_na_sentinel=False)
+                    col_codes.append(cc)
+                    col_uniques.append(list(cu))
+                stacked = np.stack(col_codes, axis=1)
+                uniq_rows, inv = np.unique(stacked, axis=0, return_inverse=True)
                 groups = []
-                for gi, gval in enumerate(uniques):
-                    mask = pa.array(codes == gi)
-                    raw = tuple(gval) if len(group_cols) > 1 else (gval,)
-                    gkey = tuple(None if pd.isna(v) else v for v in raw)
+                for gi, urow in enumerate(uniq_rows):
+                    mask = pa.array(inv == gi)
+                    gkey = tuple(
+                        _norm_group_val(col_uniques[j][int(rj)])
+                        for j, rj in enumerate(urow)
+                    )
                     groups.append((gkey, tbl.filter(mask)))
             for gkey, gtbl in groups:
                 sk = bucket(gkey)
@@ -433,7 +467,10 @@ def keyed_sketch_aggregate(
     sc = df.sparkSession.sparkContext
     n_parts = partitions or max(sc.defaultParallelism, salt)
     spread = salted.repartition(n_parts, *key_cols, F.col("_salt")).drop("_salt")
-    stage1 = build_partials(spread, specs, group_cols=key_cols)
+    # spread_small_inputs=False: the (key, salt) clustering above IS the
+    # partitioning contract — a round-robin respread would scatter every
+    # key across all tasks and blow up per-task state memory
+    stage1 = build_partials(spread, specs, group_cols=key_cols, spread_small_inputs=False)
     return merge_partials(stage1, key_cols, two_level=False)
 
 

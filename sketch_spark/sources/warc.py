@@ -73,13 +73,17 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, str, bytes]]:
         start = data.find(b"WARC/", pos)
         if start < 0:
             break
-        hdr_end = data.find(_CRLF + _CRLF, start)
-        sep_len = 4
-        if hdr_end < 0:
-            hdr_end = data.find(b"\n\n", start)
-            sep_len = 2
-        if hdr_end < 0:
+        # take the NEARER of the two separator conventions: searching
+        # CRLFCRLF first across the whole buffer would mis-split an
+        # LF-separated record whose payload happens to contain CRLFCRLF
+        crlf_end = data.find(_CRLF + _CRLF, start)
+        lf_end = data.find(b"\n\n", start)
+        if crlf_end < 0 and lf_end < 0:
             break
+        if lf_end < 0 or (0 <= crlf_end <= lf_end):
+            hdr_end, sep_len = crlf_end, 4
+        else:
+            hdr_end, sep_len = lf_end, 2
         headers: dict[str, str] = {}
         for line in data[start:hdr_end].splitlines()[1:]:
             k, _, v = line.partition(b":")
@@ -111,7 +115,10 @@ def read_warc(spark, path: str):
                     urls.append(url)
                     dates.append(date)
                     payloads.append(payload)
-            ts = np.array(dates, dtype="datetime64[us]") if dates else np.array([], dtype="datetime64[us]")
+            # WARC-Date is UTC with a trailing Z; numpy deprecates
+            # timezone-aware datetime64 parsing, so strip the suffix
+            clean = [d[:-1] if d.endswith("Z") else d for d in dates]
+            ts = np.array(clean, dtype="datetime64[us]") if clean else np.array([], dtype="datetime64[us]")
             yield pa.RecordBatch.from_pydict(
                 {
                     "url": pa.array(urls, pa.string()),

@@ -266,3 +266,65 @@ def test_write_pages_table_roundtrip(spark, pages_dir, tmp_path):
     a = src.selectExpr("md5(text) m").groupBy().agg(F.count("m"), F.count_distinct("m")).first()
     b = back.selectExpr("md5(text) m").groupBy().agg(F.count("m"), F.count_distinct("m")).first()
     assert a == b
+
+
+def test_multimodal_plumbing_numeric_id(spark):
+    from sketch_spark.functions.multimodal import resize_images_df, sample_video_frames_df
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"def"))], "doc_id long, img binary"
+    )
+    r = resize_images_df(df, "img", "doc_id", width=2, height=2).toPandas()
+    assert sorted(r.doc_id) == [1, 2] and r.doc_id.dtype.kind == "i"
+    f = sample_video_frames_df(df, "img", "doc_id", n_frames=2, width=2, height=2).toPandas()
+    assert len(f) == 4 and f.doc_id.dtype.kind == "i"
+
+
+def test_build_partials_nullable_bigint_group_key(spark):
+    """A nullable int64 group column must keep exact values above 2^53
+    (no float64 coercion) and keep the null group."""
+    from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
+
+    big = 2**53 + 1
+    rows = [(big, "a b"), (None, "c"), (big + 2, "d d d")]
+    df = spark.createDataFrame(rows, "uid long, text string")
+    spec = SketchSpec("cm", "cm", "text", params={"depth": 4, "log2_width": 10, "seed": 1})
+    res = sketch_aggregate(df, [spec], group_cols=["uid"])
+    keys = {k[0] for k in res.keys()}
+    assert keys == {big, big + 2, None}
+    assert res.metrics[(big, "cm")]["n_values"] == 2
+    assert res.metrics[(None, "cm")]["n_values"] == 1
+
+
+def test_cli_specs_seed_override_and_numeric_guard():
+    import json
+
+    import pytest
+
+    from sketch_spark.cli import _specs
+
+    s = _specs("cmcu", "text", 1, json.dumps({"cmcu": {"seed": 7}}))
+    assert s[0].params["seed"] == 7  # --params seed wins over --seed default
+    s = _specs("kll", "text", 1, None, numeric_col="price")
+    assert s[0].column == "price" and s[0].mode == "numeric"
+    with pytest.raises(SystemExit, match="numeric-col"):
+        _specs("kll", "text", 1, None)
+
+
+def test_bpe_and_punct_match_duckdb_on_vertical_tab(spark):
+    """Java \\s includes \\x0B, RE2's does not — the explicit whitespace
+    class keeps Spark and the DuckDB oracle identical on VT input."""
+    import duckdb
+
+    from sketch_spark.functions.text import bpe_ish_tokens_col, punct_ratio_col
+
+    text = "a\x0bb c!"
+    df = spark.createDataFrame([(text,)], "text string")
+    toks = df.select(bpe_ish_tokens_col("text").alias("t")).first().t
+    duck = duckdb.sql(
+        "SELECT regexp_extract_all(?, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')",
+        params=[text],
+    ).fetchone()[0]
+    assert toks == duck == ["a", "b", "c", "!"]
+    pr = df.select(punct_ratio_col("text").alias("p")).first().p
+    assert pr == round(1 / len(text), 4)  # only '!' counts; VT is whitespace

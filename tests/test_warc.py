@@ -58,3 +58,21 @@ def test_parse_warc_tolerates_lf_and_extra_headers():
     recs = parse_warc_bytes(raw)
     # request records skipped; responses parsed with exact payloads
     assert [(u, p) for u, _, p in recs] == [("http://x/", b"hello"), ("http://y/", b"hi")]
+
+
+def test_parse_lf_record_with_crlfcrlf_in_payload():
+    """An LF-separated record whose payload contains CRLFCRLF must not
+    be split at the payload bytes."""
+    from sketch_spark.sources.warc import parse_warc_bytes
+
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>x</html>"
+    raw = (
+        b"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://a/\n"
+        b"WARC-Date: 2025-07-01T00:00:00Z\n"
+        + b"Content-Length: " + str(len(payload)).encode() + b"\n\n"
+        + payload + b"\n\n"
+        b"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://b/\n"
+        b"WARC-Date: 2025-07-02T00:00:00Z\nContent-Length: 2\n\nhi\n\n"
+    )
+    recs = parse_warc_bytes(raw)
+    assert [(u, p) for u, _, p in recs] == [("http://a/", payload), ("http://b/", b"hi")]
