@@ -1,0 +1,93 @@
+"""Streaming emerging heavy hitters: the flagship query maintained
+continuously over a page stream.
+
+Shape (the streaming restatement of operators/emerging.py's two-pass
+batch plan): each micro-batch folds its CMCU partials into the
+persistent state table (same mergeable-state machinery as
+``streaming_sketch_query``), then re-evaluates the emerging predicate
+against the CURRENT accumulated test sketch and writes one HH snapshot
+per epoch.  Because the accumulated sketch dominates every prefix,
+each snapshot's candidate set is a superset of a streaming upsert's —
+the same superset-correctness argument as the batch operator
+(SURVEY.md §7.2), now applied per epoch.
+
+The control side is a FIXED pre-built sketch/count table (the July
+window), which matches the reference's semantics: control is a static
+corpus, test is the stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..operators.aggregate import SketchSpec, build_partials, merge_partials
+from ..operators.emerging import emerging_heavy_hitters
+
+
+def streaming_emerging_hh(
+    stream_df: DataFrame,
+    control_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    snapshot_dir: str,
+    text_col: str = "text",
+    threshold: int = 100,
+    growth: float = 2.0,
+    depth: int = 4,
+    log2_width: int = 14,
+    seed: int = 1,
+    mode: str = "exact",
+):
+    """Start the streaming flagship; each epoch writes
+    ``<snapshot_dir>/epoch=<n>`` with the current emerging-HH set.
+
+    The exact-count passes (candidates + control) run against the
+    ACCUMULATED test data re-read from ``seen_dir`` — per-epoch cost is
+    bounded by the candidate predicate (the broadcast sketch prunes at
+    the scan), exactly like the batch second pass.
+    """
+    spec = SketchSpec(
+        "cmcu", "cmcu", text_col, mode="tokens",
+        params={"depth": depth, "log2_width": log2_width, "seed": seed},
+    )
+    seen_dir = os.path.join(state_dir, "seen")
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # 1. fold this batch's partials into the persistent state
+        partials = build_partials(batch_df, [spec], spread_small_inputs=False)
+        merged = merge_partials(partials, two_level=False)
+        prev_path = os.path.join(state_dir, "current")
+        new = merged
+        if os.path.exists(prev_path):
+            prev = spark.read.parquet(prev_path)
+            new = merge_partials(prev.unionByName(merged), two_level=False)
+        tmp = os.path.join(state_dir, f"epoch-{epoch_id}")
+        new.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(prev_path)
+        # accumulate raw test rows for the exact second pass
+        batch_df.select(text_col).write.mode("append").parquet(seen_dir)
+
+        # 2. snapshot the emerging set against the accumulated sketch
+        from ..core import sketch_from_bytes
+
+        state_row = spark.read.parquet(prev_path).filter("spec = 'cmcu'").first()
+        sketch = sketch_from_bytes(bytes(state_row["state"]))
+        seen = spark.read.parquet(seen_dir)
+        hh = emerging_heavy_hitters(
+            seen, control_df, text_col, threshold=threshold, growth=growth,
+            depth=depth, log2_width=log2_width, seed=seed, mode=mode,
+            prebuilt_sketch=sketch,
+        )
+        hh.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

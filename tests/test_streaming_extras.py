@@ -153,3 +153,49 @@ def test_streaming_exact_dedup(spark, pages_dir, tmp_path):
     assert got.count() == n_hashes  # exactly one survivor per content
     expected = base.select(F.md5("text").alias("m")).distinct().count()
     assert n_hashes == expected
+
+
+def test_streaming_emerging_hh_final_equals_batch(spark, pages_dir, tmp_path):
+    """After the stream drains, the last epoch's emerging-HH snapshot
+    equals the batch flagship on the same data."""
+    import os
+
+    from sketch_spark.operators.emerging import emerging_heavy_hitters
+    from sketch_spark.streaming.emerging_stream import streaming_emerging_hh
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    test_src = os.path.join(pages_dir, "pages", "window=test")
+    ctrl = spark.read.parquet(os.path.join(pages_dir, "pages", "window=control"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(test_src)
+    )
+    snap = str(tmp_path / "snapshots")
+    q = streaming_emerging_hh(
+        stream, ctrl,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        snapshot_dir=snap,
+        threshold=50, growth=2.0, mode="exact",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    epochs = sorted(
+        int(d.split("=")[1]) for d in os.listdir(snap) if d.startswith("epoch=")
+    )
+    assert len(epochs) >= 2  # multiple micro-batches ran
+    final = spark.read.parquet(os.path.join(snap, f"epoch={epochs[-1]}"))
+
+    batch_test = spark.read.parquet(test_src)
+    expected = emerging_heavy_hitters(
+        batch_test, ctrl, "text", threshold=50, growth=2.0, mode="exact",
+        depth=4, log2_width=14, seed=1,
+    )
+    got = {(r.token, r.freq, r.control_count) for r in final.collect()}
+    exp = {(r.token, r.freq, r.control_count) for r in expected.collect()}
+    assert got == exp and len(exp) > 0
