@@ -20,6 +20,8 @@ this code); ``sketch_spark.session.package_zip()`` builds the
              remaining buckets).
   estimate   point queries against a written state table.
   dedup      corpus near-dup dedup -> survivors parquet.
+  warc-ingest  .warc/.warc.gz archives -> pages table (url, warc_ts,
+             html, text, lang) with Catalyst text extraction + lang id.
 """
 
 from __future__ import annotations
@@ -150,6 +152,23 @@ def cmd_dedup(args) -> None:
     print(json.dumps({"survivors": spark.read.parquet(args.out).count()}))
 
 
+def cmd_warc_ingest(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .functions.text import lang_id_col
+    from .sources.pages import extract_text_col
+    from .sources.warc import read_warc
+
+    spark = _spark("warc-ingest")
+    pages = read_warc(spark, args.input)
+    if args.extract_text:
+        pages = pages.withColumn(
+            "text", F.decode(extract_text_col("html"), "UTF-8")
+        ).withColumn("lang", lang_id_col("text"))
+    pages.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"pages": spark.read.parquet(args.out).count(), "out": args.out}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="sketch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -191,6 +210,13 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--seed", type=int, default=1)
     d.set_defaults(fn=cmd_dedup)
+
+    w = sub.add_parser("warc-ingest")
+    w.add_argument("--input", required=True, help=".warc/.warc.gz path or glob")
+    w.add_argument("--out", required=True)
+    w.add_argument("--extract-text", action="store_true", default=True)
+    w.add_argument("--no-extract-text", dest="extract_text", action="store_false")
+    w.set_defaults(fn=cmd_warc_ingest)
 
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
     args.fn(args)

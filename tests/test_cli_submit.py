@@ -99,3 +99,29 @@ def test_cli_build_ckpt_resume(spark, tmp_path):
         validate_lineage=True
     )
     assert res.metrics[("cmcu",)]["n_rows"] == df.count()
+
+
+def test_cli_warc_ingest(spark, pages_pdf, tmp_path):
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from sketch_spark import cli
+    from sketch_spark.sources.pages import wrap_html
+    from sketch_spark.sources.warc import write_warc
+
+    pages, _ = pages_pdf
+    recs = [
+        (r.url, str(r.warc_ts).replace(" ", "T") + "Z", wrap_html(r.url, r.text))
+        for _, r in pages.head(50).iterrows()
+    ]
+    write_warc(str(tmp_path / "seg.warc.gz"), recs, compress=True)
+    out = str(tmp_path / "pages_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.main(["warc-ingest", "--input", str(tmp_path / "seg.warc.gz"), "--out", out])
+    assert _json.loads(buf.getvalue().strip().splitlines()[-1])["pages"] == 50
+    got = spark.read.parquet(out).toPandas().set_index("url")
+    src = pages.head(50).set_index("url")
+    for u in list(src.index)[:10]:
+        assert got.loc[u, "text"] == src.loc[u, "text"]  # byte-identical extraction
