@@ -632,9 +632,13 @@ def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _read(spark, sf_dir, "events")
     spec = SketchSpec("hll", "hll", "user_id", mode="value", params={"p": 14, "seed": 1})
-    # fixed scratch path (mode=overwrite) so repeated contract runs are
-    # idempotent instead of leaking a new temp dir per invocation
-    out = os.path.join(tempfile.gettempdir(), "sketch_rollup_contract")
+    # scratch path keyed by (sf dir, pid): repeated calls in one
+    # process reuse it (no temp-dir leak), concurrent processes and
+    # different scale factors cannot clobber each other mid-read
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sketch_rollup_contract_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
     build_sketch_rollup(events, "ts", [spec], out, granularity="day")
     return (
         spark.read.parquet(out)

@@ -50,17 +50,6 @@ def tokenize_batch(arr: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarra
     return flat, parents.to_numpy(zero_copy_only=False)
 
 
-def _flat_tokens(
-    arr: pa.Array | pa.ChunkedArray, lowercase: bool
-) -> pa.Array:
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if lowercase:
-        arr = pc.utf8_lower(arr)
-    flat, _ = tokenize_batch(arr)
-    return flat
-
-
 def _dict_hashes(flat: pa.Array, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """(per-unique-token hashes, dictionary indices per occurrence).
 
@@ -82,14 +71,13 @@ def token_hash_counts(
     arr: pa.Array | pa.ChunkedArray, seed: int, lowercase: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
     """(unique token hashes, occurrence counts) for a batch of texts —
-    the fast path feeding weighted sketch updates (no per-occurrence
-    hash, no sort)."""
-    flat = _flat_tokens(arr, lowercase)
-    if len(flat) == 0:
+    a thin wrapper over ``token_base`` so there is exactly one
+    canonical tokenize+hash path (SketchSpec.feed derives the same
+    quantities from its cached base)."""
+    hd, idx, _ = token_base(arr, seed, lowercase)
+    if len(hd) == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
-    hd, idx = _dict_hashes(flat, seed)
-    counts = np.bincount(idx, minlength=len(hd)).astype(np.int64)
-    return hd, counts
+    return hd, np.bincount(idx, minlength=len(hd)).astype(np.int64)
 
 
 def token_base(

@@ -452,6 +452,16 @@ def keyed_sketch_aggregate(
     states tree-merge (KB-scale, exact homomorphism: the final state is
     byte-identical to any other partitioning).
 
+    Memory math (size ``partitions`` for it): a task holds ~
+    total_keys x salt / partitions states concurrently, each
+    state_size bytes — for 10^6 hosts x HLL p=14 (~16 KB) budget to
+    ~200 MB/task means partitions ~ total_keys x salt x state_size /
+    200MB (~600 for that example).  The default
+    max(defaultParallelism, spark.sql.shuffle.partitions, salt) is
+    right when shuffle.partitions is sized to the cluster, which at
+    real scale it must be anyway; pass ``partitions`` explicitly for
+    wide sketches over very many keys.
+
     Returns a DataFrame (key_cols..., spec, state, n_rows, n_values,
     wall_ms) — one row per (key, spec).
     """
@@ -465,7 +475,8 @@ def keyed_sketch_aggregate(
         ).cast("int"),
     )
     sc = df.sparkSession.sparkContext
-    n_parts = partitions or max(sc.defaultParallelism, salt)
+    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = partitions or max(sc.defaultParallelism, shuffle_parts, salt)
     spread = salted.repartition(n_parts, *key_cols, F.col("_salt")).drop("_salt")
     # spread_small_inputs=False: the (key, salt) clustering above IS the
     # partitioning contract — a round-robin respread would scatter every

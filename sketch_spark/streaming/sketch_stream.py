@@ -12,11 +12,32 @@ replacing the hand-rolled carry-over buffers.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 
 from ..core import sketch_from_bytes
 from ..operators.aggregate import SketchSpec, build_partials, merge_partials
+
+
+def epoch_applied(state_dir: str, epoch_id: int) -> bool:
+    """True iff this epoch's fold already committed (replay guard)."""
+    marker = os.path.join(state_dir, "last_epoch")
+    if not os.path.exists(marker):
+        return False
+    try:
+        return int(open(marker).read().strip()) >= epoch_id
+    except ValueError:
+        return False
+
+
+def commit_epoch(state_dir: str, epoch_id: int) -> None:
+    """Durably record the highest folded epoch (atomic tmp+rename)."""
+    marker = os.path.join(state_dir, "last_epoch")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(epoch_id))
+    os.replace(tmp, marker)
 
 
 def streaming_sketch_query(
@@ -37,6 +58,12 @@ def streaming_sketch_query(
     spark = stream_df.sparkSession
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash after the state swap
+        # but before the offset commit re-delivers the same epoch_id on
+        # restart, and re-folding it would double-count every token.
+        # The epoch marker makes the fold idempotent per epoch.
+        if epoch_applied(state_dir, epoch_id):
+            return
         partials = build_partials(batch_df, specs, group_cols)
         merged = merge_partials(partials, group_cols, two_level=False)
         prev_path = os.path.join(state_dir, "current")
@@ -48,6 +75,8 @@ def streaming_sketch_query(
         new.write.mode("overwrite").parquet(tmp)
         # atomic-ish swap: rewrite current from the epoch result
         batch_df.sparkSession.read.parquet(tmp).write.mode("overwrite").parquet(prev_path)
+        commit_epoch(state_dir, epoch_id)
+        shutil.rmtree(tmp, ignore_errors=True)  # staging dir, no longer needed
 
     return (
         stream_df.writeStream.foreachBatch(fold)
