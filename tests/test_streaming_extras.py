@@ -199,3 +199,38 @@ def test_streaming_emerging_hh_final_equals_batch(spark, pages_dir, tmp_path):
     got = {(r.token, r.freq, r.control_count) for r in final.collect()}
     exp = {(r.token, r.freq, r.control_count) for r in expected.collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_streaming_fold_replay_guard(spark, pages_dir, tmp_path):
+    """Re-delivered epoch ids are skipped, not double-folded: replaying
+    the whole stream against a fresh checkpoint (same epoch numbering)
+    leaves the persisted state byte-identical."""
+    import os
+    import shutil
+
+    from sketch_spark.operators.aggregate import SketchSpec
+    from sketch_spark.streaming.sketch_stream import read_state, streaming_sketch_query
+
+    src = os.path.join(pages_dir, "pages", "window=test")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    specs = [SketchSpec("cm", "cm", "text", params={"depth": 4, "log2_width": 12, "seed": 5})]
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = streaming_sketch_query(stream, specs, state_dir=state, checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    first = read_state(spark, state, "cm")
+    # wipe the checkpoint: the same files re-deliver as the same epoch
+    # ids, which the marker must treat as replays
+    run(str(tmp_path / "ckpt2"))
+    second = read_state(spark, state, "cm")
+    assert (first.table == second.table).all()
+    assert first.total == second.total
