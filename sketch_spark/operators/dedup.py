@@ -187,7 +187,11 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    banded = sig_df.select(F.col(id_col), F.col("sig"), bands_col.alias("band", "bucket"))
+    # band on (id, band, bucket) ONLY — the 64-long signature array must
+    # not ride through the bucket shuffles (measured: carrying it costs
+    # ~10x on the banded exchange at 100k docs); signatures join back
+    # below for just the surviving candidate pairs
+    banded = sig_df.select(F.col(id_col), bands_col.alias("band", "bucket"))
 
     # singleton buckets (the vast majority) can never produce a pair —
     # drop them JVM-side before the pair join, which otherwise pays a
@@ -220,27 +224,30 @@ def lsh_candidate_pairs(
         "band",
         "bucket",
         F.col(id_col).alias("id_a"),
-        F.col("sig").alias("sig_a"),
         (F.col("_bn") > max_bucket).alias("capped"),
     )
-    right = kept.select(
-        "band", "bucket", F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+    right = kept.select("band", "bucket", F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("capped").alias("capped"))
     )
+    sig_a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     ) / F.size("sig_a")
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .withColumn("sig_est", est)
         .filter(F.col("sig_est") >= est_threshold)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("sig_est").alias("sig_est"), F.max("capped").alias("capped"))
+        .select("id_a", "id_b", "sig_est", "capped")
     )
-    return pairs
 
 
 def verify_jaccard_pairs(
@@ -281,7 +288,12 @@ def minhash_near_duplicates(
     signature-estimate pre-filter at threshold - 0.15 slack) -> exact
     Jaccard verify.  Output: (id_a, id_b, jaccard), id_a < id_b."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    # persist AND materialize: the downstream plan references the
+    # signature table five times from parallel stages, and an
+    # unmaterialized cache lets those stages race and each recompute
+    # the expensive Arrow pass (measured 2x+ end-to-end at 100k docs)
     sigs = sigs.persist()
+    sigs.count()
     pairs = lsh_candidate_pairs(
         sigs, id_col, bands, est_threshold=max(0.0, threshold - 0.15)
     )
@@ -476,8 +488,10 @@ def simhash_near_duplicates(
     the flagged bucket cap.  Output: (id_a, id_b, hamming, capped).
     """
     # the fingerprint table feeds candidate generation AND both
-    # verify joins — persist so the Arrow pass runs once
+    # verify joins — persist AND materialize so parallel stages don't
+    # race an empty cache and recompute the Arrow pass
     sim = simhash(df, id_col, text_col, seed).persist()
+    sim.count()
     pairs = simhash_candidate_pairs(sim, id_col, max_bucket)
     a = sim.select(
         F.col(id_col).alias("id_a"),
