@@ -34,6 +34,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "verify_jaccard_pairs",
+    "verify_jaccard_pairs_from_text",
     "minhash_near_duplicates",
     "dedup_corpus",
     "simhash",
@@ -274,6 +275,38 @@ def verify_jaccard_pairs(
     )
 
 
+def verify_jaccard_pairs_from_text(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard verification that RE-READS text for just the
+    candidate docs instead of carrying stored shingle arrays through
+    the pipeline — the scale path (store_shingles=False): shingle
+    serde volume drops ~20x and only candidate-touched rows ever
+    re-tokenize (a left-semi join prunes the text scan).  Shingles are
+    the space-joined word k-grams (Catalyst), so the Jaccard values
+    equal the hashed-shingle path's exactly (string identity)."""
+    from ..functions.text import word_ngrams_col
+
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_ngrams_col(text_col, shingle_k)).alias("shingles"),
+        )
+    )
+    return verify_jaccard_pairs(pairs, sh, id_col, threshold)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -283,11 +316,19 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 1,
+    store_shingles: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup pairs: minhash -> LSH buckets (with
     signature-estimate pre-filter at threshold - 0.15 slack) -> exact
-    Jaccard verify.  Output: (id_a, id_b, jaccard), id_a < id_b."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    Jaccard verify.  Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    ``store_shingles=False`` is the 100TB path: signatures carry no
+    shingle arrays (the dominant serde volume) and verification
+    re-reads text for just the candidate docs
+    (``verify_jaccard_pairs_from_text``) — identical output, tested."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_k, seed, keep_shingles=store_shingles
+    )
     # persist AND materialize: the downstream plan references the
     # signature table five times from parallel stages, and an
     # unmaterialized cache lets those stages race and each recompute
@@ -297,7 +338,11 @@ def minhash_near_duplicates(
     pairs = lsh_candidate_pairs(
         sigs, id_col, bands, est_threshold=max(0.0, threshold - 0.15)
     )
-    return verify_jaccard_pairs(pairs, sigs, id_col, threshold)
+    if store_shingles:
+        return verify_jaccard_pairs(pairs, sigs, id_col, threshold)
+    return verify_jaccard_pairs_from_text(
+        pairs, df, id_col, text_col, threshold, shingle_k
+    )
 
 
 def dedup_corpus(

@@ -402,3 +402,20 @@ def test_cosine_sim_col_matches_numpy(spark):
         a, b = np.array(a), np.array(b)
         exp = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(g - exp) < 1e-12
+
+
+def test_minhash_no_stored_shingles_equivalent(spark, neardup_df):
+    """The scale path (store_shingles=False; verification re-reads text
+    for candidates only) produces identical pairs and Jaccard values."""
+    a = (
+        minhash_near_duplicates(neardup_df, threshold=0.5, seed=1)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    b = (
+        minhash_near_duplicates(neardup_df, threshold=0.5, seed=1, store_shingles=False)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
