@@ -548,7 +548,7 @@ def q_keyed_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     spec = SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 14, "seed": 1})
-    merged = keyed_sketch_aggregate(docs, ["source"], [spec], salt=8)
+    merged = keyed_sketch_aggregate(docs, ["source"], [spec], salt=8, row_id_col="doc_id")
     return merged.select(
         "source",
         F.col("n_rows").alias("n_docs"),

@@ -433,16 +433,24 @@ def keyed_sketch_aggregate(
     specs: list[SketchSpec],
     salt: int = 8,
     partitions: int | None = None,
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Per-key sketches for HIGH-cardinality keys (hosts, urls) with
     explicit skew salting (north_star: "explicit salting/repartitioning
     to defuse heavy-hitter URL/host skew").
 
     Shape: one explicit ``repartition(P, key..., _salt)`` shuffle with
-    ``salt = pmod(xxhash64(row_id, row values), S)`` — a heavy-hitter
+    ``salt = pmod(xxhash64(row values...), S)`` — a heavy-hitter
     host spreads over up to S partitions, so no single task sees the
-    whole hot key (the salt mixes a per-row id, so even duplicate-row
-    skew fans out) — then ONE vectorized ``build_partials`` pass per
+    whole hot key.  The salt is DETERMINISTIC per row content: a
+    re-executed map task after a fetch failure recomputes the same
+    salt, so the partitioning key is replay-stable (mixing
+    ``monotonically_increasing_id`` here would be a SPARK-23207-style
+    hazard — recomputed ids can differ when upstream order isn't
+    stable, silently losing/duplicating rows).  The one trade: EXACT
+    duplicate rows share a salt; pass ``row_id_col`` (a stable unique
+    id column, e.g. doc_id/url) to fan duplicate-row skew out too,
+    deterministically — then ONE vectorized ``build_partials`` pass per
     partition (per-batch factorize grouping, shared tokenize base; no
     per-group pandas calls: an applyInPandas stage here would pay ~1 ms
     x (keys x S) groups, the same trap the LSH pair stage hit), then
@@ -467,10 +475,12 @@ def keyed_sketch_aggregate(
     """
     key_cols = list(key_cols)
     value_cols = sorted({s.column for s in specs})
-    salted = df.select(*key_cols, *value_cols).withColumn(
+    salt_cols = ([row_id_col] if row_id_col else []) + value_cols
+    sel = list(dict.fromkeys(key_cols + value_cols + ([row_id_col] if row_id_col else [])))
+    salted = df.select(*sel).withColumn(
         "_salt",
         F.pmod(
-            F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in value_cols]),
+            F.xxhash64(*[F.col(c) for c in salt_cols]),
             F.lit(salt),
         ).cast("int"),
     )
@@ -478,6 +488,8 @@ def keyed_sketch_aggregate(
     shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     n_parts = partitions or max(sc.defaultParallelism, shuffle_parts, salt)
     spread = salted.repartition(n_parts, *key_cols, F.col("_salt")).drop("_salt")
+    if row_id_col and row_id_col not in key_cols and row_id_col not in value_cols:
+        spread = spread.drop(row_id_col)
     # spread_small_inputs=False: the (key, salt) clustering above IS the
     # partitioning contract — a round-robin respread would scatter every
     # key across all tasks and blow up per-task state memory
@@ -511,6 +523,7 @@ def keyed_distinct_estimates(
     seed: int = 1,
     salt: int = 8,
     mode: str = "tokens",
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Per-key HLL distinct estimates end-to-end without any driver
     involvement: salted keyed build -> tree merge -> executor-side
@@ -518,7 +531,7 @@ def keyed_distinct_estimates(
     n_rows, n_values) stays a DataFrame — write it, join it, never
     collect it."""
     spec = SketchSpec("hll", "hll", column, mode=mode, params={"p": p, "seed": seed})
-    merged = keyed_sketch_aggregate(df, key_cols, [spec], salt=salt)
+    merged = keyed_sketch_aggregate(df, key_cols, [spec], salt=salt, row_id_col=row_id_col)
     return merged.select(
         *key_cols,
         F.round(state_estimate_col()(F.col("state"))).cast("long").alias("est_distinct"),

@@ -40,6 +40,7 @@ __all__ = [
     "simhash",
     "simhash_candidate_pairs",
     "simhash_near_duplicates",
+    "top_df_token_hashes",
 ]
 
 
@@ -289,7 +290,9 @@ def verify_jaccard_pairs_from_text(
     serde volume drops ~20x and only candidate-touched rows ever
     re-tokenize (a left-semi join prunes the text scan).  Shingles are
     the space-joined word k-grams (Catalyst), so the Jaccard values
-    equal the hashed-shingle path's exactly (string identity)."""
+    match the hashed-shingle path's up to 63-bit shingle-hash
+    collisions (the stored path hashes shingles to 63 bits before
+    set ops; this text path is the more exact of the two)."""
     from ..functions.text import word_ngrams_col
 
     cand_ids = (
@@ -417,22 +420,105 @@ def dedup_corpus(
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
+def top_df_token_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    seed: int = 1,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Hashes of the ``k`` highest document-frequency tokens — the
+    Zipf head that saturates SimHash bit votes on organic/templated
+    corpora (every doc shares "the a of", so every doc's votes agree
+    and fingerprints collapse toward one another; BENCH.md measured
+    13.6M Hamming<=3 pairs at 500k organic docs before head-drop).
+
+    One Arrow pass emits per-partition (token_hash, partial_df) for
+    DISTINCT (doc, token) pairs — token-scale shuffle with map-side
+    combine, never doc x token — then a groupBy sum + top-k.  The k
+    hashes collected to the driver are a bounded k x 8 bytes.  At
+    10^12 docs, pass ``sample_fraction`` (head df ranks are stable
+    under uniform doc sampling, so ~10^6 sampled docs suffice) so the
+    df pass scans a sliver instead of the corpus.
+    """
+    src = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            texts = batch.column(0)
+            flat, parents = tokenize_batch(texts)
+            h = hash_strings(flat, seed=seed)
+            if not len(h):
+                continue
+            # distinct (doc, token_hash), then per-partition df counts
+            order = np.lexsort((h, parents))
+            hs, ps = h[order], parents[order]
+            keep = np.ones(len(hs), dtype=bool)
+            if len(hs) > 1:
+                keep[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+            uniq, counts = np.unique(hs[keep], return_counts=True)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "th": pa.array(uniq.view(np.int64)),
+                    "df": pa.array(counts.astype(np.int64)),
+                }
+            )
+
+    top = (
+        src.select(text_col)
+        .mapInArrow(run, "th long, df long")
+        .groupBy("th")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("th"))
+        .limit(k)
+        .collect()
+    )
+    return np.array([r["th"] for r in top], dtype=np.int64).view(np.uint64)
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 1,
+    drop_top_df: int = 0,
+    df_sample_fraction: float | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document from token hashes (count-weighted
-    bit voting), plus 4x16-bit band keys for Hamming-distance blocking."""
+    bit voting), plus 4x16-bit band keys for Hamming-distance blocking.
+
+    ``drop_top_df=K`` excludes the K highest-document-frequency tokens
+    from the bit votes (standard stop-word treatment for SimHash on
+    Zipf-like corpora): head tokens appear in nearly every document,
+    so they push every fingerprint toward the same bit pattern and the
+    Hamming<=3 candidate graph densifies quadratically.  Dropping the
+    head leaves the votes to the discriminative tail.  A document
+    whose tokens are ALL head tokens falls back to voting with its
+    full token set (never a zero-vote all-bits-clear fingerprint,
+    which would spuriously bucket such docs together).
+    """
+    drop = (
+        top_df_token_hashes(df, text_col, drop_top_df, seed, df_sample_fraction)
+        if drop_top_df > 0
+        else None
+    )
+    bc = df.sparkSession.sparkContext.broadcast(drop) if drop is not None else None
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        drop_ = bc.value if bc is not None else None
         for batch in batches:
             ids = batch.column(0)
             texts = batch.column(1)
             flat, parents = tokenize_batch(texts)
             h = hash_strings(flat, seed=seed)
             n_rows = len(ids)
+            if drop_ is not None and len(h):
+                mask = ~np.isin(h, drop_)
+                total = np.bincount(parents, minlength=n_rows)
+                remain = np.bincount(parents[mask], minlength=n_rows)
+                # all-head docs keep their full token set
+                mask |= ((remain == 0) & (total > 0))[parents]
+                h, parents = h[mask], parents[mask]
             fp = np.zeros(n_rows, dtype=np.uint64)
             if len(h):
                 # bit votes: for each of 64 bits, sum(+1/-1) per doc
@@ -520,10 +606,18 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     seed: int = 1,
     max_bucket: int = 1000,
+    drop_top_df: int = 0,
+    df_sample_fraction: float | None = None,
 ) -> DataFrame:
     """End-to-end SimHash near-dup pairs: fingerprint -> banded
     candidates -> EXACT Hamming verification, all verification JVM-side
     (``bit_count(xor)`` in codegen).
+
+    ``drop_top_df=K`` (see ``simhash``) is the Zipf-corpora knob: it
+    cuts candidate density by orders of magnitude on organic/templated
+    text (measured in BENCH.md) by keeping head tokens out of the bit
+    votes, so the verify join sees a discriminative candidate set and
+    the bucket cap stops costing recall.
 
     The stored ``simhash`` column is the 64-bit fingerprint shifted
     right once (to fit signed int64); the dropped low bit is recovered
@@ -535,7 +629,7 @@ def simhash_near_duplicates(
     # the fingerprint table feeds candidate generation AND both
     # verify joins — persist AND materialize so parallel stages don't
     # race an empty cache and recompute the Arrow pass
-    sim = simhash(df, id_col, text_col, seed).persist()
+    sim = simhash(df, id_col, text_col, seed, drop_top_df, df_sample_fraction).persist()
     sim.count()
     pairs = simhash_candidate_pairs(sim, id_col, max_bucket)
     a = sim.select(

@@ -93,9 +93,18 @@ def cosine_topk(
             sims = np.round(sims, sim_decimals)
             kk = min(k, sims.shape[0])
             for qi in range(len(qids_)):
-                order = np.lexsort((ids, -sims[:, qi]))[:kk]
+                col = sims[:, qi]
+                # O(n) boundary cut (ADVICE r2): a full lexsort over all
+                # n rows per query per batch is avoidable — only rows
+                # with rounded sim >= the k-th largest value can make
+                # the deterministic (sim desc, id asc) top-k, including
+                # every row TIED at the boundary (id asc breaks those),
+                # so np.partition the cutoff then lexsort just the slice
+                vk = np.partition(col, len(col) - kk)[len(col) - kk]
+                cand = np.nonzero(col >= vk)[0]
+                order = cand[np.lexsort((ids[cand], -col[cand]))[:kk]]
                 for r in order:
-                    best[int(qids_[qi])].append((float(sims[r, qi]), int(ids[r])))
+                    best[int(qids_[qi])].append((float(col[r]), int(ids[r])))
         out_q, out_v, out_s = [], [], []
         for q, lst in best.items():
             lst.sort(key=lambda t: (-round(t[0], sim_decimals), t[1]))

@@ -54,10 +54,15 @@ def streaming_emerging_hh(
     ``seen_dir`` by arrival time and bound the re-verified window) to
     amortize; the final drained snapshot still equals the batch answer
     exactly.  Replays are safe: an at-least-once re-delivered epoch is
-    skipped via the epoch marker instead of double-folded (the residual
-    window is a crash BETWEEN the state swap and the marker write — a
-    few milliseconds vs the whole fold; closing it entirely needs a
-    transactional table format for the state, i.e. the Iceberg seam).
+    skipped via the epoch marker instead of double-folded, and the
+    seen-history write is epoch-named + overwrite so a replay that DOES
+    re-enter the fold (crash between state swap and marker write)
+    rewrites the same seen/epoch=<n> files idempotently rather than
+    appending duplicate rows into every future exact-count snapshot.
+    The residual window is therefore only the one-epoch sketch
+    double-fold — a few milliseconds vs the whole fold; closing it
+    entirely needs a transactional table format for the state, i.e.
+    the Iceberg seam.
     """
     spec = SketchSpec(
         "cmcu", "cmcu", text_col, mode="tokens",
@@ -83,8 +88,17 @@ def streaming_emerging_hh(
         tmp = os.path.join(state_dir, f"epoch-{epoch_id}")
         new.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(prev_path)
-        # accumulate raw test rows for the exact second pass
-        batch_df.select(text_col).write.mode("append").parquet(seen_dir)
+        # accumulate raw test rows for the exact second pass — written
+        # to an EPOCH-NAMED directory in overwrite mode so a replayed
+        # epoch rewrites the same files instead of appending duplicates
+        # (an append here sat inside the crash window below: a crash
+        # after the state swap but before commit_epoch would re-append
+        # the batch on replay, and unlike the one-epoch sketch
+        # double-fold those duplicate rows would permanently inflate
+        # the exact-count pass of every future snapshot)
+        batch_df.select(text_col).write.mode("overwrite").parquet(
+            os.path.join(seen_dir, f"epoch={epoch_id}")
+        )
         commit_epoch(state_dir, epoch_id)
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -95,7 +109,9 @@ def streaming_emerging_hh(
 
         state_row = spark.read.parquet(prev_path).filter("spec = 'cmcu'").first()
         sketch = sketch_from_bytes(bytes(state_row["state"]))
-        seen = spark.read.parquet(seen_dir)
+        # partition discovery over seen/epoch=N adds an `epoch` column;
+        # the exact pass only needs the text
+        seen = spark.read.parquet(seen_dir).select(text_col)
         hh = emerging_heavy_hitters(
             seen, control_df, text_col, threshold=threshold, growth=growth,
             depth=depth, log2_width=log2_width, seed=seed, mode=mode,

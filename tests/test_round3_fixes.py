@@ -1,0 +1,205 @@
+"""Regression tests for round-3 VERDICT/ADVICE items.
+
+Each test names the finding it pins (VERDICT.md r2 "Next round" /
+ADVICE.md r2) so the traceability is greppable.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #1 — SimHash candidate density on Zipf corpora (head-drop)
+# ---------------------------------------------------------------------------
+def _zipf_corpus(n_docs=3000, seed=7, vocab=5000, doc_len=200, n_exact=10, n_append=20):
+    """Organic Zipf(1.07) docs + planted twins: exact copies and
+    one-token-appended near-identical copies."""
+    rng = np.random.default_rng(seed)
+    texts = []
+    for _ in range(n_docs):
+        ids = rng.zipf(1.07, size=doc_len * 2)
+        ids = ids[ids <= vocab][:doc_len]
+        texts.append(" ".join(f"w{t}" for t in ids))
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    exact, appended = [], []
+    for j in range(n_exact):
+        rows.append({"doc_id": n_docs + j, "text": rows[j * 11]["text"]})
+        exact.append((j * 11, n_docs + j))
+    for j in range(n_append):
+        rows.append(
+            {"doc_id": n_docs + n_exact + j, "text": rows[j * 7 + 1]["text"] + f" uniquetwin{j}"}
+        )
+        appended.append((j * 7 + 1, n_docs + n_exact + j))
+    return pd.DataFrame(rows), exact, appended
+
+
+def test_simhash_head_drop_cuts_zipf_candidate_density(spark):
+    """VERDICT r2 #1: on an organic Zipf corpus the 64-bit SimHash
+    candidate graph densifies (head tokens dominate every doc's bit
+    votes — measured 1.5M candidate pairs at just 3k docs here, 13.6M
+    at 500k in BENCH.md); drop_top_df must cut candidate volume >=10x
+    (measured ~2400x on this corpus) while still finding planted
+    exact/near-identical twins.  Head-drop makes per-bit vote margins
+    thin (that IS the discrimination), so one-token-edit twins sit at
+    Hamming ~1-5 instead of ~0 — the assertions are calibrated to the
+    deterministic fixture."""
+    from sketch_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+        simhash_near_duplicates,
+    )
+
+    pdf, exact, appended = _zipf_corpus()
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    def n_candidates(drop):
+        sim = simhash(df, "doc_id", "text", seed=1, drop_top_df=drop)
+        return simhash_candidate_pairs(sim, "doc_id").count()
+
+    dense = n_candidates(0)
+    sparse = n_candidates(50)
+    assert dense >= 10 * max(sparse, 1), (dense, sparse)
+
+    got = simhash_near_duplicates(
+        df, "doc_id", "text", max_hamming=3, seed=1, drop_top_df=50
+    ).toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    assert all(p in got_pairs for p in exact), "exact copies must always be found"
+    found = sum(1 for p in appended if p in got_pairs)
+    assert found >= 12, (found, len(appended))  # measured 14/20 on this fixture
+
+
+def test_simhash_head_drop_all_head_doc_fallback(spark):
+    """A doc made ENTIRELY of head tokens keeps a full-token-set
+    fingerprint instead of collapsing to zero votes (which would
+    spuriously bucket every such doc into one Hamming-0 cluster)."""
+    from sketch_spark.operators.dedup import simhash
+
+    rows = [{"doc_id": i, "text": "the a of and to in is " * 8} for i in range(2)]
+    rows += [{"doc_id": 2 + i, "text": f"rare{i} distinct{i} words{i} here{i}"} for i in range(3)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    # drop_top_df large enough to cover the whole head vocabulary
+    out = simhash(df, "doc_id", "text", seed=1, drop_top_df=7).toPandas().set_index("doc_id")
+    # head-only docs: identical text => identical fingerprint, but NOT
+    # the all-zero vote pattern of "no tokens at all"
+    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+    base = simhash(df, "doc_id", "text", seed=1, drop_top_df=0).toPandas().set_index("doc_id")
+    assert out.loc[0, "simhash"] == base.loc[0, "simhash"]  # fallback = undropped votes
+    # tail docs unaffected by dropping head tokens they don't contain
+    for i in (2, 3, 4):
+        assert out.loc[i, "simhash"] == base.loc[i, "simhash"]
+
+
+def test_top_df_token_hashes_ranks_head(spark):
+    from sketch_spark.core.hashing import hash_strings
+    from sketch_spark.operators.dedup import top_df_token_hashes
+
+    rows = [{"text": f"common filler w{i} unique{i}"} for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    top = top_df_token_hashes(df, "text", k=2, seed=1)
+    expect = hash_strings(np.array(["common", "filler"], dtype=object), seed=1)
+    assert set(top.tolist()) == set(expect.tolist())
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r2 — deterministic salt in keyed_sketch_aggregate
+# ---------------------------------------------------------------------------
+def test_keyed_salt_is_deterministic_expression(spark):
+    """ADVICE r2: the salt must not involve nondeterministic
+    expressions (monotonically_increasing_id) — a re-executed map task
+    would recompute different salts and rows could be lost/duplicated
+    across repartition(key, salt) (SPARK-23207-style)."""
+    from sketch_spark.operators.aggregate import SketchSpec, keyed_sketch_aggregate
+
+    rows = pd.DataFrame(
+        {"k": ["a"] * 50 + ["b"] * 50, "doc_id": range(100), "text": [f"t{i} x" for i in range(100)]}
+    )
+    df = spark.createDataFrame(rows)
+    spec = SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 12, "seed": 1})
+    out = keyed_sketch_aggregate(df, ["k"], [spec], salt=4, row_id_col="doc_id")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan
+    got = {r["k"]: r["n_rows"] for r in out.collect()}
+    assert got == {"a": 50, "b": 50}
+
+
+def test_keyed_salt_duplicate_rows_fan_out_with_row_id(spark):
+    """With row_id_col, EXACT duplicate (key, value) rows still spread
+    across salts — deterministically."""
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.aggregate import SketchSpec, keyed_sketch_aggregate
+
+    rows = pd.DataFrame({"k": ["hot"] * 400, "doc_id": range(400), "text": ["same text"] * 400})
+    df = spark.createDataFrame(rows)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id", "text"), F.lit(8)).cast("int")
+    )
+    n_salts = salted.select("_salt").distinct().count()
+    assert n_salts == 8
+    spec = SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 12, "seed": 1})
+    out = keyed_sketch_aggregate(df, ["k"], [spec], salt=8, row_id_col="doc_id").collect()
+    assert out[0]["n_rows"] == 400
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r2 — cosine_topk boundary cut correctness (ties at k-th place)
+# ---------------------------------------------------------------------------
+def test_cosine_topk_boundary_ties_deterministic(spark):
+    """The O(n) partition cut must keep every row tied at the k-th
+    boundary value so the (sim desc, id asc) tie-break stays exact —
+    many vectors here are IDENTICAL so rounded sims tie massively."""
+    from sketch_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=4)
+    rows = [{"vec_id": i, "embedding": base.tolist()} for i in range(40)]  # all tie
+    rows += [{"vec_id": 100 + i, "embedding": rng.normal(size=4).tolist()} for i in range(60)]
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(6)
+    got = cosine_topk(df, {0: base}, k=5).toPandas().sort_values("rank")
+    # the 40 identical vectors all have sim 1.0; ids 0..4 must win
+    assert got.vec_id.tolist() == [0, 1, 2, 3, 4]
+    assert (got.sim == 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r2 — streaming seen-history idempotent under epoch replay
+# ---------------------------------------------------------------------------
+def test_streaming_seen_history_epoch_overwrite(spark, tmp_path):
+    """ADVICE r2: seen-history rows are epoch-named + overwrite, so a
+    replayed foreachBatch epoch (crash between state swap and marker
+    commit) rewrites the same directory instead of appending duplicate
+    rows that would inflate every future exact-count snapshot."""
+    import os
+
+    from sketch_spark.streaming.emerging_stream import streaming_emerging_hh
+
+    src = tmp_path / "src"
+    pdf = pd.DataFrame({"text": [f"tok{i % 5} filler" for i in range(40)]})
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    control = spark.createDataFrame(pd.DataFrame({"text": ["filler unrelated"]}))
+    stream = spark.readStream.schema("text string").parquet(str(src))
+    q = streaming_emerging_hh(
+        stream,
+        control,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        snapshot_dir=str(tmp_path / "snap"),
+        threshold=1,
+        growth=1.0,
+    )
+    q.processAllAvailable()
+    q.stop()
+    seen_dir = tmp_path / "state" / "seen"
+    epochs = [d for d in os.listdir(seen_dir) if d.startswith("epoch=")]
+    assert epochs, "seen history must be epoch-partitioned"
+    n_before = spark.read.parquet(str(seen_dir)).count()
+    assert n_before == 40
+    # simulate the replay window: re-run the same epoch's write path
+    # (materialize the batch first — a lazy self-overwrite would read
+    # the files it is deleting)
+    sub = os.path.join(str(seen_dir), sorted(epochs)[0])
+    batch_pdf = spark.read.parquet(sub).select("text").toPandas()
+    spark.createDataFrame(batch_pdf).write.mode("overwrite").parquet(sub)
+    assert spark.read.parquet(str(seen_dir)).count() == 40  # no duplication
