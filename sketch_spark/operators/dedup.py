@@ -358,6 +358,7 @@ def dedup_corpus(
     shingle_k: int = 3,
     seed: int = 1,
     pairs: DataFrame | None = None,
+    store_shingles: bool = True,
 ) -> DataFrame:
     """The end-to-end training-data dedup step: drop exact and near
     duplicates, keeping one representative (smallest id) per duplicate
@@ -374,7 +375,8 @@ def dedup_corpus(
     """
     if pairs is None:
         pairs = minhash_near_duplicates(
-            df, id_col, text_col, num_perm, bands, shingle_k, threshold, seed
+            df, id_col, text_col, num_perm, bands, shingle_k, threshold, seed,
+            store_shingles=store_shingles,
         )
     pairs = pairs.select("id_a", "id_b")
     # the pair graph is candidate-scale; persist it so the iteration

@@ -164,6 +164,85 @@ def test_cosine_topk_boundary_ties_deterministic(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r3 #4 — LSH recall knee quantified against 1-(1-s^r)^b
+# ---------------------------------------------------------------------------
+def test_lsh_banding_recall_tracks_theory(spark):
+    """VERDICT r2 #4: the contract fixtures sit above the recall knee
+    by construction, so a banding bug that only bites borderline-J
+    pairs would previously go uncaught.  Plant signature pairs whose
+    components agree independently with probability s (exactly the
+    MinHash property for Jaccard s) across s in {0.35..0.75} and
+    assert measured bucket-collision recall tracks 1-(1-s^r)^b within
+    binomial tolerance.  This drives lsh_candidate_pairs' actual
+    slicing/hash/bucket pipeline, not a reimplementation."""
+    from sketch_spark.operators.dedup import lsh_candidate_pairs
+
+    rng = np.random.default_rng(17)
+    num_perm, bands, m_pairs = 64, 16, 400
+    r = num_perm // bands
+    levels = [0.35, 0.45, 0.55, 0.65, 0.75]
+    rows, planted = [], {}
+    nid = 0
+    for s in levels:
+        planted[s] = []
+        for _ in range(m_pairs):
+            base = rng.integers(0, 1 << 62, size=num_perm, dtype=np.int64)
+            other = rng.integers(0, 1 << 62, size=num_perm, dtype=np.int64)
+            agree = rng.random(num_perm) < s
+            partner = np.where(agree, base, other)
+            rows.append({"doc_id": nid, "sig": base.tolist()})
+            rows.append({"doc_id": nid + 1, "sig": partner.tolist()})
+            planted[s].append((nid, nid + 1))
+            nid += 2
+    sig_df = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+    cand = lsh_candidate_pairs(sig_df, "doc_id", bands=bands).select("id_a", "id_b").toPandas()
+    got = {(int(a), int(b)) for a, b in zip(cand.id_a, cand.id_b)}
+    for s in levels:
+        theory = 1.0 - (1.0 - s**r) ** bands
+        measured = sum(1 for p in planted[s] if p in got) / m_pairs
+        se = (theory * (1 - theory) / m_pairs) ** 0.5
+        assert abs(measured - theory) <= 4 * se + 0.02, (s, measured, theory)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #3 — executor-side result construction for quantile/membership
+# ---------------------------------------------------------------------------
+def test_quantile_membership_queries_executor_side(spark, sf001):
+    """q_kll_price_quantiles / q_tdigest_value_quantiles /
+    q_bloom_membership build results executor-side (state_quantiles_col
+    / state_contains_col posexplode) — no collect()/createDataFrame in
+    the query bodies — and match the driver-side sketch answers."""
+    import inspect
+
+    import __spark_entry__ as entrymod
+
+    for fn in (
+        entrymod.q_kll_price_quantiles,
+        entrymod.q_tdigest_value_quantiles,
+        entrymod.q_bloom_membership,
+    ):
+        src = inspect.getsource(fn)
+        assert ".collect()" not in src and ".createDataFrame(" not in src, fn.__name__
+
+    from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
+
+    got = entrymod.q_kll_price_quantiles(spark, sf001).toPandas().sort_values("q")
+    li = entrymod._read(spark, sf001, "lineitem")
+    spec = SketchSpec("kll", "kll", "l_extendedprice", mode="numeric", params={"k": 200, "seed": 1})
+    kll = sketch_aggregate(li, [spec], fanout=8).sketch("kll")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    expect = [round(float(v), 4) for v in kll.quantile(np.array(qs))]
+    assert got.q.tolist() == qs
+    assert got.est.tolist() == expect
+
+    mem = entrymod.q_bloom_membership(spark, sf001).toPandas()
+    assert set(mem.columns) == {"token", "maybe_present"}
+    assert len(mem) == 6
+    # Bloom has no false negatives: "the" is in the corpus
+    assert bool(mem.set_index("token").loc["the", "maybe_present"])
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r2 — streaming seen-history idempotent under epoch replay
 # ---------------------------------------------------------------------------
 def test_streaming_seen_history_epoch_overwrite(spark, tmp_path):
