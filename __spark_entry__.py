@@ -539,6 +539,29 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(corpus, queries, k=5, bits=8, seed=1, probe_hamming=1)
 
 
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a STORED, partition-pruned index: build_ann_index writes
+    (id, vec) partitioned by IVF cell (+ centroid sidecar), then the
+    probe reads ONLY the nprobe nearest cell partitions
+    (PartitionFilters at the parquet scan — pinned in
+    tests/test_plan_guards.py).  Rows-only contract entry; exact
+    equality with the unindexed ivf_topk is asserted in pytest
+    (tests/test_round3_fixes.py)."""
+    import os
+
+    from sketch_spark.operators.similarity import build_ann_index, ivf_topk_indexed
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = os.path.join(
+        "/tmp", "sketch_spark_ann_index", os.path.basename(os.path.normpath(sf_dir))
+    )
+    build_ann_index(corpus, path, n_cells=16, seed=1, kind="ivf")
+    return ivf_topk_indexed(spark, path, queries, k=5, nprobe=6)
+
+
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship corpus dedup end-to-end: MinHash signatures -> LSH
     candidate buckets -> exact-Jaccard verify -> connected components
@@ -714,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
         "lsh_topk": q_lsh_topk,
         "dedup_corpus": q_dedup_corpus,
         "keyed_stats_by_source": q_keyed_stats_by_source,

@@ -295,6 +295,11 @@ def verify_jaccard_pairs_from_text(
     set ops; this text path is the more exact of the two)."""
     from ..functions.text import word_ngrams_col
 
+    # the pair set is referenced three times below (id_a ids, id_b ids,
+    # and the verify join) — materialize it once or each reference
+    # recomputes the entire upstream LSH candidate DAG (measured 13x on
+    # the sf0.1 bench: 1.4 s -> 18.5 s without this)
+    pairs = pairs.localCheckpoint()
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))

@@ -36,6 +36,10 @@ __all__ = [
     "ivf_centroids",
     "ivf_assign",
     "ivf_topk",
+    "build_ann_index",
+    "load_ann_centroids",
+    "ivf_topk_indexed",
+    "lsh_topk_indexed",
 ]
 
 
@@ -420,6 +424,181 @@ def ivf_topk(
         .drop("cell")
     )
     return cosine_topk(candidates, queries, k, id_col, vec_col)
+
+
+_ANN_META_DIR = "_ann_meta"  # underscore prefix: invisible to Spark/parquet discovery
+
+
+def build_ann_index(
+    emb_df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1,
+    kind: str = "ivf",
+    bits: int = 8,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray | None:
+    """Write a STORED ann index: (id, vec) rows laid out on disk
+    partitioned by the coarse cell, so probe-side readers scan only the
+    ``nprobe`` partitions they need (PartitionFilters at the parquet
+    scan — pinned in tests/test_plan_guards.py).  This is the path the
+    ``ivf_assign`` docstring promises: at real scale the same write is
+    an Iceberg ``PARTITIONED BY (identity(cell))`` table; parquet
+    ``partitionBy`` gives the identical pruned scan in the sandbox.
+
+    kind="ivf": cell = nearest spherical-k-means centroid (cosine).
+      Centroids persist to ``path/_ann_meta/centroids.parquet`` (an
+      underscore-prefixed sidecar Spark readers ignore) so probes
+      re-derive nothing; returns the centroid matrix.
+    kind="hyperplane": cell = sign-bit bucket from seed-derived random
+      hyperplanes — nothing to store (the seed regenerates the planes);
+      returns None.
+
+    The write is one assignment pass (gemm per Arrow batch) + one
+    shuffle-free ``partitionBy`` write; no driver materialization of
+    the corpus.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if kind == "ivf":
+        if centroids is None:
+            centroids = ivf_centroids(
+                emb_df, n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+            )
+    elif kind != "hyperplane":
+        raise ValueError(f"unknown index kind {kind!r}")
+    spark = emb_df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids if kind == "ivf" else None)
+    vec_type = emb_df.schema[vec_col].dataType.simpleString()
+
+    # single Arrow pass: the cell rides along with (id, vec) — no join,
+    # no shuffle before the partitioned write
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cents = bc.value
+        planes = None
+        for batch in batches:
+            mat = _as_matrix(batch.column(1))
+            if mat.size == 0:
+                continue
+            if kind == "ivf":
+                cell = np.argmax(_normalize(mat) @ cents.T, axis=1)
+            else:
+                if planes is None:
+                    rng = np.random.default_rng(
+                        int(derive_seeds(seed, "hyperplane", 1)[0]) % 2**32
+                    )
+                    planes = rng.standard_normal((mat.shape[1], bits))
+                cell = ((mat @ planes) > 0) @ (1 << np.arange(bits, dtype=np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), pa.array(cell.astype(np.int64))],
+                [id_col, vec_col, "cell"],
+            )
+
+    (
+        emb_df.select(id_col, vec_col)
+        .mapInArrow(run, f"{id_col} long, {vec_col} {vec_type}, cell long")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    if kind == "ivf":
+        meta_dir = os.path.join(path, _ANN_META_DIR)
+        os.makedirs(meta_dir, exist_ok=True)
+        cents = np.asarray(centroids, dtype=np.float64)
+        tbl = pa.table(
+            {
+                "cell": pa.array(np.arange(len(cents), dtype=np.int64)),
+                "centroid": pa.array(list(cents), pa.list_(pa.float64())),
+            }
+        )
+        pq.write_table(tbl, os.path.join(meta_dir, "centroids.parquet"))
+        return cents
+    return None
+
+
+def load_ann_centroids(path: str) -> np.ndarray:
+    """Centroid matrix from a ``build_ann_index(kind='ivf')`` sidecar."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(path, _ANN_META_DIR, "centroids.parquet"))
+    order = np.argsort(tbl.column("cell").to_numpy())
+    return np.stack(
+        [np.asarray(v) for v in tbl.column("centroid").to_pylist()]
+    )[order]
+
+
+def _probe_indexed(
+    spark,
+    path: str,
+    cells: list[int],
+    queries: dict[int, np.ndarray],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Read ONLY the probed cells of a stored index — `cell` is a
+    partition column, so the IN-filter becomes PartitionFilters at the
+    scan and unprobed partitions are never opened."""
+    df = spark.read.parquet(path).filter(F.col("cell").isin(sorted(cells))).drop("cell")
+    return cosine_topk(df, queries, k, id_col, vec_col)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a STORED index: identical output to ``ivf_topk``
+    with the same centroids (equality pinned in pytest), but the
+    candidate scan reads only the ``nprobe`` nearest cell partitions
+    instead of assigning the whole corpus per query batch."""
+    cents = load_ann_centroids(path)
+    probe: set[int] = set()
+    for _qid, vec in sorted(queries.items()):
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / (np.linalg.norm(v) or 1.0)
+        probe.update(int(c) for c in np.argsort(-(cents @ v))[:nprobe])
+    return _probe_indexed(spark, path, sorted(probe), queries, k, id_col, vec_col)
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    bits: int = 8,
+    seed: int = 1,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH top-k over a STORED ``kind='hyperplane'`` index:
+    same semantics as ``lsh_bucket_topk`` but the Hamming<=r probe set
+    prunes to bucket partitions at the scan."""
+    rng = np.random.default_rng(int(derive_seeds(seed, "hyperplane", 1)[0]) % 2**32)
+    dim = len(next(iter(sorted(queries.items())))[1])
+    planes = rng.standard_normal((dim, bits))
+    probe: set[int] = set()
+    for _qid, vec in sorted(queries.items()):
+        b = int(
+            ((np.asarray(vec, dtype=np.float64) @ planes) > 0)
+            @ (1 << np.arange(bits, dtype=np.int64))
+        )
+        probe.add(b)
+        if probe_hamming >= 1:
+            for bit in range(bits):
+                probe.add(b ^ (1 << bit))
+    return _probe_indexed(spark, path, sorted(probe), queries, k, id_col, vec_col)
 
 
 def embedding_near_duplicates(

@@ -282,3 +282,73 @@ def test_streaming_seen_history_epoch_overwrite(spark, tmp_path):
     batch_pdf = spark.read.parquet(sub).select("text").toPandas()
     spark.createDataFrame(batch_pdf).write.mode("overwrite").parquet(sub)
     assert spark.read.parquet(str(seen_dir)).count() == 40  # no duplication
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #5 — stored, partition-pruned ANN index
+# ---------------------------------------------------------------------------
+def test_ann_index_ivf_matches_unindexed(spark, sf001, tmp_path):
+    """VERDICT r2 #5: ivf_topk_indexed over a build_ann_index store must
+    equal ivf_topk (same centroids) row-for-row — the stored index is a
+    layout change, not a semantics change."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ann_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf001, "embeddings.parquet"))
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = str(tmp_path / "ivf_index")
+    cents = build_ann_index(corpus, path, n_cells=8, seed=1, kind="ivf")
+    stored = load_ann_centroids(path)
+    assert np.allclose(cents, stored)
+    got = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, path, queries, k=5, nprobe=4).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk(corpus, queries, k=5, n_cells=8, nprobe=4, seed=1).collect()
+    )
+    assert got == want and len(got) == 25
+
+
+def test_ann_index_hyperplane_matches_bucket_topk(spark, sf001, tmp_path):
+    """Stored hyperplane variant equals the on-the-fly lsh_bucket_topk
+    (same seed => same planes => same buckets => same candidates)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.similarity import (
+        build_ann_index,
+        lsh_bucket_topk,
+        lsh_topk_indexed,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf001, "embeddings.parquet"))
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = str(tmp_path / "hp_index")
+    assert build_ann_index(corpus, path, kind="hyperplane", bits=6, seed=1) is None
+    got = sorted(
+        tuple(r)
+        for r in lsh_topk_indexed(
+            spark, path, queries, k=5, bits=6, seed=1, probe_hamming=1
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in lsh_bucket_topk(
+            corpus, queries, k=5, bits=6, seed=1, probe_hamming=1
+        ).collect()
+    )
+    assert got == want and len(got) > 0
