@@ -458,6 +458,17 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3, seed=1)
 
 
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible SimHash (VERDICT r2 #10): same algorithm as the
+    fast custom-hash path but with md5-derived bit votes DuckDB can
+    reproduce exactly — gives the simhash family a hash-green oracle
+    row while q_simhash stays on the production hash (rows-only)."""
+    from sketch_spark.functions.text import simhash_md5_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_md5_col("text").alias("simhash48"))
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for doc pairs (doc_id < 100) with
     J >= 0.9 — fully SQL-expressible n-gram dedup oracle (n=1; the
@@ -537,6 +548,96 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
     corpus = emb.filter(F.col("vec_id") >= 10)
     return lsh_bucket_topk(corpus, queries, k=5, bits=8, seed=1, probe_hamming=1)
+
+
+def _stream_input(spark: SparkSession, sf_dir: str, name: str):
+    """Deterministic multi-file copy of documents for file-stream
+    micro-batching, plus fresh checkpoint/state scratch under /tmp."""
+    import shutil
+
+    base = os.path.join(
+        "/tmp", "sketch_spark_stream", os.path.basename(os.path.normpath(sf_dir)), name
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "input")
+    docs = _read(spark, sf_dir, "documents")
+    docs.repartition(8).write.parquet(in_dir)
+    return base, in_dir, docs.schema
+
+
+def q_streaming_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming with a hard driver signal (VERDICT r2 #9):
+    documents arrive as a file stream (maxFilesPerTrigger=2 -> several
+    micro-batches), a native streaming groupBy-count aggregates across
+    epochs, and foreachBatch snapshots the complete state to parquet.
+    The final snapshot must hash-match the BATCH token_counts oracle —
+    streaming==batch equivalence under the driver's value-hash gate,
+    not just in pytest."""
+    base, in_dir, schema = _stream_input(spark, sf_dir, "tok")
+    out_dir = os.path.join(base, "out")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(in_dir)
+    )
+    agg = (
+        stream.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def snap(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(snap)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("cnt") >= 200)
+        .select(F.col("tok").alias("token"), "cnt")
+    )
+
+
+def q_streaming_cmcu_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch sketch-fold path (streaming_sketch_query) under
+    driver execution: micro-batches fold CMCU partials into the
+    persisted state table, and the final snapshot's estimates for the
+    exact-count>=200 candidate tokens are returned (rows-only — same
+    declared design as cmcu_estimates; streaming==batch byte-identity
+    of the folded state is pinned in tests/test_streaming.py)."""
+    from sketch_spark.operators.aggregate import SketchSpec
+    from sketch_spark.operators.emerging import (
+        broadcast_sketch,
+        candidate_token_counts,
+        estimate_tokens_udf,
+    )
+    from sketch_spark.streaming.sketch_stream import read_state, streaming_sketch_query
+
+    base, in_dir, schema = _stream_input(spark, sf_dir, "cmcu")
+    spec = SketchSpec(
+        "cmcu", "cmcu", "text", mode="tokens",
+        params={"depth": 4, "log2_width": 14, "seed": 1},
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(in_dir)
+    )
+    q = streaming_sketch_query(
+        stream, [spec], os.path.join(base, "state"), os.path.join(base, "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    sketch = read_state(spark, os.path.join(base, "state"), "cmcu")
+    bc = broadcast_sketch(spark, sketch)
+    docs = _read(spark, sf_dir, "documents")
+    cand = candidate_token_counts(docs, "text", bc, threshold=200)
+    return cand.select(
+        "token", estimate_tokens_udf(bc)(F.col("token")).alias("est")
+    )
 
 
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
+        "simhash_md5": q_simhash_md5,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -785,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "html_roundtrip": q_html_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
+        "streaming_token_counts": q_streaming_token_counts,
+        "streaming_cmcu_snapshot": q_streaming_cmcu_snapshot,
         "bpe_token_counts": q_bpe_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_daily": q_rollup_daily,
@@ -798,7 +902,7 @@ _TOKENS_CTE = (
 
 
 def oracle_sql() -> dict[str, str]:
-    from sketch_spark.functions.text import lang_id_ngram_sql, lang_id_sql
+    from sketch_spark.functions.text import lang_id_ngram_sql, lang_id_sql, simhash_md5_sql
 
     return {
         "token_counts": """
@@ -1150,6 +1254,15 @@ def oracle_sql() -> dict[str, str]:
                      replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
                      '</p></body></html>')) AS BIGINT) AS n_html_bytes
             FROM documents
+        """,
+        "simhash_md5": simhash_md5_sql(),
+        # streaming==batch: the streamed snapshot must match the same
+        # exact-count oracle the batch token_counts query matches
+        "streaming_token_counts": """
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok HAVING count(*) >= 200
         """,
         "warc_roundtrip": """
             SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,

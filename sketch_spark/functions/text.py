@@ -474,3 +474,83 @@ def lang_id_ngram_sql(
         SELECT {id_col}, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
         FROM (SELECT {id_col}, {', '.join(score_exprs)} FROM {table_expr})
     """
+
+
+def simhash_md5_col(text: str | Column, bits: int = 48) -> Column:
+    """SQL-expressible SimHash fingerprint (pure Catalyst, no Python):
+    distinct whitespace tokens vote with md5-derived bits.
+
+    This is the ORACLE variant of the simhash family (VERDICT r2 #10):
+    the fast production path (operators/dedup.py simhash_fingerprints)
+    uses a custom numpy hash family and is rows-only in the contract;
+    this md5 variant computes the same algorithm with a hash DuckDB can
+    reproduce exactly (CAST('0x'||substr(md5(tok),1,bits/4) AS UBIGINT)),
+    giving the family a hash-green driver row.
+
+    ``bits`` <= 48 keeps every intermediate exactly representable in
+    doubles (h < 2^48 and powers of two are exact, so floor(h / 2^b) is
+    exact) and the fingerprint positive in a signed 64-bit long.
+    Per-token weight is 1 (distinct tokens), matching the SQL side's
+    DISTINCT; ties (vote sum == 0) yield a 0 bit on both sides.
+    """
+    hexdigits = bits // 4
+    toks = F.filter(
+        F.array_distinct(F.split(F.trim(text if isinstance(text, Column) else F.col(text)), r"\s+")),
+        lambda t: t != "",
+    )
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, hexdigits), 16, 10).cast("long")
+    )
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: ((F.floor(h / F.pow(F.lit(2.0), b)) % 2) * 2 - 1).cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, F.floor(F.pow(F.lit(2.0), b)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_md5_sql(
+    table_expr: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+) -> str:
+    """DuckDB SQL computing exactly ``simhash_md5_col`` per row."""
+    hexdigits = bits // 4
+    return f"""
+        WITH toks AS (
+          SELECT DISTINCT {id_col}, tok FROM (
+            SELECT {id_col}, unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+            FROM {table_expr})
+          WHERE tok <> ''
+        ), hs AS (
+          SELECT {id_col},
+                 CAST(CAST('0x' || substr(md5(tok), 1, {hexdigits}) AS UBIGINT) AS BIGINT) AS h
+          FROM toks
+        ), votes AS (
+          SELECT {id_col}, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hs, generate_series(0, {bits - 1}) AS t(b)
+          GROUP BY {id_col}, b
+        )
+        SELECT {id_col},
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+                 AS simhash48
+        FROM votes GROUP BY {id_col}
+    """

@@ -46,12 +46,17 @@ def streaming_sketch_query(
     state_dir: str,
     checkpoint_dir: str,
     group_cols: list[str] | None = None,
+    trigger: dict | None = None,
 ):
     """Start a streaming query that folds each micro-batch's sketch
     partials into a parquet state table at ``state_dir``.
 
-    Returns the StreamingQuery; callers trigger with availableNow for
-    batch-drains or processingTime for continuous maintenance.  Read
+    Returns the StreamingQuery.  ``trigger`` is passed through to
+    ``writeStream.trigger(**trigger)`` — ``{"availableNow": True}``
+    for a self-terminating batch-drain (awaitTermination returns once
+    the backlog is folded), ``{"processingTime": "..."}`` for
+    continuous maintenance, ``None`` for the default continuous
+    micro-batch trigger (stop via processAllAvailable + stop).  Read
     the current global state back with ``read_state``.
     """
     group_cols = list(group_cols or [])
@@ -78,12 +83,14 @@ def streaming_sketch_query(
         commit_epoch(state_dir, epoch_id)
         shutil.rmtree(tmp, ignore_errors=True)  # staging dir, no longer needed
 
-    return (
+    writer = (
         stream_df.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
-        .start()
     )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
 
 
 def read_state(spark, state_dir: str, spec_name: str, *group_vals):
