@@ -154,6 +154,13 @@ def main() -> None:
         },
         "cmcu_error_vs_bound": error_report,
     }
+    # attach the most recent two-parallelism-level scaling measurement
+    # (bench_util/scaling.py, median-of-runs with spread) so the north
+    # metric travels with the recorded bench line
+    scaling_path = os.path.join(REPO, "bench_util", "scaling_last.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling_efficiency"] = json.load(f)
     spark.stop()
     print(json.dumps(out))
 

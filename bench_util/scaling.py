@@ -72,13 +72,21 @@ def run_at(cores: int, table_dir: str, runs: int = 1) -> dict:
             yield pa.RecordBatch.from_pydict({"n": pa.array([b.num_rows])})
 
     df.select("lang").repartition(cores * 2).mapInArrow(_noop, "n long").count()
+    # VERDICT r2 #8: keep EVERY run's wall — the median-of-runs with
+    # spread is the headline (single runs on this VM vary 0.54-1.38 on
+    # the same pair; a best-of hides that, a median with reported
+    # spread quantifies it)
+    walls = []
     best = None
     for _ in range(runs):
         r = build_job(spark, table_dir)
+        walls.append(r["wall_sec"])
         if best is None or r["wall_sec"] < best["wall_sec"]:
             best = r
     spark.stop()
     best["cores"] = cores
+    best["walls"] = walls
+    best["wall_median"] = round(sorted(walls)[len(walls) // 2], 2)
     return best
 
 
@@ -86,7 +94,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=500_000)
     ap.add_argument("--table", default=None, help="pages table dir (default: per-rows path)")
-    ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--pairs", default="4:16,8:32", help="comma list of N:4N core pairs")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--single", type=int, default=None, help="internal: run one cores level, print json")
@@ -148,28 +156,42 @@ def main() -> None:
     }
     best_eff = 0.0
     for n, n4 in pairs:
-        eff = (results[n]["wall_sec"] / results[n4]["wall_sec"]) / (n4 / n)
+        speedup = n4 / n
+        med_eff = (results[n]["wall_median"] / results[n4]["wall_median"]) / speedup
+        # spread: the extreme pairings of observed walls bound the
+        # efficiency any single-run measurement could have reported
+        eff_lo = (min(results[n]["walls"]) / max(results[n4]["walls"])) / speedup
+        eff_hi = (max(results[n]["walls"]) / min(results[n4]["walls"])) / speedup
         out["pairs"][f"{n}->{n4}"] = {
-            "efficiency": round(eff, 3),
-            f"T{n}": results[n]["wall_sec"],
-            f"T{n4}": results[n4]["wall_sec"],
+            "efficiency": round(med_eff, 3),
+            "efficiency_spread": [round(eff_lo, 3), round(eff_hi, 3)],
+            f"T{n}": results[n]["wall_median"],
+            f"T{n4}": results[n4]["wall_median"],
+            f"walls_{n}": results[n]["walls"],
+            f"walls_{n4}": results[n4]["walls"],
             f"tokens_per_sec_{n}": results[n]["tokens_per_sec"],
             f"tokens_per_sec_{n4}": results[n4]["tokens_per_sec"],
         }
-        best_eff = max(best_eff, eff)
+        best_eff = max(best_eff, med_eff)
     out["value"] = round(best_eff, 3)
     print(json.dumps(out))
+    # persist for bench.py to embed in the driver-recorded BENCH json —
+    # the scaling evidence travels with the headline numbers
+    out["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(os.path.join(REPO, "bench_util", "scaling_last.json"), "w") as f:
+        json.dump(out, f, indent=1)
 
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     if os.path.exists(args.out):
         with open(args.out, "a") as f:
             for n, n4 in pairs:
                 pr = out["pairs"][f"{n}->{n4}"]
+                lo, hi = pr["efficiency_spread"]
                 f.write(
                     f"| {stamp} | {args.rows} docs / {list(tokens)[0]} tokens | "
                     f"{n}->{n4} | {pr[f'T{n}']}s | {pr[f'T{n4}']}s | "
                     f"{pr[f'tokens_per_sec_{n}']:.0f} | {pr[f'tokens_per_sec_{n4}']:.0f} | "
-                    f"**{pr['efficiency']:.2f}** |\n"
+                    f"**{pr['efficiency']:.2f}** (median of {args.runs}, spread {lo:.2f}-{hi:.2f}) |\n"
                 )
 
 
