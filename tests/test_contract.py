@@ -28,7 +28,9 @@ def test_oracle_keys_subset_of_queries():
         "simhash",
         "simhash_near_dups",
         "ivf_topk",
+        "ivf_topk_indexed",  # == ivf_topk by pytest; stored-index layout
         "lsh_topk",
+        "streaming_cmcu_snapshot",  # sketch estimates; fold==batch by pytest
     }
     assert qs - oracles == allowed_rows_only
 
