@@ -458,6 +458,54 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3, seed=1)
 
 
+def q_top_df_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery: top-50 tokens by document
+    frequency (ties broken by token asc — deterministic cut).  This is
+    the string-space face of the SimHash head-drop knob
+    (top_df_token_hashes); at scale it is one distinct-explode +
+    groupBy + a 50-row TakeOrdered."""
+    from sketch_spark.functions.text import document_frequencies
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        document_frequencies(docs)
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction: top-3 terms by tf-idf
+    (tf x ln(N/df), rounded; ties by token asc) for doc_id < 200.
+    tf/df/N computed over the FULL corpus; only the reported docs are
+    restricted.  Shuffles: token groupBys (vocab-scale) + one window
+    partitioned by doc_id (row_number<=3)."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        _tokens(docs, ["doc_id"])
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    from sketch_spark.functions.text import document_frequencies
+
+    dfreq = document_frequencies(docs).withColumnRenamed("token", "tok")
+    scored = (
+        tf.join(dfreq, "tok")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+        .filter(F.col("doc_id") < 200)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("tok").alias("token"), "tfidf", "rank")
+    )
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-expressible SimHash (VERDICT r2 #10): same algorithm as the
     fast custom-hash path but with md5-derived bit votes DuckDB can
@@ -875,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
+        "top_df_tokens": q_top_df_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1256,6 +1306,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "simhash_md5": simhash_md5_sql(),
+        "top_df_tokens": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents)
+              WHERE tok <> ''
+            )
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS df
+            FROM toks GROUP BY tok
+            ORDER BY df DESC, token ASC LIMIT 50
+        """,
+        "tfidf_top_terms": """
+            WITH exploded AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents)
+              WHERE tok <> ''
+            ), tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM exploded GROUP BY doc_id, tok
+            ), dfreq AS (
+              SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM exploded GROUP BY tok
+            ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.tok,
+                     ROUND(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+              FROM tf JOIN dfreq USING (tok), n
+              WHERE tf.doc_id < 200
+            )
+            SELECT doc_id, tok AS token, tfidf,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+                   ) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
         # streaming==batch: the streamed snapshot must match the same
         # exact-count oracle the batch token_counts query matches
         "streaming_token_counts": """

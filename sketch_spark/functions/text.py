@@ -554,3 +554,26 @@ def simhash_md5_sql(
                  AS simhash48
         FROM votes GROUP BY {id_col}
     """
+
+
+def document_frequencies(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(token, df) document frequencies — the string-space companion of
+    ``operators.dedup.top_df_token_hashes`` (which works in hash space
+    for the SimHash head-drop).  Useful directly as corpus-driven
+    stopword discovery: the df head IS the stopword list.
+
+    Pure Catalyst: per-doc distinct tokens explode, then one groupBy —
+    the shuffle carries (doc, distinct-token) pairs, bounded by corpus
+    vocabulary x docs containing each token (the same cost any doc-freq
+    computation pays), with map-side partial aggregation.
+    """
+    toks = df.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count("*").alias("df"))
