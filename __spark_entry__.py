@@ -506,6 +506,43 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: pairwise distinct-token overlap between
+    languages via HLL merge (|A∪B| = one register-max merge;
+    |A∩B| by inclusion-exclusion) — executor-side over merged state
+    rows.  Rows-only (estimates); the error bound vs exact intersections
+    is asserted in pytest (tests/test_round3_fixes.py)."""
+    from sketch_spark.operators.aggregate import distinct_overlap_estimates
+
+    docs = _read(spark, sf_dir, "documents")
+    return distinct_overlap_estimates(docs, "lang", "text", p=14, seed=1)
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment as a map-only
+    projection over an md5-derived U[0,1) of (seed, doc_id) — stable
+    under repartition/re-execution (seeded rand() is NOT), and
+    reproducible in DuckDB for the hash gate."""
+    from sketch_spark.operators.sampling import deterministic_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id", seed=1
+    ).select("doc_id", "split")
+
+
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-doc sample per source (md5-rank window; with AQE
+    the WindowGroupLimit folds per-partition top-k before the exchange,
+    so the shuffle carries <= k rows/group/partition)."""
+    from sketch_spark.operators.sampling import sample_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_per_group(docs, ["source"], 3, "doc_id", seed=1).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-expressible SimHash (VERDICT r2 #10): same algorithm as the
     fast custom-hash path but with md5-derived bit votes DuckDB can
@@ -925,6 +962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5": q_simhash_md5,
         "top_df_tokens": q_top_df_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "train_val_test_split": q_train_val_test_split,
+        "sample_per_source": q_sample_per_source,
+        "hll_lang_overlap": q_hll_lang_overlap,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1316,6 +1356,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY tok
             ORDER BY df DESC, token ASC LIMIT 50
+        """,
+        "train_val_test_split": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        "sample_per_source": """
+            WITH u AS (
+              SELECT source, doc_id,
+                     CAST(CAST('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT source, doc_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY source ORDER BY u ASC, doc_id ASC
+                   ) AS INT) AS sample_rank
+            FROM u
+            QUALIFY sample_rank <= 3
         """,
         "tfidf_top_terms": """
             WITH exploded AS (

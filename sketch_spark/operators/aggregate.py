@@ -661,3 +661,70 @@ def sketch_aggregate(
                 result._sketches[(spec.name,)] = spec.make()
                 result.metrics[(spec.name,)] = {"n_rows": 0, "n_values": 0, "wall_ms": 0.0}
     return result
+
+
+def state_union_estimate_col():
+    """pandas UDF (state_a, state_b) -> cardinality estimate of the
+    MERGED sketch — executor-side sketch set algebra over merged-state
+    rows (merge is in-place on a deserialized copy; inputs untouched).
+    Pair with ``state_estimate_col`` for inclusion-exclusion
+    intersection estimates."""
+
+    @F.pandas_udf("double")
+    def uni(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(a, b):
+            sa = sketch_from_bytes(bytes(ba))
+            sa.merge(sketch_from_bytes(bytes(bb)))
+            out.append(float(sa.estimate()))
+        return pd.Series(out)
+
+    return uni
+
+
+def distinct_overlap_estimates(
+    df: DataFrame,
+    group_col: str,
+    column: str,
+    p: int = 14,
+    seed: int = 1,
+    mode: str = "tokens",
+    decimals: int = 1,
+) -> DataFrame:
+    """Pairwise distinct-value overlap between groups via HLL merge
+    algebra — the analytics mergeable sketches exist for: |A∪B| is one
+    state merge (registers max), |A∩B| = |A|+|B|-|A∪B| by
+    inclusion-exclusion.  One pass over the data builds per-group
+    states; the pairwise stage then touches only G states (KB each), as
+    a self-join over state rows with executor-side estimate extraction
+    — nothing data-scale, no driver collect.
+
+    Output: (group_a, group_b, est_a, est_b, est_union,
+    est_intersection) for group_a < group_b.  Intersection error is
+    bounded by ~3 x 1.04/sqrt(2^p) x |A∪B| (each term carries the HLL
+    RSE of its union-sized argument) — asserted in pytest.
+    """
+    spec = SketchSpec("hll", "hll", column, mode=mode, params={"p": p, "seed": seed})
+    merged = merge_partials(build_partials(df, [spec], [group_col]), [group_col])
+    a = merged.select(
+        F.col(group_col).alias("group_a"), F.col("state").alias("state_a")
+    )
+    b = merged.select(
+        F.col(group_col).alias("group_b"), F.col("state").alias("state_b")
+    )
+    est = state_estimate_col()
+    uni = state_union_estimate_col()
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .withColumn("est_a", F.round(est(F.col("state_a")), decimals))
+        .withColumn("est_b", F.round(est(F.col("state_b")), decimals))
+        .withColumn("est_union", F.round(uni(F.col("state_a"), F.col("state_b")), decimals))
+        .withColumn(
+            "est_intersection",
+            F.greatest(
+                F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), decimals),
+                F.lit(0.0),
+            ),
+        )
+        .select("group_a", "group_b", "est_a", "est_b", "est_union", "est_intersection")
+    )

@@ -1,0 +1,91 @@
+"""Deterministic sampling & dataset splits — training-pipeline staples.
+
+Everything here is PURE Catalyst over an md5-derived uniform rank, so
+results are (a) reproducible bit-for-bit across runs, Spark versions,
+and partitionings, (b) oracle-checkable in any engine with md5 (the
+driver's DuckDB gate), and (c) shuffle-minimal: a split is a map-only
+projection; a per-group sample is one window over the group key.
+
+Why md5 rather than Spark's ``rand``/``sample``: seeded ``rand`` is
+partitioning-dependent (values are drawn per-partition), so a
+repartition silently reshuffles which rows land in train vs test —
+exactly the nondeterminism a 10^12-row training pipeline cannot have.
+A content-derived hash rank makes the assignment a pure function of
+(seed, id), stable under any execution plan — the same argument as the
+deterministic salts in operators/aggregate.py (SPARK-23207-style
+re-execution safety).
+
+Reference analog: the reference has no sampling surface; this is part
+of the training-data battery the task mandates alongside dedup/ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+__all__ = ["uniform_hash_col", "deterministic_split", "sample_per_group"]
+
+_HEX_DIGITS = 8  # 32 bits of rank: plenty for split fractions; exact in double
+
+
+def uniform_hash_col(id_col: str | Column, seed: int = 1) -> Column:
+    """U[0,1) as a pure function of (seed, id): the first 8 md5 hex
+    digits of ``seed:id`` scaled by 16^-8.  32 bits of resolution —
+    split-fraction granularity of ~2.3e-10 — and exactly representable
+    in a double, so engine comparisons are bit-stable."""
+    cid = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), cid.cast("string"))), 1, _HEX_DIGITS),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(float(16 ** _HEX_DIGITS))
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given fractions —
+    train/val/test as a map-only projection (NO shuffle, NO sampling
+    pass): split = the weight interval containing u(seed, id).
+
+    Fractions need not sum to 1; they are normalized.  Assignment is
+    stable under repartition/re-execution and independent of row order.
+    """
+    total = float(sum(weights.values()))
+    u = uniform_hash_col(id_col, seed)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += float(w) / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic k-row sample per group: rank rows inside each group
+    by (u(seed, id), id) and keep rank <= k.  One shuffle on the group
+    key; with AQE this is a WindowGroupLimit (per-partition top-k fold
+    before the exchange), so the shuffle carries at most k rows per
+    group per input partition — not the group's full contents."""
+    w = W.partitionBy(*group_cols).orderBy(
+        uniform_hash_col(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

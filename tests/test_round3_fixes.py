@@ -352,3 +352,90 @@ def test_ann_index_hyperplane_matches_bucket_topk(spark, sf001, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: sampling determinism + HLL set algebra
+# ---------------------------------------------------------------------------
+def test_deterministic_split_stable_under_repartition(spark, sf001):
+    """The whole point vs seeded rand(): assignment is a pure function
+    of (seed, id) — identical for any partitioning — and fractions land
+    near the requested weights."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.sampling import deterministic_split
+
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(docs, w).select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs.repartition(13), w).select("doc_id", "split").collect()
+    }
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert abs(frac_train - 0.9) < 0.08  # 500 docs: ~4 sigma of binomial noise
+    # different seed => different assignment (not degenerate)
+    c = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs, w, seed=2).select("doc_id", "split").collect()
+    }
+    assert a != c
+
+
+def test_sample_per_group_deterministic_and_sized(spark, sf001):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.sampling import sample_per_group
+
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    s1 = sorted(
+        tuple(r) for r in sample_per_group(docs, ["source"], 3).select("source", "doc_id").collect()
+    )
+    s2 = sorted(
+        tuple(r)
+        for r in sample_per_group(docs.repartition(7), ["source"], 3)
+        .select("source", "doc_id")
+        .collect()
+    )
+    assert s1 == s2
+    per_group = {}
+    for src, _ in s1:
+        per_group[src] = per_group.get(src, 0) + 1
+    assert all(v == 3 for v in per_group.values())
+
+
+def test_hll_overlap_estimates_within_bound(spark, sf001):
+    """Inclusion-exclusion intersection estimates stay within
+    3 x RSE x |A∪B| of exact pairwise overlaps (each HLL term carries
+    the RSE of a union-sized set)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.aggregate import distinct_overlap_estimates
+
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    got = distinct_overlap_estimates(docs, "lang", "text", p=14).toPandas()
+    toks = (
+        docs.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .collect()
+    )
+    sets: dict[str, set] = {}
+    for r in toks:
+        sets.setdefault(r["lang"], set()).add(r["tok"])
+    rse = 1.04 / (2 ** (14 / 2))
+    assert len(got) == len(sets) * (len(sets) - 1) // 2
+    for _, row in got.iterrows():
+        a, b = sets[row.group_a], sets[row.group_b]
+        exact_union = len(a | b)
+        exact_inter = len(a & b)
+        assert abs(row.est_union - exact_union) <= 3 * rse * exact_union + 1
+        assert abs(row.est_intersection - exact_inter) <= 3 * 3 * rse * exact_union + 1
