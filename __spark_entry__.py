@@ -139,6 +139,140 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per doc: duplicate-token /
+    duplicate-n-gram fractions and top-token fraction — all single-pass
+    Catalyst array expressions, no token explode, no shuffle."""
+    from sketch_spark.functions.text import repetition_columns
+
+    docs = _read(spark, sf_dir, "documents")
+    rc = repetition_columns("text")
+    return docs.select("doc_id", *[c.alias(k) for k, c in rc.items()])
+
+
+def _pii_text_col() -> "F.Column":
+    """Deterministic PII-bearing text derived from (text, doc_id) —
+    the synthetic corpus has no organic PII, so the contract plants
+    emails / a phone / an occasional IP the same way on both sides."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" cc admin"),
+                (d % 50).cast("string"),
+                F.lit("@test.org from 10.0."),
+                (d % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' cc admin' || CAST(doc_id % 50 AS VARCHAR) || "
+    "'@test.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END"
+)
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact: per-doc email/phone/IP counts, first email,
+    and the md5 of the placeholder-redacted text — all codegen'd regex
+    scans, no Python, no shuffle."""
+    from sketch_spark.functions.pii import pii_columns, redact_pii_col
+
+    docs = _read(spark, sf_dir, "documents")
+    t = _pii_text_col()
+    pc = pii_columns(t)
+    return docs.select(
+        "doc_id",
+        pc["n_emails"].alias("n_emails"),
+        pc["n_phones"].alias("n_phones"),
+        pc["n_ipv4"].alias("n_ipv4"),
+        pc["first_email"].alias("first_email"),
+        F.md5(redact_pii_col(t)).alias("redacted_md5"),
+    )
+
+
+def _synth_url_col() -> "F.Column":
+    """Deterministic messy URL per doc (documents carry no URL column):
+    mixed case, default port, missing path, tracking params, unsorted
+    params, fragment — every normalization branch gets exercised."""
+    d = F.col("doc_id")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+        (d % 4 + 1).cast("int"),
+    )
+    return F.concat(
+        F.lit("HTTPS://WWW.Host"),
+        (d % 97).cast("string"),
+        F.lit(".Example."),
+        tld,
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/p/"), d.cast("string"))
+        ),
+        F.lit("?utm_source=feed&id="),
+        (d % 10).cast("string"),
+        F.when(d % 3 == 0, F.lit("&ref=rss&b=2")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+_SYNTH_URL_SQL = (
+    "'HTTPS://WWW.Host' || CAST(doc_id % 97 AS VARCHAR) || '.Example.' || "
+    "['com','org','net','io'][CAST(doc_id % 4 AS INT) + 1] || "
+    "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN '' ELSE '/p/' || CAST(doc_id AS VARCHAR) END || "
+    "'?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '&ref=rss&b=2' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _url_norm_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketch_spark.functions.urls import (
+        host_col,
+        normalize_url_col,
+        registered_domain_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    u = _synth_url_col()
+    return docs.select(
+        "doc_id",
+        normalize_url_col(u).alias("url_norm"),
+        host_col(u).alias("host"),
+        registered_domain_col(u).alias("domain"),
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL pass: codegen'd regex/array expressions, zero
+    shuffle — the crawl-dedup key derivation."""
+    return _url_norm_df(spark, sf_dir)
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl accounting over normalized URLs —
+    one partial-aggregated shuffle on the (tiny) domain key."""
+    return (
+        _url_norm_df(spark, sf_dir)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.functions.text import lang_id_col
 
@@ -929,6 +1063,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_emerging_hh(spark, "/root/testdata/sf0.001")
 
 
+def _url_oracle_sql(rollup: bool) -> str:
+    from sketch_spark.functions.urls import url_sql_exprs
+
+    e = url_sql_exprs("url")
+    base = f"""
+        WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+        SELECT doc_id,
+               {e['normalized']} AS url_norm,
+               {e['host']} AS host,
+               {e['domain']} AS domain
+        FROM u
+    """
+    if not rollup:
+        return base
+    return f"""
+        WITH norm AS ({base})
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM norm GROUP BY domain
+    """
+
+
+def _pii_oracle_sql() -> str:
+    from sketch_spark.functions.pii import pii_sql_exprs
+
+    e = pii_sql_exprs("t")
+    return f"""
+        WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+        SELECT doc_id,
+               {e['n_emails']} AS n_emails,
+               {e['n_phones']} AS n_phones,
+               {e['n_ipv4']} AS n_ipv4,
+               {e['first_email']} AS first_email,
+               md5({e['redacted']}) AS redacted_md5
+        FROM p
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -937,6 +1109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_bigrams": q_emerging_bigrams,
         "distinct_tokens_by_lang": q_distinct_tokens_by_lang,
         "doc_stats": q_doc_stats,
+        "repetition_stats": q_repetition_stats,
+        "pii_scan": q_pii_scan,
+        "url_normalize": q_url_normalize,
+        "domain_rollup": q_domain_rollup,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "doc_fingerprint": q_doc_fingerprint,
@@ -992,7 +1168,12 @@ _TOKENS_CTE = (
 
 
 def oracle_sql() -> dict[str, str]:
-    from sketch_spark.functions.text import lang_id_ngram_sql, lang_id_sql, simhash_md5_sql
+    from sketch_spark.functions.text import (
+        lang_id_ngram_sql,
+        lang_id_sql,
+        repetition_sql,
+        simhash_md5_sql,
+    )
 
     return {
         "token_counts": """
@@ -1074,6 +1255,10 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio
             FROM documents WHERE doc_id < 100
         """,
+        "repetition_stats": repetition_sql(),
+        "pii_scan": _pii_oracle_sql(),
+        "url_normalize": _url_oracle_sql(rollup=False),
+        "domain_rollup": _url_oracle_sql(rollup=True),
         "lang_id": lang_id_sql(),
         "lang_id_ngram": lang_id_ngram_sql(),
         "doc_fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",

@@ -366,6 +366,91 @@ def stopword_ratio_col(text: str | Column) -> Column:
     return F.round(n_stop / F.size(F.array_distinct(toks)), 4)
 
 
+def repetition_columns(text: str | Column, ns: tuple[int, ...] = (2, 3)) -> dict[str, Column]:
+    """Gopher-style repetition filters (Rae et al. 2021, appx. A1.1):
+    duplicate-token fraction, duplicate word-n-gram fractions, and the
+    fraction of tokens taken by the single most frequent token.  The
+    repetition family is the standard "remove boilerplate / templated
+    junk" gate in LLM data pipelines.
+
+    All pure Catalyst, one pass per row, no shuffle: distinct fractions
+    via ``array_distinct``; the top-token count via a single-pass
+    max-run ``aggregate`` over the sorted token array (O(n log n) sort
+    + O(n) scan per row, whole-stage codegen — NOT a per-token explode
+    + groupBy, which would shuffle the token stream at corpus scale).
+    """
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    out: dict[str, Column] = {
+        "dup_token_ratio": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tokens, 4
+        ),
+    }
+    for n in ns:
+        grams = word_ngrams_col(text, n)
+        ng = F.size(grams)
+        out[f"dup_{n}gram_ratio"] = F.round(
+            F.when(
+                ng > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / ng
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+    srt = F.sort_array(toks)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    max_run = F.aggregate(srt, init, _step, lambda acc: acc["best"])
+    out["top_token_ratio"] = F.round(max_run / n_tokens, 4)
+    return out
+
+
+def repetition_sql(
+    table_expr: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    where: str = "",
+) -> str:
+    """DuckDB SQL computing exactly ``repetition_columns`` per row
+    (ns=(2,3)); list comprehensions build the gram lists, an
+    unnest+group-by pair computes the per-doc mode count."""
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS toks
+          FROM {table_expr}{where}
+        ), grams AS (
+          SELECT {id_col}, toks,
+                 [toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)] AS bg,
+                 [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  FOR i IN generate_series(1, len(toks)-2)] AS tg
+          FROM base
+        ), tc AS (
+          SELECT {id_col}, tok, count(*) AS c
+          FROM (SELECT {id_col}, unnest(toks) AS tok FROM base)
+          GROUP BY 1, 2
+        ), top AS (
+          SELECT {id_col}, max(c) AS mx, sum(c) AS n FROM tc GROUP BY 1
+        )
+        SELECT g.{id_col},
+               round(1.0 - len(list_distinct(g.toks)) / CAST(len(g.toks) AS DOUBLE), 4)
+                 AS dup_token_ratio,
+               round(CASE WHEN len(g.bg) > 0
+                     THEN 1.0 - len(list_distinct(g.bg)) / CAST(len(g.bg) AS DOUBLE)
+                     ELSE 0.0 END, 4) AS dup_2gram_ratio,
+               round(CASE WHEN len(g.tg) > 0
+                     THEN 1.0 - len(list_distinct(g.tg)) / CAST(len(g.tg) AS DOUBLE)
+                     ELSE 0.0 END, 4) AS dup_3gram_ratio,
+               round(top.mx / CAST(top.n AS DOUBLE), 4) AS top_token_ratio
+        FROM grams g JOIN top ON g.{id_col} = top.{id_col}
+    """
+
+
 # marker-word language ID: a deterministic n-gram-free heuristic whose
 # semantics are expressible identically in ANSI SQL (oracle-checkable);
 # real corpora would swap in a larger marker table, same plan shape

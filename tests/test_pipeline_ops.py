@@ -1,0 +1,132 @@
+"""Round-3 pipeline operators: repetition metrics, PII scan/redaction,
+URL normalization (hand-computed fixtures; the DuckDB contract oracles
+cover the corpus-scale equivalence)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_repetition_columns_hand_computed(spark):
+    from sketch_spark.functions.text import repetition_columns
+
+    df = spark.createDataFrame(
+        [
+            # 6 tokens, 3 distinct -> dup_token 0.5; bigrams: "a b","b a","a b","b c","c a"
+            # distinct 4 of 5 -> dup_2gram 1/5; trigrams all distinct -> 0;
+            # top token "a" x3 of 6
+            (1, "a b a b c a"),
+            # all distinct
+            (2, "x y z"),
+            # single token: no bigrams (guard branch), top ratio 1.0
+            (3, "solo"),
+            # fully repeated
+            (4, "w w w w"),
+        ],
+        ["doc_id", "text"],
+    )
+    rc = repetition_columns("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in rc.items()]
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1["dup_token_ratio"] == pytest.approx(0.5)
+    assert r1["dup_2gram_ratio"] == pytest.approx(round(1 - 4 / 5, 4))
+    assert r1["dup_3gram_ratio"] == 0.0
+    assert r1["top_token_ratio"] == pytest.approx(0.5)
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[2]["top_token_ratio"] == pytest.approx(round(1 / 3, 4))
+    assert rows[3]["dup_2gram_ratio"] == 0.0
+    assert rows[3]["top_token_ratio"] == 1.0
+    r4 = rows[4]
+    assert r4["dup_token_ratio"] == 0.75
+    assert r4["dup_2gram_ratio"] == pytest.approx(round(1 - 1 / 3, 4))
+    assert r4["top_token_ratio"] == 1.0
+
+
+def test_pii_scan_and_redact(spark):
+    from sketch_spark.functions.pii import pii_columns, redact_pii_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@foo.co.uk or bob@x.io, call +1-555-0199"),
+            (2, "server 192.168.1.1 and 10.0.0.2 no contacts"),
+            (3, "clean text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    pc = pii_columns("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(k) for k, c in pc.items()],
+            redact_pii_col("text").alias("red"),
+        ).collect()
+    }
+    assert out[1]["n_emails"] == 2
+    assert out[1]["first_email"] == "a.b+c@foo.co.uk"
+    assert out[1]["n_phones"] == 1
+    assert out[1]["red"] == "mail me at <EMAIL> or <EMAIL>, call <PHONE>"
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["red"] == "server <IP> and <IP> no contacts"
+    assert out[3]["n_emails"] == out[3]["n_phones"] == out[3]["n_ipv4"] == 0
+    assert out[3]["first_email"] is None
+    assert out[3]["red"] == "clean text only"
+
+
+def test_url_normalize_branches(spark):
+    from sketch_spark.functions.urls import (
+        host_col,
+        normalize_url_col,
+        registered_domain_col,
+    )
+
+    cases = [
+        # case-fold, default port, fragment, tracking strip, param sort
+        (1, "HTTPS://WWW.News.Example.COM:443/a/B?z=1&utm_source=x&a=2#top",
+         "https://www.news.example.com/a/B?a=2&z=1",
+         "www.news.example.com", "example.com"),
+        # empty path -> "/", all params tracked -> no query
+        (2, "http://Foo.IO?utm_campaign=c&ref=rss",
+         "http://foo.io/", "foo.io", "foo.io"),
+        # non-default port kept
+        (3, "https://h.example.org:8443/x", "https://h.example.org:8443/x",
+         "h.example.org", "example.org"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, *_ in cases], ["doc_id", "url"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            normalize_url_col("url").alias("norm"),
+            host_col("url").alias("host"),
+            registered_domain_col("url").alias("dom"),
+        ).collect()
+    }
+    for i, _, norm, host, dom in cases:
+        assert out[i]["norm"] == norm, (i, out[i]["norm"])
+        assert out[i]["host"] == host
+        assert out[i]["dom"] == dom
+
+
+def test_pipeline_ops_plans_are_python_free(spark):
+    """Repetition / PII / URL columns must stay whole-stage-codegen
+    Catalyst expressions — no Python eval node anywhere in the plan."""
+    from sketch_spark.functions.pii import pii_columns, redact_pii_col
+    from sketch_spark.functions.text import repetition_columns
+    from sketch_spark.functions.urls import normalize_url_col
+
+    df = spark.createDataFrame([(1, "a b", "http://x.io/p?a=1")],
+                               ["doc_id", "text", "url"])
+    sel = df.select(
+        *[c.alias(k) for k, c in repetition_columns("text").items()],
+        *[c.alias(k) for k, c in pii_columns("text").items()],
+        redact_pii_col("text").alias("red"),
+        normalize_url_col("url").alias("norm"),
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan
