@@ -481,6 +481,42 @@ def q_cmcu_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries frequent items, exact-verified: every token with
+    cnt*(k+1) > N.  The MG summary (deterministic presence guarantee)
+    prunes candidates; one map-side-combined pass counts them exactly,
+    so the answer is integer-exact and SQL-oracled."""
+    from sketch_spark.operators.frequent import frequent_tokens_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    return frequent_tokens_exact(docs, "text", k=200)
+
+
+def q_countsketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch (signed, unbiased) point estimates for the exact
+    >=200-count tokens — the two-sided companion of cmcu_estimates;
+    error bound |est-true| <= 3*sqrt(F2/w) asserted in
+    tests/test_frequent.py."""
+    from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
+    from sketch_spark.operators.emerging import broadcast_sketch, estimate_tokens_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    spec = SketchSpec(
+        "cs", "cs", "text", mode="tokens",
+        params={"depth": 5, "log2_width": 14, "seed": 1},
+    )
+    sketch = sketch_aggregate(docs, [spec], fanout=8).sketch("cs")
+    bc = broadcast_sketch(spark, sketch)
+    heavy = (
+        _tokens(docs)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 200)
+        .select(F.col("tok").alias("token"))
+    )
+    return heavy.select("token", estimate_tokens_udf(bc)(F.col("token")).alias("est"))
+
+
 def q_hll_distinct_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang HLL distinct tokens with a FULLY executor-side plan:
     build partials -> tree merge -> estimate extraction as a pandas UDF
@@ -1129,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_except": q_bigram_except,
         "events_daily_pivot": q_events_daily_pivot,
         "cmcu_estimates": q_cmcu_estimates,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "countsketch_estimates": q_countsketch_estimates,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "kll_price_quantiles": q_kll_price_quantiles,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
@@ -1259,6 +1297,17 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": _pii_oracle_sql(),
         "url_normalize": _url_oracle_sql(rollup=False),
         "domain_rollup": _url_oracle_sql(rollup=True),
+        "mg_heavy_hitters": """
+            WITH tt AS (
+              SELECT tok
+              FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> ''
+            )
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tt GROUP BY tok
+            HAVING count(*) * 201 > (SELECT count(*) FROM tt)
+        """,
         "lang_id": lang_id_sql(),
         "lang_id_ngram": lang_id_ngram_sql(),
         "doc_fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",

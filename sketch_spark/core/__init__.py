@@ -8,6 +8,8 @@ a SparkSession so the unit-test layer stays fast.
 from .base import Sketch, sketch_from_bytes, unique_with_counts
 from .bloom import BloomFilter
 from .countmin import CountMin, CountMinCU
+from .countsketch import CountSketch
+from .misragries import MisraGries
 from .hll import HyperLogLog
 from .kll import KLL
 from .tdigest import TDigest
@@ -23,12 +25,16 @@ __all__ = [
     "KLL",
     "TDigest",
     "BloomFilter",
+    "CountSketch",
+    "MisraGries",
     "hashing",
 ]
 
 KINDS = {
     "cm": CountMin,
     "cmcu": CountMinCU,
+    "cs": CountSketch,
+    "mg": MisraGries,
     "hll": HyperLogLog,
     "kll": KLL,
     "tdigest": TDigest,

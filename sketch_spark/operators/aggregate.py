@@ -35,13 +35,14 @@ from typing import Any, Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..core import make_sketch, sketch_from_bytes
 from ..core.base import Sketch, unique_with_counts
 from ..core.hashing import hash_strings, hash_u64
-from ..functions.text import hashes_from_base, token_base
+from ..functions.text import hashes_from_base, token_base, tokenize_batch
 
 __all__ = [
     "SketchSpec",
@@ -77,6 +78,9 @@ class SketchSpec:
     mode:
       "tokens"  — whitespace-tokenize the string column, update with
                   (optionally n-gram) token hashes (CM/CMCU/HLL/Bloom).
+      "tokens_str" — tokenize, pre-aggregate the batch via Arrow
+                  ``value_counts``, and feed token *strings* + counts
+                  (sketches that keep identities: Misra–Gries).
       "value"   — update with one hash per row (string or numeric
                   column): distinct urls, per-row keys, etc.
       "numeric" — feed raw numeric values (KLL quantiles).
@@ -115,6 +119,24 @@ class SketchSpec:
             v = np.asarray(v, dtype=np.float64)
             sketch.update_values(v)
             return len(v)
+        if self.mode == "tokens_str":
+            key = ("tokstr", self.column, self.lowercase)
+            if cache is not None and key in cache:
+                uniq, cnts = cache[key]
+            else:
+                c = pc.utf8_lower(col) if self.lowercase else col
+                flat, _ = tokenize_batch(c)
+                if len(flat) == 0:
+                    uniq, cnts = [], np.empty(0, dtype=np.int64)
+                else:
+                    vc = flat.value_counts()
+                    uniq = vc.field("values").to_pylist()
+                    cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+                if cache is not None:
+                    cache[key] = (uniq, cnts)
+            if len(uniq):
+                sketch.update_tokens(uniq, cnts)
+            return int(cnts.sum()) if len(uniq) else 0
         if self.mode == "value":
             if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
                 keys = hash_strings(col, seed=self._seed())
