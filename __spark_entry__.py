@@ -273,6 +273,16 @@ def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing accounting (concat in doc_id order, split into
+    512-token windows) via the two-pass distributed prefix sum in
+    operators/packing.py — no global-sort window anywhere in the plan."""
+    from sketch_spark.operators.packing import token_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_chunks(docs, "text", "doc_id", chunk_size=512)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.functions.text import lang_id_col
 
@@ -1149,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "url_normalize": q_url_normalize,
         "domain_rollup": q_domain_rollup,
+        "token_chunks": q_token_chunks,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1297,6 +1308,24 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": _pii_oracle_sql(),
         "url_normalize": _url_oracle_sql(rollup=False),
         "domain_rollup": _url_oracle_sql(rollup=True),
+        "token_chunks": """
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+              FROM c
+            )
+            SELECT doc_id, n_tokens, start_off,
+                   CAST(start_off // 512 AS BIGINT) AS first_chunk,
+                   CAST(greatest((start_off + n_tokens - 1) // 512, start_off // 512) AS BIGINT) AS last_chunk,
+                   CAST(greatest((start_off + n_tokens - 1) // 512, start_off // 512)
+                        - start_off // 512 + 1 AS BIGINT) AS n_chunks
+            FROM o
+        """,
         "mg_heavy_hitters": """
             WITH tt AS (
               SELECT tok

@@ -112,7 +112,56 @@ def test_url_normalize_branches(spark):
         assert out[i]["dom"] == dom
 
 
-def test_pipeline_ops_plans_are_python_free(spark):
+def test_token_chunks_matches_bruteforce_and_partitioning_invariant(spark):
+    import numpy as np
+
+    from sketch_spark.operators.packing import token_chunks
+
+    rng = np.random.default_rng(3)
+    docs = [
+        (int(i), " ".join(f"t{rng.integers(0, 50)}" for _ in range(int(rng.integers(1, 40)))))
+        for i in rng.permutation(80)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    L = 64
+
+    # brute force in python over doc_id order
+    by_id = sorted((i, len(t.split())) for i, t in docs)
+    off, want = 0, {}
+    for i, n in by_id:
+        want[i] = (n, off, off // L, max((off + n - 1) // L, off // L))
+        off += n
+
+    for variant in (df, df.repartition(7), df.coalesce(1)):
+        rows = {
+            r["doc_id"]: r
+            for r in token_chunks(variant, "text", "doc_id", chunk_size=L).collect()
+        }
+        assert len(rows) == len(want)
+        for i, (n, so, fc, lc) in want.items():
+            r = rows[i]
+            assert (r["n_tokens"], r["start_off"], r["first_chunk"], r["last_chunk"]) == (
+                n, so, fc, lc,
+            )
+            assert r["n_chunks"] == lc - fc + 1
+
+
+def test_global_prefix_sum_no_global_window_on_data(spark):
+    """The doc-scale window must be bucket-partitioned; only the P-row
+    totals side may use an unpartitioned window."""
+    from sketch_spark.operators.packing import global_prefix_sum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(3).alias("n")
+    )
+    out = global_prefix_sum(df, "n", "doc_id", n_buckets=8)
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data-side window partitions by bucket and orders by id:
+    # Window [...], [_bkt#..], [doc_id#.. ASC ...]
+    assert re.search(r"\[_bkt#\d+L?\], \[doc_id#\d+L? ASC", plan), plan
+    assert out.filter(F.col("doc_id") == 999).collect()[0]["prefix"] == 999 * 3
     """Repetition / PII / URL columns must stay whole-stage-codegen
     Catalyst expressions — no Python eval node anywhere in the plan."""
     from sketch_spark.functions.pii import pii_columns, redact_pii_col
