@@ -192,6 +192,42 @@ def main() -> None:
         f"- PartitionFilters = `{m.group(1) if m else '??'}` — the probe opens ONLY the nprobe probed `cell` partitions of the stored index; at 10^12 vectors the candidate scan costs nprobe/n_cells of one index pass, and the filter never touches row data.",
     ))
 
+    # 11. sequence packing: distributed prefix sum plan shape
+    from sketch_spark.operators.packing import token_chunks
+
+    df = token_chunks(docs, "text", "doc_id", chunk_size=512)
+    plan = explain_str(df)
+    data_window_bucketed = bool(re.search(r"\[_bkt#\d+L?\], \[doc_id#\d+L? ASC", plan))
+    sections.append((
+        "Sequence packing (two-pass distributed prefix sum)",
+        plan,
+        "- the doc-scale Window partitions by the explicit contiguous bucket "
+        f"(`[_bkt], [doc_id ASC]` present: {data_window_bucketed}); the only "
+        "SinglePartition exchange carries P bucket-total rows, and offsets come "
+        "back via BroadcastHashJoin — no global sort of the corpus, ever.",
+    ))
+
+    # 12. repetition/PII/URL text ops: pure whole-stage codegen
+    from sketch_spark.functions.pii import pii_columns, redact_pii_col
+    from sketch_spark.functions.text import repetition_columns
+    from sketch_spark.functions.urls import normalize_url_col
+
+    df = docs.select(
+        *[c.alias(k) for k, c in repetition_columns("text").items()],
+        *[c.alias(k) for k, c in pii_columns("text").items()],
+        F.md5(redact_pii_col("text")).alias("red"),
+        normalize_url_col(F.concat(F.lit("https://h.example.com/p?id="), "doc_id")).alias("u"),
+    )
+    plan = explain_str(df)
+    no_py = not any(
+        m in plan for m in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInArrow")
+    )
+    sections.append((
+        "Pipeline text ops (repetition / PII / URL normalization)",
+        plan,
+        f"- Gopher repetition metrics, PII scan+redact, and URL canonicalization are all Catalyst array/regex expressions — zero Python stages: {no_py}; they ride the scan like any projection.",
+    ))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by tools/plan_report.py)\n\n"
