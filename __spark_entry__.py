@@ -273,6 +273,18 @@ def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination: training docs sharing any
+    4-gram with the held-out tenth of the corpus.  Eval grams
+    broadcast; the training gram stream never shuffles."""
+    from sketch_spark.operators.dedup import contamination_report
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_report(train, test, "text", "doc_id", n=4)
+
+
 def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing accounting (concat in doc_id order, split into
     512-token windows) via the two-pass distributed prefix sum in
@@ -1160,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "domain_rollup": q_domain_rollup,
         "token_chunks": q_token_chunks,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1325,6 +1338,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest((start_off + n_tokens - 1) // 512, start_off // 512)
                         - start_off // 512 + 1 AS BIGINT) AS n_chunks
             FROM o
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(t[i:i+3], ' ') FOR i IN generate_series(1, len(t) - 3)]
+                     )) AS gram
+              FROM toks WHERE len(t) >= 4
+            ), test_grams AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+            )
+            SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared
+            FROM grams JOIN test_grams USING (gram)
+            WHERE doc_id % 10 <> 0
+            GROUP BY doc_id
         """,
         "mg_heavy_hitters": """
             WITH tt AS (

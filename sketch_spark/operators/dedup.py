@@ -41,7 +41,48 @@ __all__ = [
     "simhash_candidate_pairs",
     "simhash_near_duplicates",
     "top_df_token_hashes",
+    "contamination_report",
 ]
+
+
+# ---------------------------------------------------------------------------
+# train/eval decontamination — pure Catalyst, SQL-oracle-checkable
+# ---------------------------------------------------------------------------
+def contamination_report(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """(train id, n_shared) for every training document sharing at
+    least one word ``n``-gram with ANY eval document — the GPT-3-style
+    n-gram decontamination scan that keeps benchmark text out of the
+    training mix.
+
+    Plan shape for 100 TB: the eval side is always benchmark-scale, so
+    its distinct grams are BROADCAST; the training side's distinct
+    per-doc grams stream through the broadcast hash join and only the
+    contaminated (doc, gram) survivors reach the final groupBy —
+    no shuffle of the training gram stream.  (If the eval side ever
+    outgrew broadcast, drop the hint and let AQE pick the shuffle
+    join; semantics identical.)
+    """
+    from ..functions.text import word_ngrams_col
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams_col(text_col, n))).alias("gram"),
+        )
+
+    test_grams = grams(test_df).select("gram").distinct()
+    return (
+        grams(train_df)
+        .join(F.broadcast(test_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -162,6 +162,9 @@ def test_global_prefix_sum_no_global_window_on_data(spark):
     # Window [...], [_bkt#..], [doc_id#.. ASC ...]
     assert re.search(r"\[_bkt#\d+L?\], \[doc_id#\d+L? ASC", plan), plan
     assert out.filter(F.col("doc_id") == 999).collect()[0]["prefix"] == 999 * 3
+
+
+def test_pipeline_columns_stay_catalyst(spark):
     """Repetition / PII / URL columns must stay whole-stage-codegen
     Catalyst expressions — no Python eval node anywhere in the plan."""
     from sketch_spark.functions.pii import pii_columns, redact_pii_col
@@ -178,4 +181,42 @@ def test_global_prefix_sum_no_global_window_on_data(spark):
     )
     plan = sel._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "FlatMapGroupsInPandas"):
+        assert marker not in plan, plan
+
+
+def test_contamination_report_matches_bruteforce(spark):
+    """Decontamination scan equals the brute-force python n-gram
+    overlap; plan broadcasts the eval grams and keeps everything in
+    codegen (no Python eval node)."""
+    import numpy as np
+
+    from sketch_spark.operators.dedup import contamination_report
+
+    rng = np.random.default_rng(11)
+    docs = [
+        (int(i), " ".join(f"w{rng.integers(0, 30)}" for _ in range(int(rng.integers(2, 25)))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    train = df.filter(F.col("doc_id") % 10 != 0)
+    test = df.filter(F.col("doc_id") % 10 == 0)
+
+    def grams(t, n=4):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    eval_grams = set().union(*(grams(t) for i, t in docs if i % 10 == 0))
+    want = {
+        i: len(grams(t) & eval_grams)
+        for i, t in docs
+        if i % 10 != 0 and grams(t) & eval_grams
+    }
+
+    out = contamination_report(train, test, "text", "doc_id", n=4)
+    got = {r["doc_id"]: r["n_shared"] for r in out.collect()}
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan, plan
