@@ -735,6 +735,29 @@ def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global 20-doc uniform sample (smallest md5 ranks).
+    Plans as TakeOrderedAndProject: per-partition local k, no global
+    sort — the corpus-scale-safe way to pull a fixed-size sample."""
+    from sketch_spark.operators.sampling import bottomk_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return bottomk_sample(docs, 20, "doc_id", seed=1).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_kmv_distinct_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-token estimate per language — the one
+    sketch estimator whose VALUE is hash-oracle-checkable (pure
+    function of md5), alongside the rows-only HLL path over the same
+    question (q_hll_distinct_by_lang)."""
+    from sketch_spark.operators.sampling import kmv_distinct
+
+    docs = _read(spark, sf_dir, "documents")
+    return kmv_distinct(_tokens(docs, ["lang"]), "tok", ["lang"], k=256, seed=1)
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-expressible SimHash (VERDICT r2 #10): same algorithm as the
     fast custom-hash path but with md5-derived bit votes DuckDB can
@@ -1202,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "train_val_test_split": q_train_val_test_split,
         "sample_per_source": q_sample_per_source,
+        "bottomk_sample": q_bottomk_sample,
+        "kmv_distinct_by_lang": q_kmv_distinct_by_lang,
         "hll_lang_overlap": q_hll_lang_overlap,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1676,6 +1701,37 @@ def oracle_sql() -> dict[str, str]:
                    ) AS INT) AS sample_rank
             FROM u
             QUALIFY sample_rank <= 3
+        """,
+        "bottomk_sample": """
+            SELECT doc_id, lang, source
+            FROM (
+              SELECT doc_id, lang, source,
+                     CAST(CAST('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+              FROM documents
+            )
+            ORDER BY u ASC, doc_id ASC LIMIT 20
+        """,
+        "kmv_distinct_by_lang": """
+            WITH toks AS (
+              SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents
+            ), u AS (
+              SELECT DISTINCT lang,
+                     CAST(CAST('0x' || substr(md5('1:' || tok), 1, 8)
+                          AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+              FROM toks WHERE tok <> ''
+            ), r AS (
+              SELECT lang, u,
+                     row_number() OVER (PARTITION BY lang ORDER BY u ASC) AS rnk
+              FROM u
+            )
+            SELECT lang,
+                   round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                              ELSE 255.0 / max(u) END, 4) AS est_distinct,
+                   CAST(count(*) AS BIGINT) AS n_minima
+            FROM r WHERE rnk <= 256
+            GROUP BY lang
         """,
         "tfidf_top_terms": """
             WITH exploded AS (

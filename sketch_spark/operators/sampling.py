@@ -23,7 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-__all__ = ["uniform_hash_col", "deterministic_split", "sample_per_group"]
+__all__ = [
+    "uniform_hash_col",
+    "deterministic_split",
+    "sample_per_group",
+    "bottomk_sample",
+    "kmv_distinct",
+]
 
 _HEX_DIGITS = 8  # 32 bits of rank: plenty for split fractions; exact in double
 
@@ -88,4 +94,56 @@ def sample_per_group(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def bottomk_sample(
+    df: DataFrame, k: int, id_col: str = "doc_id", seed: int = 1
+) -> DataFrame:
+    """Deterministic global k-row uniform sample: the k rows with the
+    smallest md5 rank.  Plans as TakeOrderedAndProject — each partition
+    folds its local k, the driver merges P·k candidates — so no full
+    sort and no data-scale shuffle at any corpus size."""
+    u = uniform_hash_col(id_col, seed)
+    return df.orderBy(u.asc(), F.col(id_col).asc()).limit(k)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str],
+    k: int = 256,
+    seed: int = 1,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count estimate per
+    group: keep the k smallest distinct hash ranks of ``value_col``;
+    if the k-th is u_k, estimate n_distinct ~= (k-1)/u_k (Bar-Yossef
+    et al. 2002), RSE ~ 1/sqrt(k-2).  Groups with fewer than k distinct
+    values are EXACT (the sketch saw everything).
+
+    Unlike HLL/CMCU, every number here is a pure function of md5, so
+    the estimate itself is hash-oracle-checkable in DuckDB — the one
+    estimator in the library with a full value-match driver gate.
+
+    Plan at scale: map-side partial HashAggregate dedupes (group, rank)
+    pairs before the exchange, so the shuffle is vocabulary-scale, not
+    token-stream-scale; the window's WindowGroupLimit (AQE) folds
+    per-partition bottom-k before ranking.  At 10^12 docs you'd insert
+    a coarse rank prefilter (u < c·k/n_hat) ahead of the distinct to
+    keep even the vocabulary exchange bounded; semantics unchanged.
+    """
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    pairs = df.select(
+        *group_cols, uniform_hash_col(vc, seed).alias("_u")
+    ).distinct()
+    w = W.partitionBy(*group_cols).orderBy(F.col("_u").asc())
+    bottom = pairs.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    return bottom.groupBy(*group_cols).agg(
+        F.round(
+            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.max("_u")
+            ),
+            4,
+        ).alias("est_distinct"),
+        F.count("*").cast("long").alias("n_minima"),
     )

@@ -439,3 +439,50 @@ def test_hll_overlap_estimates_within_bound(spark, sf001):
         exact_inter = len(a & b)
         assert abs(row.est_union - exact_union) <= 3 * rse * exact_union + 1
         assert abs(row.est_intersection - exact_inter) <= 3 * 3 * rse * exact_union + 1
+
+
+def test_kmv_distinct_error_bound_and_exact_small_groups(spark):
+    """KMV estimate within 4x RSE (k=256 -> ~6.5%) of exact distinct
+    counts; groups with < k distinct values come back exact."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.sampling import kmv_distinct
+
+    rng = np.random.default_rng(7)
+    rows = [("big", f"v{rng.integers(0, 20000)}") for _ in range(60000)] + [
+        ("small", f"s{i % 40}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    exact = {
+        r["grp"]: r["n"]
+        for r in df.groupBy("grp").agg(F.countDistinct("val").alias("n")).collect()
+    }
+    got = {r["grp"]: r for r in kmv_distinct(df, "val", ["grp"], k=256).collect()}
+    assert got["small"]["est_distinct"] == exact["small"] == 40
+    assert got["small"]["n_minima"] == 40
+    rse = 1.0 / (256 - 2) ** 0.5
+    assert abs(got["big"]["est_distinct"] - exact["big"]) <= 4 * rse * exact["big"]
+    # partitioning-invariant (pure function of the value set)
+    got2 = {
+        r["grp"]: r["est_distinct"]
+        for r in kmv_distinct(df.repartition(13), "val", ["grp"], k=256).collect()
+    }
+    assert got2 == {g: r["est_distinct"] for g, r in got.items()}
+
+
+def test_bottomk_sample_plans_as_take_ordered(spark):
+    """Global bottom-k sample must fold per-partition (TakeOrdered),
+    never a full global Sort."""
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.sampling import bottomk_sample
+
+    df = spark.range(10000).select(F.col("id").alias("doc_id"))
+    out = bottomk_sample(df.repartition(8), 25, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    ids = sorted(r["doc_id"] for r in out.collect())
+    out2 = sorted(r["doc_id"] for r in bottomk_sample(df.coalesce(1), 25, "doc_id").collect())
+    assert ids == out2 and len(ids) == 25
