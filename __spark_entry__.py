@@ -850,6 +850,46 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(corpus, queries, k=5, bits=8, seed=1, probe_hamming=1)
 
 
+_BM25_TERMS = ["spark", "join", "dup"]  # two head tokens + the one rare token
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval baseline (BM25, Robertson/Lucene idf) for a
+    fixed term bag — one scan + 1-row stats broadcast +
+    TakeOrderedAndProject; no data-scale shuffle anywhere."""
+    from sketch_spark.operators.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings-list construction: distinct (token, doc) exchange,
+    df + capped sorted posting string per token."""
+    from sketch_spark.operators.retrieval import inverted_index
+
+    docs = _read(spark, sf_dir, "documents")
+    return inverted_index(docs, max_postings=64)
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, hash-oracled end to end: deterministic
+    init (embeddings of the 8 smallest ids), ONE distributed update pass
+    (mapInArrow partials -> k x (d+1) aggregate; driver holds only the
+    8 x 64 centroid matrix), then a map-only hard assignment.  DuckDB
+    replays the identical iteration as cross join + argmin + grouped
+    means — the full-corpus clustering path under the value-hash gate."""
+    from sketch_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=1)
+    assigned = kmeans_assign(emb, cents, with_dist=True)
+    return assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.avg("sqdist"), 6).alias("avg_sqdist"),
+    )
+
+
 def _stream_input(spark: SparkSession, sf_dir: str, name: str):
     """Deterministic multi-file copy of documents for file-stream
     micro-batching, plus fresh checkpoint/state scratch under /tmp."""
@@ -1182,6 +1222,18 @@ def _pii_oracle_sql() -> str:
     """
 
 
+def _bm25_oracle_sql() -> str:
+    from sketch_spark.operators.retrieval import bm25_sql
+
+    return bm25_sql(_BM25_TERMS, k=20)
+
+
+def _inverted_index_oracle_sql() -> str:
+    from sketch_spark.operators.retrieval import inverted_index_sql
+
+    return inverted_index_sql(max_postings=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -1235,6 +1287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "lsh_topk": q_lsh_topk,
+        "kmeans_cells": q_kmeans_cells,
+        "bm25_topk": q_bm25_topk,
+        "inverted_index": q_inverted_index,
         "dedup_corpus": q_dedup_corpus,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1536,6 +1591,52 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        "bm25_topk": _bm25_oracle_sql(),
+        "inverted_index": _inverted_index_oracle_sql(),
+        # replays one Lloyd iteration exactly: init = embeddings of the
+        # 8 smallest ids, argmin with (dist, cell) tie order matching
+        # np.argmin's first-minimum, grouped coordinate means, then the
+        # final assignment stats the Spark query reports
+        "kmeans_cells": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), init AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+              FROM emb ORDER BY vec_id LIMIT 8
+            ), d0 AS (
+              SELECT e.vec_id, i.cell,
+                     list_sum([ (e.v[j] - i.c[j]) * (e.v[j] - i.c[j])
+                                FOR j IN generate_series(1, 64) ]) AS dist
+              FROM emb e CROSS JOIN init i
+            ), a0 AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM d0
+              ) WHERE rn = 1
+            ), upd AS (
+              SELECT a0.cell, t.j, avg(e.v[t.j]) AS m
+              FROM a0 JOIN emb e USING (vec_id)
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) t
+              GROUP BY a0.cell, t.j
+            ), c1 AS (
+              SELECT cell, list(m ORDER BY j) AS c FROM upd GROUP BY cell
+            ), d1 AS (
+              SELECT e.vec_id, c1.cell,
+                     list_sum([ (e.v[j] - c1.c[j]) * (e.v[j] - c1.c[j])
+                                FOR j IN generate_series(1, 64) ]) AS dist
+              FROM emb e CROSS JOIN c1
+            ), a1 AS (
+              SELECT vec_id, cell, dist FROM (
+                SELECT vec_id, cell, dist,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+                FROM d1
+              ) WHERE rn = 1
+            )
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+                   round(avg(dist), 6) AS avg_sqdist
+            FROM a1 GROUP BY cell
         """,
         # exact all-pairs 3-shingle Jaccard: this oracle encodes a
         # DETERMINISTIC property of the fixed (fixture, seeds) pair, not

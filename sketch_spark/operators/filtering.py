@@ -1,0 +1,122 @@
+"""Composed corpus filtering: the end-to-end "keep or drop, and why"
+gate a training-data pipeline runs over every document.
+
+Each rule is a named FAIL predicate over pure-Catalyst signal columns
+(token counts, distinct ratio, Gopher top-token ratio, ...), so the
+whole pass is one codegen'd projection — no shuffle, no Python — and
+the reasons string is deterministic (rule order = insertion order).
+That also makes the full composition SQL-expressible, so the driver's
+DuckDB gate hash-checks keep/reasons for every document
+(contract query ``corpus_filter``).
+
+At 100 TB this is a map-only stage fused into the scan; the usual
+deployment writes `keep` partitioned output and routes the reject
+stream + reasons to an audit sink (operators/checkpoint.py shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import repetition_columns, tokens_col
+
+__all__ = ["corpus_filter", "default_web_rules", "default_web_rules_sql"]
+
+
+def default_web_rules(
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 100,
+    min_distinct_ratio: float = 0.35,
+    max_top_token_ratio: float = 0.14,
+) -> dict[str, Column]:
+    """Name -> FAIL-predicate for the standard web-corpus gates
+    (length window, vocabulary degeneracy, Gopher top-token cap).
+    Thresholds are corpus-tuned knobs; these defaults split the
+    synthetic fixture so every gate exercises both branches."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    top_ratio = repetition_columns(text_col, ns=())["top_token_ratio"]
+    return {
+        "too_short": n < min_tokens,
+        "too_long": n > max_tokens,
+        "low_distinct": distinct_ratio < min_distinct_ratio,
+        "top_token": top_ratio > max_top_token_ratio,
+    }
+
+
+def default_web_rules_sql(
+    min_tokens: int = 25,
+    max_tokens: int = 100,
+    min_distinct_ratio: float = 0.35,
+    max_top_token_ratio: float = 0.14,
+) -> dict[str, str]:
+    """The same FAIL predicates over the oracle CTE's columns
+    (n_tokens, distinct_ratio, top_token_ratio)."""
+    return {
+        "too_short": f"n_tokens < {min_tokens}",
+        "too_long": f"n_tokens > {max_tokens}",
+        "low_distinct": f"distinct_ratio < {min_distinct_ratio}",
+        "top_token": f"top_token_ratio > {max_top_token_ratio}",
+    }
+
+
+def corpus_filter(
+    docs: DataFrame,
+    rules: dict[str, Column] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, keep, reasons): keep=true iff no rule fails; reasons is the
+    comma-joined names of failed rules in rule order ('' when kept)."""
+    if rules is None:
+        rules = default_web_rules(text_col)
+    flags = [
+        F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules.items()
+    ]
+    reasons = F.concat_ws(",", F.filter(F.array(*flags), lambda x: x.isNotNull()))
+    return docs.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def corpus_filter_sql(
+    table_expr: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rules_sql: dict[str, str] | None = None,
+) -> str:
+    """DuckDB oracle for ``corpus_filter`` with the default rules: the
+    signal CTE computes the same (exact, unrounded) ratios, and the
+    reasons string concatenates failed names in the same order."""
+    rules = rules_sql or default_web_rules_sql()
+    flags = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' ELSE NULL END" for name, cond in rules.items()
+    )
+    return f"""
+        WITH base AS (
+          SELECT {id_col},
+                 regexp_split_to_array(trim({text_col}), '\\s+') AS toks
+          FROM {table_expr}
+        ), tc AS (
+          SELECT {id_col}, tok, count(*) AS c
+          FROM (SELECT {id_col}, unnest(toks) AS tok FROM base)
+          GROUP BY 1, 2
+        ), top AS (
+          SELECT {id_col}, max(c) AS mx, sum(c) AS n FROM tc GROUP BY 1
+        ), sig AS (
+          SELECT b.{id_col},
+                 len(b.toks) AS n_tokens,
+                 len(list_distinct(b.toks)) / CAST(len(b.toks) AS DOUBLE) AS distinct_ratio,
+                 top.mx / CAST(top.n AS DOUBLE) AS top_token_ratio
+          FROM base b JOIN top ON b.{id_col} = top.{id_col}
+        ), flagged AS (
+          SELECT {id_col},
+                 array_to_string(list_filter([{flags}], x -> x IS NOT NULL), ',') AS reasons
+          FROM sig
+        )
+        SELECT {id_col}, reasons = '' AS keep, reasons FROM flagged
+    """

@@ -1,0 +1,81 @@
+"""Lexical retrieval (operators/retrieval.py): BM25 vs a hand-rolled
+reference, inverted-index properties, and the no-data-shuffle plan."""
+
+import math
+
+import pytest
+
+from sketch_spark.operators.retrieval import bm25_topk, inverted_index
+
+
+DOCS = [
+    (0, "spark join join fast"),
+    (1, "slow scan table"),
+    (2, "join"),
+    (3, "spark spark spark join dup"),
+    (4, "the a of"),
+]
+
+
+def _bm25_reference(terms, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            df = sum(1 for v in toks.values() if t in v)
+            tf = tk.count(t)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        out[i] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_matches_reference(spark, docs_df):
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(docs_df, ["spark", "join", "dup"], k=5).collect()}
+    want = _bm25_reference(["spark", "join", "dup"])
+    assert set(got) == set(want)
+    for i, s in want.items():
+        assert got[i] == pytest.approx(round(s, 6), abs=2e-6)
+    # doc 3 (3x spark + dup, the only dup doc) must rank first
+    top = bm25_topk(docs_df, ["spark", "join", "dup"], k=1).collect()[0]
+    assert top["doc_id"] == 3
+
+
+def test_bm25_k_cut_and_tie_order(spark, docs_df):
+    rows = bm25_topk(docs_df, ["join"], k=3).collect()
+    assert len(rows) == 3
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_no_data_scale_shuffle(spark, docs_df):
+    """The only exchange feeds the 1-row stats aggregate; the scored
+    stream goes straight to TakeOrderedAndProject."""
+    plan = bm25_topk(docs_df, ["spark"], k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan or "CartesianProduct" not in plan
+
+
+def test_inverted_index_postings(spark, docs_df):
+    rows = {r["token"]: r for r in inverted_index(docs_df, max_postings=2).collect()}
+    assert rows["join"]["df"] == 3
+    assert rows["join"]["postings"] == "0,2"  # capped at 2 lowest ids
+    assert rows["dup"]["df"] == 1 and rows["dup"]["postings"] == "3"
+    assert rows["spark"]["df"] == 2 and rows["spark"]["postings"] == "0,3"
+    # df counts documents, not occurrences (doc 0 has join twice)
+    assert all(r["df"] <= len(DOCS) for r in rows.values())
+
+
+def test_inverted_index_min_df(spark, docs_df):
+    rows = inverted_index(docs_df, min_df=2).collect()
+    assert all(r["df"] >= 2 for r in rows)
+    assert {"join", "spark"} <= {r["token"] for r in rows}
