@@ -850,6 +850,16 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(corpus, queries, k=5, bits=8, seed=1, probe_hamming=1)
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop gate (length window + vocabulary degeneracy +
+    Gopher top-token cap) with a deterministic reasons string — the
+    end-to-end quality pass, one codegen projection, hash-oracled."""
+    from sketch_spark.operators.filtering import corpus_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_filter(docs)
+
+
 _BM25_TERMS = ["spark", "join", "dup"]  # two head tokens + the one rare token
 
 
@@ -1234,6 +1244,12 @@ def _inverted_index_oracle_sql() -> str:
     return inverted_index_sql(max_postings=64)
 
 
+def _corpus_filter_oracle_sql() -> str:
+    from sketch_spark.operators.filtering import corpus_filter_sql
+
+    return corpus_filter_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -1290,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": q_kmeans_cells,
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
+        "corpus_filter": q_corpus_filter,
         "dedup_corpus": q_dedup_corpus,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1594,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),
+        "corpus_filter": _corpus_filter_oracle_sql(),
         # replays one Lloyd iteration exactly: init = embeddings of the
         # 8 smallest ids, argmin with (dist, cell) tie order matching
         # np.argmin's first-minimum, grouped coordinate means, then the

@@ -115,7 +115,8 @@ def corpus_filter_sql(
           FROM base b JOIN top ON b.{id_col} = top.{id_col}
         ), flagged AS (
           SELECT {id_col},
-                 array_to_string(list_filter([{flags}], x -> x IS NOT NULL), ',') AS reasons
+                 coalesce(array_to_string(
+                     list_filter([{flags}], x -> x IS NOT NULL), ','), '') AS reasons
           FROM sig
         )
         SELECT {id_col}, reasons = '' AS keep, reasons FROM flagged

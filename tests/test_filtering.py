@@ -1,0 +1,58 @@
+"""Composed corpus filter (operators/filtering.py): every gate fires on
+a crafted doc, reasons order is rule order, keep iff no gate fails."""
+
+import pytest
+
+from sketch_spark.operators.filtering import corpus_filter, default_web_rules
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    long_ok = " ".join(f"w{i}" for i in range(30))            # 30 distinct tokens
+    too_long = " ".join(f"w{i}" for i in range(120))          # > 100 tokens
+    low_distinct = " ".join(["a b c d e f g h i j"] * 3)      # 30 toks, 10 distinct
+    top_heavy = "spam " * 9 + " ".join(f"u{i}" for i in range(21))  # 30 toks, 9 spam
+    short = " ".join(f"s{i}" for i in range(10))  # 10 distinct: only length fails
+    rows = [
+        (0, long_ok),
+        (1, too_long),
+        (2, low_distinct),
+        (3, top_heavy),
+        (4, short),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_each_gate_fires(spark, crafted):
+    got = {r["doc_id"]: r for r in corpus_filter(crafted).collect()}
+    assert got[0]["keep"] and got[0]["reasons"] == ""
+    assert got[1]["reasons"] == "too_long"
+    assert got[2]["reasons"] == "low_distinct"
+    assert got[3]["reasons"] == "top_token"
+    assert got[4]["reasons"] == "too_short"
+    assert not any(got[i]["keep"] for i in (1, 2, 3, 4))
+
+
+def test_combined_reasons_in_rule_order(spark):
+    # 10 tokens, all identical: too_short + low_distinct + top_token,
+    # joined in rule (insertion) order
+    df = spark.createDataFrame([(0, "x " * 9 + "x")], "doc_id long, text string")
+    r = corpus_filter(df).collect()[0]
+    assert r["reasons"] == "too_short,low_distinct,top_token"
+    assert not r["keep"]
+
+
+def test_custom_rules(spark, crafted):
+    from pyspark.sql import functions as F
+
+    rules = {"has_spam": F.array_contains(F.split(F.col("text"), " "), "spam")}
+    got = {r["doc_id"]: r for r in corpus_filter(crafted, rules=rules).collect()}
+    assert got[3]["reasons"] == "has_spam"
+    assert all(got[i]["keep"] for i in (0, 1, 2, 4))
+
+
+def test_rules_are_pure_catalyst(spark, crafted):
+    plan = corpus_filter(crafted)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    assert "Exchange" not in plan  # map-only: no shuffle anywhere
