@@ -860,6 +860,16 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(docs)
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pass in one query: quality gates (map-only)
+    then exact content dedup (min-id per md5, one window exchange over
+    the SURVIVING text only) — hash-oracled end to end."""
+    from sketch_spark.operators.filtering import clean_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    return clean_corpus(docs).select("doc_id", "lang", "source")
+
+
 _BM25_TERMS = ["spark", "join", "dup"]  # two head tokens + the one rare token
 
 
@@ -1250,6 +1260,12 @@ def _corpus_filter_oracle_sql() -> str:
     return corpus_filter_sql()
 
 
+def _clean_corpus_oracle_sql() -> str:
+    from sketch_spark.operators.filtering import clean_corpus_sql
+
+    return clean_corpus_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -1307,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "inverted_index": q_inverted_index,
         "corpus_filter": q_corpus_filter,
+        "clean_corpus": q_clean_corpus,
         "dedup_corpus": q_dedup_corpus,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1612,6 +1629,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),
         "corpus_filter": _corpus_filter_oracle_sql(),
+        "clean_corpus": _clean_corpus_oracle_sql(),
         # replays one Lloyd iteration exactly: init = embeddings of the
         # 8 smallest ids, argmin with (dist, cell) tie order matching
         # np.argmin's first-minimum, grouped coordinate means, then the

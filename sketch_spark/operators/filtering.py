@@ -16,11 +16,18 @@ stream + reasons to an audit sink (operators/checkpoint.py shapes).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from ..functions.text import repetition_columns, tokens_col
 
-__all__ = ["corpus_filter", "default_web_rules", "default_web_rules_sql"]
+__all__ = [
+    "corpus_filter",
+    "clean_corpus",
+    "default_web_rules",
+    "default_web_rules_sql",
+]
 
 
 def default_web_rules(
@@ -83,6 +90,33 @@ def corpus_filter(
     )
 
 
+def clean_corpus(
+    docs: DataFrame,
+    rules: dict[str, Column] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end corpus pass: quality gates (map-only, fused into
+    the scan) THEN exact content dedup keeping the lowest id per md5.
+
+    Deliberately filter-first: rejected docs never enter the dedup
+    exchange, so the one shuffle here is on the md5 of the SURVIVING
+    text only.  The dedup is a single window (row_number over the
+    content hash), not a groupBy + join-back — one exchange instead of
+    two, and with AQE's WindowGroupLimit only one candidate row per
+    (hash, input partition) rides it."""
+    if rules is None:
+        rules = default_web_rules(text_col)
+    fails = reduce(lambda a, b: a | b, rules.values())
+    kept = docs.filter(~fails)
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def corpus_filter_sql(
     table_expr: str = "documents",
     id_col: str = "doc_id",
@@ -120,4 +154,29 @@ def corpus_filter_sql(
           FROM sig
         )
         SELECT {id_col}, reasons = '' AS keep, reasons FROM flagged
+    """
+
+
+def clean_corpus_sql(
+    table_expr: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_cols: tuple[str, ...] = ("lang", "source"),
+) -> str:
+    """DuckDB oracle for ``clean_corpus`` over the default rules:
+    gate pass (reusing the corpus_filter oracle) then min-id-per-md5."""
+    cols = ", ".join([id_col, *out_cols])
+    return f"""
+        WITH kept AS (
+          SELECT d.{cols}, d.{text_col}
+          FROM {table_expr} d
+          JOIN ({corpus_filter_sql(table_expr, id_col, text_col)}) f
+            ON d.{id_col} = f.{id_col} AND f.keep
+        ), ranked AS (
+          SELECT {cols},
+                 row_number() OVER (PARTITION BY md5({text_col})
+                                    ORDER BY {id_col}) AS rn
+          FROM kept
+        )
+        SELECT {cols} FROM ranked WHERE rn = 1
     """

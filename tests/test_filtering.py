@@ -51,6 +51,32 @@ def test_custom_rules(spark, crafted):
     assert all(got[i]["keep"] for i in (0, 1, 2, 4))
 
 
+def test_clean_corpus_filters_then_dedups(spark):
+    from sketch_spark.operators.filtering import clean_corpus
+
+    ok = " ".join(f"w{i}" for i in range(30))
+    ok2 = " ".join(f"v{i}" for i in range(30))
+    bad = "x " * 29 + "x"  # low_distinct + top_token
+    rows = [(0, ok), (1, ok), (2, ok2), (3, bad), (4, bad), (5, ok)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in clean_corpus(df).collect())
+    # bad docs gated out; dup content keeps the lowest id only
+    assert got == [0, 2]
+
+
+def test_clean_corpus_dedups_after_gates_not_before(spark):
+    from sketch_spark.operators.filtering import clean_corpus
+
+    # doc 0 (bad) shares content with nothing kept; doc 1 and 2 share
+    # content where the lower id is GATED — survivor must be doc 2,
+    # i.e. dedup runs on the post-filter stream
+    ok = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, "x " * 29 + "x"), (2, ok), (3, ok)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in clean_corpus(df).collect())
+    assert got == [2]
+
+
 def test_rules_are_pure_catalyst(spark, crafted):
     plan = corpus_filter(crafted)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "FlatMapGroupsInPandas"):
