@@ -89,13 +89,19 @@ def kmeans_fit(
     """Lloyd k-means over the FULL corpus, one distributed pass per
     iteration (see module docstring for the plan shape).
 
-    Empty cells keep their previous centroid.  ``spherical=True``
-    renormalizes centroids each round (the cosine-metric variant —
-    use with pre-normalized vectors).  At real scale, persist the
-    input once before calling (each iteration re-scans it).
+    Empty cells keep their previous centroid.  ``spherical=True`` is
+    spherical k-means (Dhillon & Modha 2001): input vectors are
+    L2-normalized executor-side and centroids renormalize each round,
+    so argmin-L2 on the unit sphere coincides with argmax-cosine —
+    the metric the IVF ANN index probes with.  At real scale, persist
+    the input once before calling (each iteration re-scans it).
     """
     spark = emb_df.sparkSession
     cents = kmeans_init_min_ids(emb_df, k, id_col, vec_col) if init is None else np.asarray(init, dtype=np.float64).copy()
+    if spherical:
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
     k = len(cents)
     d = cents.shape[1]
     vecs = emb_df.select(vec_col)
@@ -110,6 +116,10 @@ def kmeans_fit(
                 mat = _as_matrix(batch.column(0))
                 if mat.size == 0:
                     continue
+                if spherical:
+                    mn = np.linalg.norm(mat, axis=1, keepdims=True)
+                    mn[mn == 0] = 1.0
+                    mat = mat / mn
                 assign = np.argmin(_sq_dists(mat, c), axis=1)
                 np.add.at(acc[:, :-1], assign, mat)
                 acc[:, -1] += np.bincount(assign, minlength=len(c))

@@ -439,6 +439,7 @@ def build_ann_index(
     kind: str = "ivf",
     bits: int = 8,
     centroids: np.ndarray | None = None,
+    train: str = "sample",
 ) -> np.ndarray | None:
     """Write a STORED ann index: (id, vec) rows laid out on disk
     partitioned by the coarse cell, so probe-side readers scan only the
@@ -456,6 +457,13 @@ def build_ann_index(
       hyperplanes — nothing to store (the seed regenerates the planes);
       returns None.
 
+    train="sample" (default) fits the quantizer on a bounded
+    driver-side sample (``ivf_centroids`` — fine for a coarse
+    quantizer); train="full" runs distributed spherical k-means over
+    EVERY vector (operators/clustering.kmeans_fit: one mapInArrow
+    partial-sum pass per iteration, driver holds only k x d), the
+    right call when cells must balance against the true distribution.
+
     The write is one assignment pass (gemm per Arrow batch) + one
     shuffle-free ``partitionBy`` write; no driver materialization of
     the corpus.
@@ -466,9 +474,17 @@ def build_ann_index(
 
     if kind == "ivf":
         if centroids is None:
-            centroids = ivf_centroids(
-                emb_df, n_cells, id_col=id_col, vec_col=vec_col, seed=seed
-            )
+            if train == "full":
+                from .clustering import kmeans_fit
+
+                centroids = kmeans_fit(
+                    emb_df, k=n_cells, iters=8, id_col=id_col,
+                    vec_col=vec_col, spherical=True,
+                )
+            else:
+                centroids = ivf_centroids(
+                    emb_df, n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+                )
     elif kind != "hyperplane":
         raise ValueError(f"unknown index kind {kind!r}")
     spark = emb_df.sparkSession

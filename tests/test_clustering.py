@@ -94,3 +94,58 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark, emb_df):
 def test_kmeans_spherical_unit_norms(spark, emb_df):
     got = kmeans_fit(emb_df, k=4, iters=2, spherical=True)
     np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-12)
+
+
+def test_kmeans_spherical_is_cosine_kmeans(spark, emb_df):
+    """spherical=True must L2-normalize inputs executor-side: the fit
+    equals a numpy spherical-Lloyd run on pre-normalized vectors."""
+    mat = _mat(emb_df)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = unit[:4].copy()
+    for _ in range(2):
+        assign = np.argmax(unit @ cents.T, axis=1)  # == argmin L2 on the sphere
+        for c in range(4):
+            members = unit[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    got = kmeans_fit(emb_df, k=4, iters=2, spherical=True)
+    np.testing.assert_allclose(got, cents, atol=1e-9)
+
+
+def test_ann_index_full_train_matches_unindexed(spark, sf001, tmp_path):
+    """build_ann_index(train='full') probes must equal ivf_topk run with
+    the SAME distributed-kmeans centroids — full-corpus training is a
+    quantizer swap, not a semantics change."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ann_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf001, "embeddings.parquet"))
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = str(tmp_path / "ivf_full")
+    cents = build_ann_index(corpus, path, n_cells=8, kind="ivf", train="full")
+    np.testing.assert_allclose(
+        cents, kmeans_fit(corpus, k=8, iters=8, spherical=True), atol=1e-9
+    )
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-12)
+    assert np.allclose(load_ann_centroids(path), cents)
+    got = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, path, queries, k=5, nprobe=4).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            corpus, queries, k=5, nprobe=4, centroids=cents
+        ).collect()
+    )
+    assert got == want and len(got) == 25
