@@ -860,6 +860,29 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(docs)
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, accent fold, whitespace
+    collapse) checked by md5 byte-identity.  The synthetic corpus is
+    ASCII single-spaced, so the contract decorates each doc with
+    deterministic case/accents/whitespace the same way on both sides
+    (the pii_scan planting trick)."""
+    from sketch_spark.functions.text import normalize_text_col
+
+    docs = _read(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.lit("  Élan CAFÉ\t"),
+        F.upper(F.substring("text", 1, 16)),
+        F.lit("  übermäßig  Ñoño \n"),
+        F.col("text"),
+    )
+    norm = normalize_text_col(decorated)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("n_chars"),
+    )
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data pass in one query: quality gates (map-only)
     then exact content dedup (min-id per md5, one window exchange over
@@ -1266,6 +1289,21 @@ def _clean_corpus_oracle_sql() -> str:
     return clean_corpus_sql()
 
 
+def _text_normalize_oracle_sql() -> str:
+    from sketch_spark.functions.text import normalize_text_sql
+
+    decorated = (
+        "'  Élan CAFÉ' || chr(9) || upper(substr(text, 1, 16)) || "
+        "'  übermäßig  Ñoño ' || chr(10) || text"
+    )
+    norm = normalize_text_sql(decorated)
+    return f"""
+        SELECT doc_id, md5({norm}) AS norm_md5,
+               CAST(length({norm}) AS BIGINT) AS n_chars
+        FROM documents
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": q_token_counts,
@@ -1324,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "corpus_filter": q_corpus_filter,
         "clean_corpus": q_clean_corpus,
+        "text_normalize": q_text_normalize,
         "dedup_corpus": q_dedup_corpus,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1630,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _inverted_index_oracle_sql(),
         "corpus_filter": _corpus_filter_oracle_sql(),
         "clean_corpus": _clean_corpus_oracle_sql(),
+        "text_normalize": _text_normalize_oracle_sql(),
         # replays one Lloyd iteration exactly: init = embeddings of the
         # 8 smallest ids, argmin with (dist, cell) tie order matching
         # np.argmin's first-minimum, grouped coordinate means, then the

@@ -662,3 +662,31 @@ def document_frequencies(df, text_col: str = "text", id_col: str = "doc_id"):
         ).alias("token")
     )
     return toks.groupBy("token").agg(F.count("*").alias("df"))
+
+
+# 27 common Latin accented lowercase chars -> ASCII base letters; text
+# is lowercased first so the uppercase forms fold into these
+_ACCENT_FROM = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+
+def normalize_text_col(text: str | Column, strip_accents: bool = True) -> Column:
+    """Canonical text normalization: lowercase (unicode-aware), fold
+    common Latin accents to ASCII via ``translate``, collapse
+    whitespace runs to single spaces, trim.  Pure Catalyst, one
+    codegen'd projection fused into the scan; byte-identical in DuckDB
+    (``normalize_text_sql``), so the driver gate checks md5 equality of
+    the normalized bytes."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    if strip_accents:
+        c = F.translate(c, _ACCENT_FROM, _ACCENT_TO)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def normalize_text_sql(expr: str, strip_accents: bool = True) -> str:
+    """DuckDB expression computing exactly ``normalize_text_col``."""
+    c = f"lower({expr})"
+    if strip_accents:
+        c = f"translate({c}, '{_ACCENT_FROM}', '{_ACCENT_TO}')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"

@@ -82,3 +82,26 @@ def test_rules_are_pure_catalyst(spark, crafted):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "FlatMapGroupsInPandas"):
         assert marker not in plan
     assert "Exchange" not in plan  # map-only: no shuffle anywhere
+
+
+def test_normalize_text_col(spark):
+    from sketch_spark.functions.text import normalize_text_col
+
+    rows = [
+        (0, "  Élan \t CAFÉ  über  "),
+        (1, "Ñoño\n\nýÿ  ç"),
+        (2, "plain ascii"),
+        (3, "ßharp"),  # ß is not an accent — must survive the fold
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["norm"]
+        for r in df.select("doc_id", normalize_text_col("text").alias("norm")).collect()
+    }
+    assert got[0] == "elan cafe uber"
+    assert got[1] == "nono yy c"
+    assert got[2] == "plain ascii"
+    assert got[3] == "ßharp"
+    # idempotent: normalizing a normalized string is a no-op
+    df2 = spark.createDataFrame([(0, got[0])], "doc_id long, text string")
+    assert df2.select(normalize_text_col("text").alias("n")).collect()[0]["n"] == got[0]
