@@ -228,6 +228,94 @@ def main() -> None:
         f"- Gopher repetition metrics, PII scan+redact, and URL canonicalization are all Catalyst array/regex expressions — zero Python stages: {no_py}; they ride the scan like any projection.",
     ))
 
+    # 13. clean_corpus: gates fused into the scan, ONE exchange (md5 window)
+    from sketch_spark.operators.filtering import clean_corpus
+
+    docs_tbl = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    df = clean_corpus(docs_tbl).select("doc_id", "lang", "source")
+    plan = explain_str(df)
+    n_exchanges = len(re.findall(r"\bExchange \(\d+\)", plan))
+    has_wgl = "WindowGroupLimit" in plan
+    no_py = not any(
+        m in plan for m in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInArrow")
+    )
+    sections.append((
+        "clean_corpus (quality gates then exact dedup)",
+        plan,
+        f"- the quality gates run as a codegen Filter fused into the scan (no "
+        f"Python stages: {no_py}); the ONLY data exchange is the md5-window "
+        f"hashpartitioning for the dedup (exchange count: {n_exchanges}), it "
+        f"carries surviving rows only (rejects never shuffle), and a map-side "
+        f"WindowGroupLimit ({has_wgl}) folds each (hash, partition) to one "
+        "candidate row before the exchange.",
+    ))
+
+    # 14. BM25: 1-row stats broadcast + TakeOrderedAndProject, no data shuffle
+    from sketch_spark.operators.retrieval import bm25_topk
+
+    df = bm25_topk(docs_tbl, ["spark", "join", "dup"], k=20)
+    plan = explain_str(df)
+    has_tok = "TakeOrderedAndProject" in plan
+    no_smj = "SortMergeJoin" not in plan
+    sections.append((
+        "BM25 top-k (lexical retrieval)",
+        plan,
+        f"- term frequencies are array expressions on the scan; the corpus "
+        f"stats aggregate returns ONE row that joins back via broadcast "
+        f"(no SortMergeJoin: {no_smj}); the ranking is TakeOrderedAndProject "
+        f"({has_tok}) — per-partition local k, no global sort, no data-scale "
+        "shuffle anywhere.",
+    ))
+
+    # 15. distributed k-means: the per-iteration exchange carries
+    # P x k x (d+1) partial rows, never vectors
+    from sketch_spark.operators.clustering import kmeans_init_min_ids
+
+    emb_tbl = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    cents0 = kmeans_init_min_ids(emb_tbl, 8)
+    bc = spark.sparkContext.broadcast(cents0)
+
+    # reproduce one iteration's aggregate plan (kmeans_fit collect()s it)
+    import numpy as np
+    import pyarrow as pa
+    from sketch_spark.operators import clustering as _cl
+
+    def partials(batches):
+        c = bc.value
+        acc = np.zeros((len(c), c.shape[1] + 1))
+        for batch in batches:
+            mat = _cl._as_matrix(batch.column(0))
+            if mat.size == 0:
+                continue
+            assign = np.argmin(_cl._sq_dists(mat, c), axis=1)
+            np.add.at(acc[:, :-1], assign, mat)
+            acc[:, -1] += np.bincount(assign, minlength=len(c))
+        hit = np.nonzero(acc[:, -1])[0]
+        if len(hit):
+            yield pa.RecordBatch.from_pydict(
+                {"cell": pa.array(hit.astype(np.int64)),
+                 "s": pa.array([r.tolist() for r in acc[hit]], type=pa.list_(pa.float64()))}
+            )
+
+    df = (
+        emb_tbl.select("embedding")
+        .mapInArrow(partials, "cell long, s array<double>")
+        .select("cell", F.posexplode("s").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("v"))
+    )
+    plan = explain_str(df)
+    partial_before_exchange = plan.index("HashAggregate") < plan.index("Exchange")
+    sections.append((
+        "Distributed k-means iteration (partial-sum aggregate)",
+        plan,
+        f"- each task folds its batches into <= k partial rows inside the "
+        f"Arrow stage; the HashAggregate partial sits below the exchange "
+        f"({partial_before_exchange}), so the shuffle carries O(P x k x d) "
+        "doubles per iteration — vectors never leave their executor and the "
+        "driver holds only the k x d centroid matrix.",
+    ))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by tools/plan_report.py)\n\n"
