@@ -1,0 +1,97 @@
+"""Measure the round-3 pipeline operators at organic scale (500k docs)
+— clean_corpus, BM25, inverted index, distributed k-means — and print
+one JSON line per op.  Appends nothing; paste the numbers into
+BENCH.md's round-3 section by hand (they are point measurements, not
+the recurring scaling protocol).
+
+Usage: python scripts/bench_pipeline_ops.py [--rows 500000] [--cores 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=500_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--vec-rows", type=int, default=500_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.session import get_spark
+
+    table = f"/tmp/sketch_spark_scaling_pages_{args.rows}"
+    spark = get_spark("bench-pipeline-ops", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    if not os.path.exists(os.path.join(table, f".generated_{args.rows}")):
+        from sketch_spark.sources.pages import write_pages_spark
+
+        write_pages_spark(spark, table, args.rows, seed=42)
+        open(os.path.join(table, f".generated_{args.rows}"), "w").write("ok")
+
+    docs = (
+        spark.read.parquet(os.path.join(table, "pages"))
+        .select(F.xxhash64("url").alias("doc_id"), "text")
+    )
+    docs.count()  # warm page cache + workers
+
+    def timed(name, fn, unit_rows):
+        t0 = time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "op": name, "wall_sec": round(wall, 2), "rows": unit_rows,
+            "rows_per_sec": round(unit_rows / wall, 1), "result": out,
+            "cores": args.cores,
+        }))
+
+    from sketch_spark.operators.filtering import clean_corpus
+
+    timed("clean_corpus", lambda: clean_corpus(docs).count(), args.rows)
+
+    from sketch_spark.operators.retrieval import bm25_topk, inverted_index
+
+    timed(
+        "bm25_topk",
+        lambda: len(bm25_topk(docs, ["the", "and", "data"], k=20).collect()),
+        args.rows,
+    )
+    timed("inverted_index", lambda: inverted_index(docs).count(), args.rows)
+
+    # deterministic synthetic embeddings (pure Catalyst; no external data)
+    emb = (
+        spark.range(args.vec_rows)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda j: (F.pmod(F.xxhash64(F.col("id") * 64 + j), F.lit(1000))
+                           .cast("double") / 500.0 - 1.0),
+            ).alias("embedding"),
+        )
+        .repartition(args.cores * 2)
+    )
+    emb.persist().count()
+
+    from sketch_spark.operators.clustering import kmeans_fit
+
+    timed(
+        "kmeans_fit_2iters_k16",
+        lambda: kmeans_fit(emb, k=16, iters=2).shape[0],
+        args.vec_rows * 2,  # vectors assigned per pass x 2 iterations
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
