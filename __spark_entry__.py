@@ -860,6 +860,17 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(docs)
 
 
+def q_passage_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplicate pairs via shared winnowing fingerprints
+    (copied >= k+window-1-word spans), df-banded so boilerplate spans
+    and singleton fingerprints never reach the self-join — every number
+    a pure md5 function, hash-oracled."""
+    from sketch_spark.operators.dedup import passage_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return passage_duplicates(docs, k=5, window=8, min_shared=2, max_df=20)
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (lowercase, accent fold, whitespace
     collapse) checked by md5 byte-identity.  The synthetic corpus is
@@ -1289,6 +1300,12 @@ def _clean_corpus_oracle_sql() -> str:
     return clean_corpus_sql()
 
 
+def _passage_dups_oracle_sql() -> str:
+    from sketch_spark.operators.dedup import passage_duplicates_sql
+
+    return passage_duplicates_sql(k=5, window=8, min_shared=2, max_df=20)
+
+
 def _text_normalize_oracle_sql() -> str:
     from sketch_spark.functions.text import normalize_text_sql
 
@@ -1363,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "clean_corpus": q_clean_corpus,
         "text_normalize": q_text_normalize,
+        "passage_dups": q_passage_dups,
         "dedup_corpus": q_dedup_corpus,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1670,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": _corpus_filter_oracle_sql(),
         "clean_corpus": _clean_corpus_oracle_sql(),
         "text_normalize": _text_normalize_oracle_sql(),
+        "passage_dups": _passage_dups_oracle_sql(),
         # replays one Lloyd iteration exactly: init = embeddings of the
         # 8 smallest ids, argmin with (dist, cell) tie order matching
         # np.argmin's first-minimum, grouped coordinate means, then the

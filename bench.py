@@ -92,6 +92,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # round-3 pipeline operators, timed SEPARATELY: ``value`` and
+    # ``queries`` keep the round-2 headline set so the driver's
+    # round-over-round comparison stays apples-to-apples; these land in
+    # their own keys (extra keys are allowed by the contract)
+    ROUND3 = [
+        "corpus_filter",
+        "clean_corpus",
+        "bm25_topk",
+        "inverted_index",
+        "text_normalize",
+        "kmeans_cells",
+    ]
+    r3_timings: dict[str, float] = {}
+    r3_rowcounts: dict[str, int] = {}
+    for name in ROUND3:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        r3_timings[name] = round(min(runs), 3)
+        r3_rowcounts[name] = n
+
     # sketch-update throughput on the documents table (docs+tokens/sec)
     from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
 
@@ -153,6 +176,9 @@ def main() -> None:
             "kinds": ["cmcu", "hll", "bloom"],
         },
         "cmcu_error_vs_bound": error_report,
+        "round3_queries": r3_timings,
+        "round3_total": round(sum(r3_timings.values()), 3),
+        "round3_rowcounts": r3_rowcounts,
     }
     # attach the most recent two-parallelism-level scaling measurement
     # (bench_util/scaling.py, median-of-runs with spread) so the north

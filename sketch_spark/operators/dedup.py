@@ -42,6 +42,7 @@ __all__ = [
     "simhash_near_duplicates",
     "top_df_token_hashes",
     "contamination_report",
+    "passage_duplicates",
 ]
 
 
@@ -700,3 +701,96 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming", "capped")
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level duplicate detection — shared winnowing fingerprints
+# ---------------------------------------------------------------------------
+def passage_duplicates(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 8,
+    min_shared: int = 2,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= ``min_shared``
+    winnowing fingerprints — passage-level duplication (copied spans of
+    >= k+window-1 words) that whole-document MinHash misses when the
+    surrounding text differs.
+
+    Scale shape: fingerprints whose document frequency is 1 (can never
+    pair) or > ``max_df`` (boilerplate spans — navigation chrome,
+    license headers — the passage analog of the SimHash Zipf head-drop)
+    are eliminated BEFORE the self-join, so each fingerprint group
+    contributes at most max_df^2/2 candidate pairs and the join is
+    bounded no matter how templated the corpus.  One exchange on the
+    fingerprint; the df filter reuses the same partitioning.
+
+    Every number here is a pure function of md5, so the whole operator
+    sits under the DuckDB value-hash gate (contract query
+    ``passage_dups``).
+    """
+    from ..functions.text import winnow_fingerprints_col
+
+    fps = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints_col(text_col, k, window)).alias("fp"),
+    )
+    dfc = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+    kept = fps.join(
+        dfc.filter((F.col("_df") >= 2) & (F.col("_df") <= max_df)).select("fp"),
+        "fp",
+    )
+    a = kept.select(F.col("id").alias("id_a"), "fp")
+    b = kept.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def passage_duplicates_sql(
+    table_expr: str = "documents",
+    k: int = 5,
+    window: int = 8,
+    min_shared: int = 2,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for ``passage_duplicates`` (same winnowing
+    fingerprints, same df band, same pair threshold)."""
+    return f"""
+        WITH toks AS (
+          SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS t
+          FROM {table_expr}
+        ), grams AS (
+          SELECT {id_col},
+                 [md5(array_to_string(t[i:i+{k - 1}], ' '))
+                  FOR i IN generate_series(1, len(t)-{k - 1})] AS h
+          FROM toks
+        ), fpl AS (
+          SELECT {id_col},
+                 CASE WHEN len(h) >= {window} THEN
+                        list_distinct([list_min(h[i:i+{window - 1}])
+                                       FOR i IN generate_series(1, len(h)-{window - 1})])
+                      WHEN len(h) > 0 THEN [list_min(h)]
+                      ELSE [] END AS fps
+          FROM grams
+        ), fps AS (
+          SELECT {id_col} AS id, unnest(fps) AS fp FROM fpl
+        ), dfc AS (
+          SELECT fp FROM (SELECT fp, count(*) AS c FROM fps GROUP BY 1)
+          WHERE c BETWEEN 2 AND {max_df}
+        ), kept AS (
+          SELECT f.id, f.fp FROM fps f JOIN dfc USING (fp)
+        )
+        SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+    """

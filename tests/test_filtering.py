@@ -105,3 +105,36 @@ def test_normalize_text_col(spark):
     # idempotent: normalizing a normalized string is a no-op
     df2 = spark.createDataFrame([(0, got[0])], "doc_id long, text string")
     assert df2.select(normalize_text_col("text").alias("n")).collect()[0]["n"] == got[0]
+
+
+def test_passage_duplicates_planted_and_banded(spark):
+    """A copied >=k+window-1-word passage pairs its two hosts; the same
+    span pasted into MANY docs (boilerplate) is df-banded out; unique
+    spans never pair."""
+    from sketch_spark.operators.dedup import passage_duplicates
+
+    # comfortably past k+window-1 = 12 words so the shared span yields
+    # >= min_shared distinct fingerprints under any window alignment
+    passage = " ".join(f"p{i}" for i in range(30))
+    boiler = " ".join(f"b{i}" for i in range(30))
+    def filler(tag, n=20):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        (0, filler("a") + " " + passage + " " + filler("c")),
+        (1, filler("d") + " " + passage + " " + filler("e")),
+        (2, filler("f")),
+    ]
+    # boilerplate span in 6 docs, max_df=5 -> banded out entirely
+    rows += [(10 + i, filler(f"g{i}") + " " + boiler) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = passage_duplicates(df, k=5, window=8, min_shared=2, max_df=5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 1) in pairs
+    assert all(a < 10 and b < 10 for a, b in pairs), pairs  # no boiler pairs
+    n_shared = {(r["id_a"], r["id_b"]): r["n_shared"] for r in got}[(0, 1)]
+    assert n_shared >= 2
+    # raising the band admits the boilerplate cluster
+    wide = passage_duplicates(df, k=5, window=8, min_shared=2, max_df=20).collect()
+    wide_pairs = {(r["id_a"], r["id_b"]) for r in wide}
+    assert (10, 11) in wide_pairs and len(wide_pairs) > len(pairs)
