@@ -124,3 +124,29 @@ def test_ann_index_probe_partition_pruned(spark, sf001, tmp_path_factory):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, plan
     assert any("cell" in ln and "IN" in ln for ln in pf), pf
+
+
+def test_clean_corpus_single_exchange_windowgrouplimit(spark, sf001):
+    """PLANS.md §13 pinned: gates fuse into the scan (no Python), the
+    dedup is ONE md5-hash exchange, and a map-side WindowGroupLimit
+    folds each (hash, partition) to one candidate before it."""
+    import re
+
+    from sketch_spark.operators.filtering import clean_corpus
+
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    plan = _plan(clean_corpus(docs).select("doc_id", "lang", "source"))
+    for marker in PY_NODES:
+        assert marker not in plan, marker
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_bottomk_and_bm25_take_ordered(spark, sf001):
+    """Global top-k paths must plan as TakeOrderedAndProject (local k
+    per partition), never a global Sort."""
+    import __spark_entry__ as em
+
+    for q in (em.q_bottomk_sample, em.q_bm25_topk):
+        plan = _plan(q(spark, sf001))
+        assert "TakeOrderedAndProject" in plan, q.__name__
