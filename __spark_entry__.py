@@ -758,6 +758,17 @@ def q_kmv_distinct_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(_tokens(docs, ["lang"]), "tok", ["lang"], k=256, seed=1)
 
 
+def q_kmv_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KMV token-set similarity between languages — the
+    set-ALGEBRA estimator whose values are pure md5 functions, so the
+    driver hash-checks the estimates themselves (the oracled companion
+    to the rows-only HLL inclusion-exclusion path)."""
+    from sketch_spark.operators.sampling import kmv_set_similarity
+
+    docs = _read(spark, sf_dir, "documents")
+    return kmv_set_similarity(_tokens(docs, ["lang"]), "tok", "lang", k=256, seed=1)
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-expressible SimHash (VERDICT r2 #10): same algorithm as the
     fast custom-hash path but with md5-derived bit votes DuckDB can
@@ -1366,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_source": q_sample_per_source,
         "bottomk_sample": q_bottomk_sample,
         "kmv_distinct_by_lang": q_kmv_distinct_by_lang,
+        "kmv_lang_similarity": q_kmv_lang_similarity,
         "hll_lang_overlap": q_hll_lang_overlap,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1928,6 +1940,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_minima
             FROM r WHERE rnk <= 256
             GROUP BY lang
+        """,
+        "kmv_lang_similarity": """
+            WITH toks AS (
+              SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents
+            ), uu AS (
+              SELECT DISTINCT lang AS g,
+                     CAST(CAST('0x' || substr(md5('1:' || tok), 1, 8)
+                          AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+              FROM toks WHERE tok <> ''
+            ), bottom AS (
+              SELECT g, u FROM (
+                SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rnk
+                FROM uu
+              ) WHERE rnk <= 256
+            ), pairs AS (
+              SELECT a.g AS ga, b.g AS gb
+              FROM (SELECT DISTINCT g FROM bottom) a
+              JOIN (SELECT DISTINCT g FROM bottom) b ON a.g < b.g
+            ), merged AS (
+              SELECT p.ga, p.gb, x.u,
+                     max(CASE WHEN x.g = p.ga THEN 1 ELSE 0 END) AS a,
+                     max(CASE WHEN x.g = p.gb THEN 1 ELSE 0 END) AS b
+              FROM pairs p JOIN bottom x ON x.g IN (p.ga, p.gb)
+              GROUP BY 1, 2, 3
+            ), kept AS (
+              SELECT ga, gb, u, a, b FROM (
+                SELECT ga, gb, u, a, b,
+                       row_number() OVER (PARTITION BY ga, gb ORDER BY u ASC) AS rn
+                FROM merged
+              ) WHERE rn <= 256
+            )
+            SELECT ga, gb,
+                   round(CASE WHEN count(*) < 256
+                         THEN sum(a*b) / CAST(count(*) AS DOUBLE)
+                         ELSE sum(a*b) / 256.0 END, 4) AS est_jaccard,
+                   round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                         ELSE 255.0 / max(u) END, 4) AS est_union,
+                   CAST(sum(a*b) AS BIGINT) AS n_both
+            FROM kept GROUP BY 1, 2
         """,
         "tfidf_top_terms": """
             WITH exploded AS (

@@ -29,6 +29,7 @@ __all__ = [
     "sample_per_group",
     "bottomk_sample",
     "kmv_distinct",
+    "kmv_set_similarity",
 ]
 
 _HEX_DIGITS = 8  # 32 bits of rank: plenty for split fractions; exact in double
@@ -146,4 +147,68 @@ def kmv_distinct(
             4,
         ).alias("est_distinct"),
         F.count("*").cast("long").alias("n_minima"),
+    )
+
+
+def kmv_set_similarity(
+    df: DataFrame,
+    value_col: str | Column,
+    group_col: str,
+    k: int = 256,
+    seed: int = 1,
+) -> DataFrame:
+    """Pairwise KMV set similarity between groups: for every group pair
+    (a < b), merge the two bottom-k signatures, keep the k smallest
+    distinct ranks of the union, and estimate
+      jaccard  ~= |{kept ranks present in BOTH}| / k      (Beyer et al. 2007)
+      union    ~= (k-1) / u_k
+    Pairs whose merged signature has fewer than k distinct ranks are
+    EXACT (the union was seen in full).
+
+    Like ``kmv_distinct``, every number is a pure function of md5 — the
+    set-ALGEBRA estimator with a full value-hash driver gate, next to
+    the rows-only HLL inclusion-exclusion path (hll_lang_overlap).
+
+    Plan shape: the per-group bottom-k is the kmv_distinct plan
+    (vocabulary-scale distinct + WindowGroupLimit); everything after
+    operates on <= k rows per group — G^2/2 x k rows total — so the
+    pairwise stage costs nothing at any corpus size.
+    """
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    ranks = df.select(
+        F.col(group_col).alias("g"), uniform_hash_col(vc, seed).alias("u")
+    ).distinct()
+    w = W.partitionBy("g").orderBy(F.col("u").asc())
+    bottom = ranks.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    groups = bottom.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb"))
+    )
+    side_a = (
+        pairs.join(bottom.select(F.col("g").alias("ga"), "u"), "ga")
+        .select("ga", "gb", "u", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    )
+    side_b = (
+        pairs.join(bottom.select(F.col("g").alias("gb"), "u"), "gb")
+        .select("ga", "gb", "u", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "u")
+        .agg(F.max("in_a").alias("a"), F.max("in_b").alias("b"))
+    )
+    w2 = W.partitionBy("ga", "gb").orderBy(F.col("u").asc())
+    kept = merged.withColumn("_r", F.row_number().over(w2)).filter(F.col("_r") <= k)
+    n = F.count("*")
+    n_both = F.sum(F.col("a") * F.col("b"))
+    u_k = F.max("u")
+    return kept.groupBy("ga", "gb").agg(
+        F.round(
+            F.when(n < k, n_both / n).otherwise(n_both / F.lit(float(k))), 4
+        ).alias("est_jaccard"),
+        F.round(
+            F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / u_k), 4
+        ).alias("est_union"),
+        n_both.cast("long").alias("n_both"),
     )

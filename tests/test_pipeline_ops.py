@@ -220,3 +220,45 @@ def test_contamination_report_matches_bruteforce(spark):
     assert "BroadcastHashJoin" in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan, plan
+
+
+def test_kmv_set_similarity_exact_and_estimated(spark):
+    """Small unions (< k) are EXACT: est_jaccard == true Jaccard and
+    est_union == |A u B|.  With k capped below the union size the
+    estimate must land within the sketch's RSE envelope."""
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.sampling import kmv_set_similarity
+
+    # A = 0..599, B = 300..899  ->  |A u B| = 900, J = 300/900 = 1/3
+    rows = [("a", f"v{i}") for i in range(600)] + [
+        ("b", f"v{i}") for i in range(300, 900)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+
+    exact = kmv_set_similarity(df, "v", "g", k=2048, seed=1).collect()[0]
+    assert exact["ga"] == "a" and exact["gb"] == "b"
+    assert exact["est_union"] == 900.0
+    assert exact["est_jaccard"] == round(300 / 900, 4)
+    assert exact["n_both"] == 300
+
+    est = kmv_set_similarity(df, "v", "g", k=256, seed=1).collect()[0]
+    # RSE ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(est["est_union"] - 900) / 900 < 0.25
+    assert abs(est["est_jaccard"] - 1 / 3) < 4 * (1 / 3) / (256 - 2) ** 0.5 + 0.05
+
+
+def test_kmv_set_similarity_disjoint_and_identical(spark):
+    from sketch_spark.operators.sampling import kmv_set_similarity
+
+    rows = (
+        [("a", f"x{i}") for i in range(200)]
+        + [("b", f"y{i}") for i in range(200)]
+        + [("c", f"x{i}") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {(r["ga"], r["gb"]): r for r in kmv_set_similarity(df, "v", "g", k=512).collect()}
+    assert got[("a", "b")]["est_jaccard"] == 0.0
+    assert got[("a", "c")]["est_jaccard"] == 1.0  # identical sets
+    assert got[("a", "c")]["est_union"] == 200.0
+    assert ("b", "a") not in got  # ordered pairs only
