@@ -732,12 +732,16 @@ def passage_duplicates(
     sits under the DuckDB value-hash gate (contract query
     ``passage_dups``).
     """
-    from ..functions.text import winnow_fingerprints_col
+    from ..functions.text import winnow_fingerprints_df
 
-    fps = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(winnow_fingerprints_col(text_col, k, window)).alias("fp"),
-    )
+    # the staged (per-level materialized) winnow form: the Column form
+    # re-evaluates each doubling level twice through zip_with, i.e.
+    # 2^levels gram-pipeline evaluations per row (text.py docstring)
+    fps = winnow_fingerprints_df(docs, text_col, id_col, k, window)
+    # referenced three times (df count + both self-join sides):
+    # materialize ONCE or every branch recomputes the fingerprint
+    # pipeline — same lesson as the LSH pair set (dedup.py round 3)
+    fps = fps.localCheckpoint(eager=True)
     dfc = fps.groupBy("fp").agg(F.count("*").alias("_df"))
     kept = fps.join(
         dfc.filter((F.col("_df") >= 2) & (F.col("_df") <= max_df)).select("fp"),

@@ -138,3 +138,26 @@ def test_passage_duplicates_planted_and_banded(spark):
     wide = passage_duplicates(df, k=5, window=8, min_shared=2, max_df=20).collect()
     wide_pairs = {(r["id_a"], r["id_b"]) for r in wide}
     assert (10, 11) in wide_pairs and len(wide_pairs) > len(pairs)
+
+
+def test_winnow_df_form_equals_column_form(spark, sf001):
+    """The staged winnow_fingerprints_df must emit exactly the Column
+    form's (id, fp) multiset for both window shapes (power-of-two and
+    not)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sketch_spark.functions.text import (
+        winnow_fingerprints_col,
+        winnow_fingerprints_df,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    for k, w in ((5, 8), (3, 4), (2, 5)):
+        a = docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(winnow_fingerprints_col("text", k, w)).alias("fp"),
+        )
+        b = winnow_fingerprints_df(docs, "text", "doc_id", k, w)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (k, w)
