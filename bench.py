@@ -103,6 +103,8 @@ def main() -> None:
         "inverted_index",
         "text_normalize",
         "kmeans_cells",
+        "passage_dups",
+        "kmv_lang_similarity",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}
