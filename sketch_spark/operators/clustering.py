@@ -180,7 +180,12 @@ def kmeans_assign(
             assign = np.argmin(dists, axis=1)
             out = {"cell": pa.array(assign.astype(np.int64))}
             if with_dist:
-                out["sqdist"] = pa.array(dists[np.arange(len(assign)), assign])
+                # the gemm expansion can yield -1e-13 for a point that
+                # IS its (singleton) centroid; clamp — far below the
+                # oracle's 1e-6 rounding, so hash parity is unaffected
+                out["sqdist"] = pa.array(
+                    np.maximum(dists[np.arange(len(assign)), assign], 0.0)
+                )
             yield pa.RecordBatch.from_pydict({id_col: ids, **out})
 
     schema = f"{id_col} long, cell long" + (", sqdist double" if with_dist else "")

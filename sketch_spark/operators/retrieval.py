@@ -147,19 +147,33 @@ def inverted_index(
 ) -> DataFrame:
     """(token, df, postings) — df over distinct documents, postings the
     ``max_postings`` LOWEST doc ids as a comma-joined string (stable,
-    hashable, bounded).  One shuffle of distinct (token, doc) pairs;
-    array_distinct folds duplicates map-side so the exchange carries a
-    doc's vocabulary, not its token stream."""
+    hashable, bounded).  One exchange of distinct (token, doc) pairs
+    (array_distinct folds duplicates map-side so it carries a doc's
+    vocabulary, not its token stream); a row_number over the token
+    partition marks the keepers BEFORE aggregation, so no agg buffer
+    ever holds more than ``max_postings`` ids — a head token's full
+    posting list (every doc in the corpus) never materializes anywhere.
+    The df count still sees every row.  The window and the groupBy
+    share the token partitioning: one shuffle total."""
+    from pyspark.sql import Window as W
+
     pairs = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(_tokens_expr(text_col))).alias("token"),
     ).filter(F.col("token") != "")
+    rn = F.row_number().over(W.partitionBy("token").orderBy(F.col(id_col).asc()))
+    ranked = pairs.withColumn("_rn", rn)
     return (
-        pairs.groupBy("token")
+        ranked.groupBy("token")
         .agg(
             F.count("*").cast("long").alias("df"),
             F.array_join(
-                F.slice(F.sort_array(F.collect_set(id_col)), 1, max_postings), ","
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_postings, F.col(id_col))
+                    )
+                ),
+                ",",
             ).alias("postings"),
         )
         .filter(F.col("df") >= min_df)
