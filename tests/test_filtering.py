@@ -161,3 +161,37 @@ def test_winnow_df_form_equals_column_form(spark, sf001):
         )
         b = winnow_fingerprints_df(docs, "text", "doc_id", k, w)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (k, w)
+
+
+def test_normalize_matches_python_reference_randomized(spark):
+    """One Spark job over 300 seeded-random strings vs an exact Python
+    reference of the same pipeline (ASCII whitespace only: Java's \\s is
+    ASCII where Python's is Unicode)."""
+    import random
+    import re
+
+    from sketch_spark.functions.text import (
+        _ACCENT_FROM,
+        _ACCENT_TO,
+        normalize_text_col,
+    )
+
+    table = str.maketrans(_ACCENT_FROM, _ACCENT_TO)
+
+    def ref(s: str) -> str:
+        return re.sub(r"[ \t\n\x0b\f\r]+", " ", s.lower().translate(table)).strip()
+
+    rng = random.Random(7)
+    alphabet = "aBcZ09.,!ÉéÀàÑñÇçÜüÝý ß\t\n\r "
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_text_col("text").alias("n")).collect()
+    }
+    for i, s in rows:
+        assert got[i] == ref(s), (i, repr(s), repr(got[i]), repr(ref(s)))
+        assert ref(ref(s)) == ref(s)  # idempotent reference
