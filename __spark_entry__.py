@@ -871,6 +871,16 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(docs)
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter signal: add-k bigram LM trained on
+    the corpus itself, per-doc exp(-mean log P) — counts + joins + one
+    log/exp, so the perplexities themselves are hash-checked."""
+    from sketch_spark.operators.lm import bigram_lm_perplexity
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_lm_perplexity(docs, add_k=0.5)
+
+
 def q_passage_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level duplicate pairs via shared winnowing fingerprints
     (copied >= k+window-1-word spans), df-banded so boilerplate spans
@@ -1311,6 +1321,12 @@ def _clean_corpus_oracle_sql() -> str:
     return clean_corpus_sql()
 
 
+def _lm_perplexity_oracle_sql() -> str:
+    from sketch_spark.operators.lm import bigram_lm_perplexity_sql
+
+    return bigram_lm_perplexity_sql(add_k=0.5)
+
+
 def _passage_dups_oracle_sql() -> str:
     from sketch_spark.operators.dedup import passage_duplicates_sql
 
@@ -1393,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "text_normalize": q_text_normalize,
         "passage_dups": q_passage_dups,
+        "lm_perplexity": q_lm_perplexity,
         "dedup_corpus": q_dedup_corpus,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1701,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _clean_corpus_oracle_sql(),
         "text_normalize": _text_normalize_oracle_sql(),
         "passage_dups": _passage_dups_oracle_sql(),
+        "lm_perplexity": _lm_perplexity_oracle_sql(),
         # replays one Lloyd iteration exactly: init = embeddings of the
         # 8 smallest ids, argmin with (dist, cell) tie order matching
         # np.argmin's first-minimum, grouped coordinate means, then the
