@@ -871,6 +871,16 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filter(docs)
 
 
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report (doc count, mean length, gate
+    pass-rate, exact-dup count) — the threshold-setting dashboard,
+    two exchanges total, hash-oracled."""
+    from sketch_spark.operators.filtering import source_quality_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_quality_report(docs)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filter signal: add-k bigram LM trained on
     the corpus itself, per-doc exp(-mean log P) — counts + joins + one
@@ -1321,6 +1331,12 @@ def _clean_corpus_oracle_sql() -> str:
     return clean_corpus_sql()
 
 
+def _source_quality_oracle_sql() -> str:
+    from sketch_spark.operators.filtering import source_quality_report_sql
+
+    return source_quality_report_sql()
+
+
 def _lm_perplexity_oracle_sql() -> str:
     from sketch_spark.operators.lm import bigram_lm_perplexity_sql
 
@@ -1410,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "passage_dups": q_passage_dups,
         "lm_perplexity": q_lm_perplexity,
+        "source_quality": q_source_quality,
         "dedup_corpus": q_dedup_corpus,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1719,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _text_normalize_oracle_sql(),
         "passage_dups": _passage_dups_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
+        "source_quality": _source_quality_oracle_sql(),
         # replays one Lloyd iteration exactly: init = embeddings of the
         # 8 smallest ids, argmin with (dist, cell) tie order matching
         # np.argmin's first-minimum, grouped coordinate means, then the

@@ -25,6 +25,7 @@ from ..functions.text import repetition_columns, tokens_col
 __all__ = [
     "corpus_filter",
     "clean_corpus",
+    "source_quality_report",
     "default_web_rules",
     "default_web_rules_sql",
 ]
@@ -154,6 +155,67 @@ def corpus_filter_sql(
           FROM sig
         )
         SELECT {id_col}, reasons = '' AS keep, reasons FROM flagged
+    """
+
+
+def source_quality_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    rules: dict[str, Column] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus health: doc count, mean length, gate pass-rate,
+    exact-duplicate count — the dashboard a pipeline operator reads
+    before deciding thresholds.  One projection for the signals, one
+    md5 window for dup flags, one groupBy: two exchanges total, both
+    on surviving semantics (nothing corpus-scale is collected)."""
+    if rules is None:
+        rules = default_web_rules(text_col)
+    fails = reduce(lambda a, b: a | b, rules.values())
+    n_tokens = F.size(tokens_col(text_col))
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    per_doc = docs.select(
+        F.col(group_col),
+        n_tokens.alias("_n_tokens"),
+        (~fails).cast("int").alias("_keep"),
+        (F.row_number().over(w) > 1).cast("int").alias("_is_dup"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("_n_tokens"), 4).alias("avg_tokens"),
+        F.sum("_keep").cast("long").alias("n_keep"),
+        F.round(F.sum("_keep") / F.count("*"), 4).alias("keep_rate"),
+        F.sum("_is_dup").cast("long").alias("n_exact_dups"),
+    )
+
+
+def source_quality_report_sql(
+    table_expr: str = "documents",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rules_sql: dict[str, str] | None = None,
+) -> str:
+    """DuckDB oracle for ``source_quality_report`` (default rules)."""
+    return f"""
+        WITH keeps AS ({corpus_filter_sql(table_expr, id_col, text_col, rules_sql)}),
+        per_doc AS (
+          SELECT d.{group_col},
+                 len(regexp_split_to_array(trim(d.{text_col}), '\\s+')) AS n_tokens,
+                 CASE WHEN k.keep THEN 1 ELSE 0 END AS keep,
+                 CASE WHEN row_number() OVER (PARTITION BY md5(d.{text_col})
+                                              ORDER BY d.{id_col}) > 1
+                      THEN 1 ELSE 0 END AS is_dup
+          FROM {table_expr} d JOIN keeps k ON d.{id_col} = k.{id_col}
+        )
+        SELECT {group_col},
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(n_tokens), 4) AS avg_tokens,
+               CAST(sum(keep) AS BIGINT) AS n_keep,
+               round(sum(keep) / CAST(count(*) AS DOUBLE), 4) AS keep_rate,
+               CAST(sum(is_dup) AS BIGINT) AS n_exact_dups
+        FROM per_doc GROUP BY {group_col}
     """
 
 

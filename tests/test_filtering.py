@@ -195,3 +195,23 @@ def test_normalize_matches_python_reference_randomized(spark):
     for i, s in rows:
         assert got[i] == ref(s), (i, repr(s), repr(got[i]), repr(ref(s)))
         assert ref(ref(s)) == ref(s)  # idempotent reference
+
+
+def test_source_quality_report(spark):
+    from sketch_spark.operators.filtering import source_quality_report
+
+    ok = " ".join(f"w{i}" for i in range(30))
+    bad = "x " * 29 + "x"
+    rows = [
+        (0, "A", ok), (1, "A", ok), (2, "A", bad),   # 1 dup, 2/3 keep
+        (3, "B", bad), (4, "B", bad),                 # all fail, 1 dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in source_quality_report(df).collect()}
+    a, b = got["A"], got["B"]
+    assert a["n_docs"] == 3 and a["n_keep"] == 2 and a["keep_rate"] == round(2 / 3, 4)
+    assert a["n_exact_dups"] == 1 and a["avg_tokens"] == 30.0
+    assert b["n_docs"] == 2 and b["n_keep"] == 0 and b["keep_rate"] == 0.0
+    # dup flags are corpus-wide, not per-source: the canonical copy of
+    # the shared text is doc 2 (source A), so BOTH B docs count as dups
+    assert b["n_exact_dups"] == 2
