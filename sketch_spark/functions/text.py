@@ -729,9 +729,15 @@ def winnow_fingerprints_df(
     a non-cheap expression).  Use this form on corpus-scale paths
     (passage_duplicates); the Column form stays for expression
     composition."""
+    from ..operators.aggregate import ensure_min_partitions
+
     grams = word_ngrams_col(text_col, k)
     big = F.lit(1 << 30)
-    df = docs.select(
+    # the gram/md5/doubling pipeline is CPU-bound per row: spread a
+    # small-file scan (one parquet split) across cores first, or the
+    # whole corpus fingerprints on one task (no-op at real scale where
+    # the scan already has thousands of splits)
+    df = ensure_min_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(grams, lambda g: F.md5(g)).alias("_h"),
     )

@@ -195,7 +195,11 @@ def minhash_signatures(
                 )
             yield pa.RecordBatch.from_pydict(cols)
 
-    return df.select(id_col, text_col).mapInArrow(run, out_schema)
+    from .aggregate import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInArrow(
+        run, out_schema
+    )
 
 
 def lsh_candidate_pairs(
@@ -347,8 +351,13 @@ def verify_jaccard_pairs_from_text(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    from .aggregate import ensure_min_partitions
+
+    # the shingle re-tokenize is CPU-bound; a broadcast semi-join keeps
+    # the scan's partitioning (possibly ONE split on a small file), so
+    # spread before the projection (no-op on a well-split corpus scan)
     sh = (
-        df.join(cand_ids, id_col, "left_semi")
+        ensure_min_partitions(df.join(cand_ids, id_col, "left_semi"))
         .select(
             F.col(id_col),
             F.array_distinct(word_ngrams_col(text_col, shingle_k)).alias("shingles"),
@@ -587,7 +596,9 @@ def simhash(
             yield pa.RecordBatch.from_pydict(out)
 
     schema = f"{id_col} long, simhash long, band0 long, band1 long, band2 long, band3 long"
-    return df.select(id_col, text_col).mapInArrow(run, schema)
+    from .aggregate import ensure_min_partitions
+
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInArrow(run, schema)
 
 
 def simhash_candidate_pairs(
