@@ -902,6 +902,29 @@ def q_passage_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_duplicates(docs, k=5, window=8, min_shared=2, max_df=20)
 
 
+def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span report: maximal token spans
+    covered by 10-grams occurring >= 2x corpus-wide (Lee et al. 2022's
+    'deduplicating training data' pass at n-gram granularity).  Runs
+    the hash-keyed scale path (8-byte xxhash64 shuffle rows); the
+    DuckDB oracle groups by gram STRING, so the hash-green row also
+    certifies the hash path's equivalence."""
+    from sketch_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, n=10, min_count=2, key="hash")
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with every duplicated 10-gram span cut out: (doc_id,
+    clean_text, n_tokens, n_removed), clean text byte-checked against
+    the DuckDB reconstruction."""
+    from sketch_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=10, min_count=2, key="hash")
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (lowercase, accent fold, whitespace
     collapse) checked by md5 byte-identity.  The synthetic corpus is
@@ -1349,6 +1372,18 @@ def _passage_dups_oracle_sql() -> str:
     return passage_duplicates_sql(k=5, window=8, min_shared=2, max_df=20)
 
 
+def _dup_span_report_oracle_sql() -> str:
+    from sketch_spark.operators.dedup import duplicate_ngram_spans_sql
+
+    return duplicate_ngram_spans_sql(n=10, min_count=2)
+
+
+def _dup_span_removal_oracle_sql() -> str:
+    from sketch_spark.operators.dedup import remove_duplicate_spans_sql
+
+    return remove_duplicate_spans_sql(n=10, min_count=2)
+
+
 def _text_normalize_oracle_sql() -> str:
     from sketch_spark.functions.text import normalize_text_sql
 
@@ -1425,6 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "text_normalize": q_text_normalize,
         "passage_dups": q_passage_dups,
+        "dup_span_report": q_dup_span_report,
+        "dup_span_removal": q_dup_span_removal,
         "lm_perplexity": q_lm_perplexity,
         "source_quality": q_source_quality,
         "dedup_corpus": q_dedup_corpus,
@@ -1735,6 +1772,8 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _clean_corpus_oracle_sql(),
         "text_normalize": _text_normalize_oracle_sql(),
         "passage_dups": _passage_dups_oracle_sql(),
+        "dup_span_report": _dup_span_report_oracle_sql(),
+        "dup_span_removal": _dup_span_removal_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
         "source_quality": _source_quality_oracle_sql(),
         # replays one Lloyd iteration exactly: init = embeddings of the

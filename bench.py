@@ -105,6 +105,7 @@ def main() -> None:
         "kmeans_cells",
         "passage_dups",
         "kmv_lang_similarity",
+        "dup_span_removal",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}

@@ -43,6 +43,10 @@ __all__ = [
     "top_df_token_hashes",
     "contamination_report",
     "passage_duplicates",
+    "duplicate_ngram_spans",
+    "remove_duplicate_spans",
+    "duplicate_ngram_spans_sql",
+    "remove_duplicate_spans_sql",
 ]
 
 
@@ -809,3 +813,237 @@ def passage_duplicates_sql(
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         GROUP BY 1, 2 HAVING count(*) >= {min_shared}
     """
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram SPAN removal (ExactSubstr-style, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_count: int = 2,
+    key: str = "hash",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal token spans
+    covered by word ``n``-grams that occur >= ``min_count`` times in the
+    WHOLE corpus (including repeats inside one document) — the
+    "deduplicating training data" ExactSubstr pass, at token-n-gram
+    rather than suffix-array granularity.  Whole-document dedup
+    (exact/minhash/simhash above) misses copied passages embedded in
+    otherwise-unique pages; this finds exactly those spans so they can
+    be cut instead of dropping the document.
+
+    Span semantics: a duplicated gram at token position p covers
+    p..p+n-1; overlapping/adjacent covers merge (gaps-and-islands over
+    positions: a new span starts when pos > prev_pos + n).  Positions
+    are 0-based over whitespace tokens.
+
+    Plan shape for 100 TB — pure Catalyst end to end:
+      1. posexplode of the gram array: token-scale stream
+         (doc, pos, key), all codegen.
+      2. duplicated-key set via groupBy count: hash aggregate with
+         map-side partial combine, so the exchange carries each
+         partition's UNIQUE grams, not the occurrence stream.
+      3. hits = occurrences semi-joined against the duplicated set on
+         the gram key; with ``key="hash"`` the shuffle rows carry an
+         8-byte xxhash64 instead of the gram string (~4x narrower at
+         n=10; identical output up to 64-bit collisions — equivalence
+         pinned by pytest).  Spark's runtime Bloom-filter join
+         (spark.sql.optimizer.runtime.bloomFilter.enabled) prefilters
+         this exchange map-side on low-duplication corpora; no custom
+         operator needed.
+      4. per-document island merge: one window over (doc, pos) on the
+         HIT stream only — duplicated positions, a small fraction of
+         the corpus.
+    """
+    if n < 2:
+        raise ValueError("span dedup needs n >= 2 (n=1 removes every repeated token)")
+    from pyspark.sql import Window as W
+
+    from ..functions.text import word_ngrams_col
+
+    from .aggregate import ensure_min_partitions
+
+    # gram construction + hashing is CPU-bound per row: spread a
+    # single-split small-file scan first (no-op on a well-split corpus)
+    occ = ensure_min_partitions(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.posexplode(word_ngrams_col(text_col, n)).alias("pos", "gram"),
+    )
+    key_col = F.xxhash64("gram") if key == "hash" else F.col("gram")
+    occ = occ.select(id_col, "pos", key_col.alias("_k"))
+    dup = (
+        occ.groupBy("_k")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_k")
+    )
+    hits = occ.join(dup, "_k", "left_semi").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = hits.withColumn(
+        "_new", F.when(prev.isNull() | (F.col("pos") > prev + n), 1).otherwise(0)
+    )
+    isl = flagged.withColumn("_isl", F.sum("_new").over(w))
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_count: int = 2,
+    key: str = "hash",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_removed): documents with every
+    corpus-duplicated n-gram span (see ``duplicate_ngram_spans``) cut
+    out and the surviving tokens re-joined with single spaces.
+
+    Join shape: spans collapse to one array-of-intervals row per
+    AFFECTED document (most documents have none), left-joined back to
+    the corpus; the token filter is a codegen higher-order function
+    (filter with index + exists over the interval array) — no shuffle
+    of unaffected documents beyond the join exchange, no Python.
+    """
+    spans = (
+        spans
+        if spans is not None
+        else duplicate_ngram_spans(docs, text_col, id_col, n, min_count, key)
+    )
+    from ..functions.text import tokens_col
+
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_spans")
+    )
+    toks = F.filter(tokens_col(text_col), lambda x: x != F.lit(""))
+    empty = F.array().cast("array<struct<s:long,e:long>>")
+    joined = (
+        docs.select(id_col, text_col)
+        .join(sp, id_col, "left")
+        .select(
+            id_col,
+            toks.alias("_t"),
+            F.coalesce("_spans", empty).alias("_spans"),
+        )
+    )
+    kept = F.filter(
+        "_t",
+        lambda x, i: ~F.exists(
+            "_spans", lambda z: (i >= z["s"]) & (i <= z["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def _dup_span_cte(
+    table_expr: str, text_col: str, id_col: str, n: int, min_count: int
+) -> str:
+    """Shared DuckDB CTE chain computing the merged duplicate spans."""
+    return f"""
+        WITH toks AS (
+          SELECT {id_col},
+                 list_filter(regexp_split_to_array(trim({text_col}), '\\s+'),
+                             x -> x <> '') AS t
+          FROM {table_expr}
+        ), gl AS (
+          SELECT {id_col},
+                 [array_to_string(t[i:i+{n - 1}], ' ')
+                  FOR i IN generate_series(1, greatest(len(t) - {n - 1}, 0))] AS gs
+          FROM toks
+        ), grams AS (
+          SELECT {id_col}, unnest(gs) AS gram,
+                 generate_subscripts(gs, 1) - 1 AS pos
+          FROM gl
+        ), dup AS (
+          SELECT gram FROM grams GROUP BY gram HAVING count(*) >= {min_count}
+        ), hits AS (
+          SELECT g.{id_col}, g.pos FROM grams g JOIN dup USING (gram)
+        ), flag AS (
+          SELECT {id_col}, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos > lag(pos) OVER w + {n} THEN 1 ELSE 0 END AS new_isl
+          FROM hits WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+        ), isl AS (
+          SELECT {id_col}, pos,
+                 sum(new_isl) OVER (PARTITION BY {id_col} ORDER BY pos) AS island
+          FROM flag
+        ), spans AS (
+          SELECT {id_col}, CAST(min(pos) AS BIGINT) AS span_start,
+                 CAST(max(pos) + {n - 1} AS BIGINT) AS span_end
+          FROM isl GROUP BY {id_col}, island
+        )
+    """
+
+
+def duplicate_ngram_spans_sql(
+    table_expr: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_count: int = 2,
+) -> str:
+    """DuckDB oracle for ``duplicate_ngram_spans`` (gram-string keyed —
+    the hash-keyed Spark path matches it up to xxhash64 collisions)."""
+    return (
+        _dup_span_cte(table_expr, text_col, id_col, n, min_count)
+        + f"""
+        SELECT {id_col}, span_start, span_end,
+               span_end - span_start + 1 AS span_tokens
+        FROM spans
+    """
+    )
+
+
+def remove_duplicate_spans_sql(
+    table_expr: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_count: int = 2,
+) -> str:
+    """DuckDB oracle for ``remove_duplicate_spans``."""
+    return (
+        _dup_span_cte(table_expr, text_col, id_col, n, min_count)
+        + f"""
+        , sp AS (
+          SELECT {id_col},
+                 list(struct_pack(s := span_start, e := span_end)) AS spans
+          FROM spans GROUP BY {id_col}
+        )
+        SELECT t.{id_col},
+               coalesce(array_to_string(
+                 [t.t[i] FOR i IN generate_series(1, len(t.t))
+                  IF len(list_filter(coalesce(sp.spans, []),
+                                     z -> i - 1 BETWEEN z.s AND z.e)) = 0],
+                 ' '), '') AS clean_text,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter([len(list_filter(coalesce(sp.spans, []),
+                                          z -> i - 1 BETWEEN z.s AND z.e)) > 0
+                          FOR i IN generate_series(1, len(t.t))],
+                         covered -> covered)) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN sp ON t.{id_col} = sp.{id_col}
+    """
+    )

@@ -1,0 +1,143 @@
+"""Duplicate n-gram SPAN removal (ExactSubstr-style, Lee et al. 2022):
+hand-computed fixtures, hash-vs-string key equivalence, randomized
+DuckDB parity, and a no-Python plan guard."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketch_spark.operators.dedup import (
+    duplicate_ngram_spans,
+    duplicate_ngram_spans_sql,
+    remove_duplicate_spans,
+    remove_duplicate_spans_sql,
+)
+
+FIXTURE = [
+    (1, "a b c d e f g h"),  # shares 'a b c d e' with 2 and 4
+    (2, "x y a b c d e z"),
+    (3, "p q r s t u v w"),  # unique — untouched
+    (4, "m a b c d e n a b c d e o"),  # same-doc repeat: both copies cut
+    (5, ""),
+    (6, "   "),
+    (7, "a b"),  # shorter than n — no grams
+]
+
+
+def _duck(rows):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    return con
+
+
+@pytest.mark.parametrize("key", ["hash", "gram"])
+def test_span_fixture_hand_computed(spark, key):
+    df = spark.createDataFrame(FIXTURE, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["span_tokens"]
+        for r in duplicate_ngram_spans(df, n=3, min_count=2, key=key).collect()
+    }
+    # doc 1: grams at pos 0..2 dup -> one span [0, 4]; doc 2: [2, 6];
+    # doc 4: two islands [1, 5] and [7, 11]; docs 3/5/6/7: none
+    assert spans == {
+        (1, 0, 4): 5,
+        (2, 2, 6): 5,
+        (4, 1, 5): 5,
+        (4, 7, 11): 5,
+    }
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, n=3, min_count=2, key=key).collect()
+    }
+    assert out[1] == ("f g h", 8, 5)
+    assert out[2] == ("x y z", 8, 5)
+    assert out[3] == ("p q r s t u v w", 8, 0)
+    assert out[4] == ("m n o", 13, 10)
+    assert out[5] == ("", 0, 0)
+    assert out[6] == ("", 0, 0)
+    assert out[7] == ("a b", 2, 0)
+
+
+def test_whole_doc_removed_when_fully_duplicated(spark):
+    df = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4"), (2, "c1 c2 c3 c4")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicate_spans(df, n=4, min_count=2).collect()
+    }
+    assert out == {1: ("", 4), 2: ("", 4)}
+
+
+def test_min_count_threshold_counts_all_occurrences(spark):
+    # the gram appears twice in ONE doc: min_count=2 is met corpus-wide
+    df = spark.createDataFrame(
+        [(1, "u v w pad u v w"), (2, "unrelated text entirely here")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_ngram_spans(df, n=3, min_count=2).collect()
+    )
+    assert got == [(1, 0, 2), (1, 4, 6)]
+    # min_count=3 not met -> nothing
+    assert duplicate_ngram_spans(df, n=3, min_count=3).count() == 0
+
+
+def _random_corpus(seed: int, n_docs: int = 60):
+    """Zipf-ish corpus with planted shared passages and self-repeats."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(n_docs):
+        toks = list(rng.choice(vocab, size=rng.integers(0, 30)))
+        if i % 4 == 0:
+            pos = rng.integers(0, len(toks) + 1)
+            toks[pos:pos] = passage.split()
+        rows.append((i, " ".join(toks)))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_randomized_duckdb_parity(spark, seed):
+    rows = _random_corpus(seed)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = _duck(rows)
+    for n in (3, 8):
+        got = sorted(
+            tuple(r)
+            for r in duplicate_ngram_spans(df, n=n, min_count=2, key="hash").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(duplicate_ngram_spans_sql(n=n, min_count=2)).fetchall()
+        )
+        assert got == want, f"spans diverge at n={n} seed={seed}"
+        got_rm = sorted(
+            tuple(r)
+            for r in remove_duplicate_spans(df, n=n, min_count=2, key="hash").collect()
+        )
+        want_rm = sorted(
+            tuple(r)
+            for r in con.execute(remove_duplicate_spans_sql(n=n, min_count=2)).fetchall()
+        )
+        assert got_rm == want_rm, f"removal diverges at n={n} seed={seed}"
+
+
+def test_span_plan_is_pure_catalyst(spark):
+    """No Python stage anywhere: gram explode, dup-set aggregate, semi
+    join, window merge, and the token filter are all JVM expressions."""
+    df = spark.createDataFrame(FIXTURE, "doc_id long, text string")
+    for frame in (
+        duplicate_ngram_spans(df, n=3, min_count=2),
+        remove_duplicate_spans(df, n=3, min_count=2),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan
+        assert "BatchEvalPython" not in plan

@@ -316,6 +316,24 @@ def main() -> None:
         "driver holds only the k x d centroid matrix.",
     ))
 
+    # duplicate n-gram span removal (ExactSubstr): hash-keyed dup set
+    # with map-side combine; window merge only over the hit stream
+    df = entrymod.q_dup_span_report(spark, sf)
+    plan = explain_str(df)
+    partial_before_exchange = plan.index("HashAggregate") < plan.index("Exchange")
+    sections.append((
+        "Duplicate n-gram span report (ExactSubstr-style)",
+        plan,
+        f"- dup-set aggregate partial sits below its exchange "
+        f"({partial_before_exchange}): the shuffle carries each partition's "
+        "UNIQUE xxhash64 gram keys (8 bytes/row), never the occurrence "
+        "stream or gram strings.\n"
+        f"- occurrence->dup-set join is a semi join: `{'LeftSemi' in plan}` "
+        "(hits only; non-duplicated positions never reach the window merge).\n"
+        f"- zero Python stages: `{'Python' not in plan}` — gram explode, "
+        "count, join, and gaps-and-islands window are all codegen.",
+    ))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by tools/plan_report.py)\n\n"
