@@ -836,6 +836,20 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup report: connected components over
+    the blocked exact-cosine near-dup graph, smallest id kept per
+    cluster.  Oracled by a recursive-CTE transitive closure over the
+    same all-pairs cosine edges (the dedup_corpus oracle pattern)."""
+    from sketch_spark.operators.similarity import semantic_dedup_report
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup_report(
+        emb, threshold=0.35, id_col="vec_id", vec_col="embedding",
+        strategy="blocked", n_blocks=4,
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path (IVF coarse quantizer, nprobe cells) — rows-only
     contract entry; recall vs brute force is asserted in pytest
@@ -1450,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "lsh_topk": q_lsh_topk,
@@ -1765,6 +1780,34 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        # transitive closure over the exact cosine>=0.35 edge graph —
+        # the recursive-CTE components pattern from dedup_corpus, keyed
+        # on embeddings; keep = (id is its cluster's min id)
+        "semantic_dedup": """
+            WITH RECURSIVE emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), prs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ), edges AS (
+              SELECT id_a AS u, id_b AS w FROM prs
+              UNION ALL
+              SELECT id_b, id_a FROM prs
+            ), reach(id, r) AS (
+              SELECT vec_id, vec_id FROM emb
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.w
+            ), labels AS (
+              SELECT id, min(r) AS cluster FROM reach GROUP BY 1
+            ), sizes AS (
+              SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM labels GROUP BY 1
+            )
+            SELECT l.id AS vec_id, CAST(l.cluster AS BIGINT) AS cluster,
+                   s.cluster_size, l.id = l.cluster AS keep
+            FROM labels l JOIN sizes s USING (cluster)
         """,
         "bm25_topk": _bm25_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),

@@ -60,14 +60,25 @@ def ensure_min_partitions(df: DataFrame) -> DataFrame:
     """Spread an underpartitioned input before a CPU-bound map pass.
 
     A small-file table (one parquet split) would run every mapInArrow
-    task on one core; repartitioning to defaultParallelism costs one
-    cheap row shuffle and restores data parallelism.  A properly
-    partitioned 100TB input (thousands of splits) passes through
-    untouched — this guard exists for the small end, not the large.
+    task on one core; repartitioning costs one cheap row shuffle and
+    restores data parallelism.  A properly partitioned 100TB input
+    (thousands of splits) passes through untouched — this guard exists
+    for the small end, not the large.
+
+    The spread target is ``spark.sql.shuffle.partitions`` (capped at
+    defaultParallelism), NOT bare defaultParallelism: python-worker
+    stages at one-task-per-vCPU oversubscribe this VM's steal-prone
+    cores (BENCH.md — the local[32] mapInArrow pathology showed up as
+    2-6 s run-to-run swings on minhash_near_dups once this helper
+    spread to 32), and a session that tuned its shuffle width expects
+    map fan-out to follow the same knob.
     """
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < max(2, sc.defaultParallelism // 2):
-        return df.repartition(sc.defaultParallelism)
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    target = min(int(spark.conf.get("spark.sql.shuffle.partitions", str(par))), par)
+    target = max(target, 2)
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
     return df
 
 

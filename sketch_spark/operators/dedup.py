@@ -37,6 +37,7 @@ __all__ = [
     "verify_jaccard_pairs_from_text",
     "minhash_near_duplicates",
     "dedup_corpus",
+    "propagate_min_labels",
     "simhash",
     "simhash_candidate_pairs",
     "simhash_near_duplicates",
@@ -439,9 +440,29 @@ def dedup_corpus(
             store_shingles=store_shingles,
         )
     pairs = pairs.select("id_a", "id_b")
-    # the pair graph is candidate-scale; persist it so the iteration
-    # below never recomputes the minhash pipeline, and cut lineage each
-    # round (localCheckpoint) so plans don't grow with iterations
+    labels = propagate_min_labels(pairs)
+    drop = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+def propagate_min_labels(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """(id, label) connected-component labels over an (id_a, id_b) edge
+    set by min-id label propagation WITH pointer jumping; only ids that
+    appear in an edge get a row (isolated nodes keep label=id
+    implicitly — callers left-join and coalesce).
+
+    Each round does (1) a neighbor-min step (min label spreads one hop
+    along edges) and (2) a shortcut step label <- label(label), which
+    halves remaining chain length — so convergence is O(log diameter)
+    rounds even on path-shaped components (a chain of borderline
+    near-dups), not O(diameter) as neighbor-min alone would be.  Every
+    join is over the PAIR set — candidate-scale, not corpus-scale.
+    Lineage is cut per round (localCheckpoint) so plans don't grow with
+    iterations, and a fixpoint check stops early (web duplicate
+    clusters are shallow, typically 2-4 rounds).
+    """
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).localCheckpoint()
@@ -452,20 +473,32 @@ def dedup_corpus(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(8):  # fixpoint for cluster diameters up to 2^8
+    for _ in range(max_rounds):  # fixpoint for diameters up to ~2^max_rounds
         prop = (
             edges.join(labels, edges.id_b == labels.id)
             .groupBy("id_a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(prop, labels.id == prop.id_a, "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("old_label"),
+        )
+        # pointer jumping: label <- label(label) (labels are ids, so the
+        # self-join is over the same candidate-scale table)
+        shortcut = stepped.select(
+            F.col("id").alias("_sid"), F.col("label").alias("_slabel")
+        )
         new_labels = (
-            labels.join(prop, labels.id == prop.id_a, "left")
+            stepped.join(shortcut, stepped.label == shortcut._sid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_slabel"), F.col("label"))
                 ).alias("new_label"),
-                F.col("label").alias("old_label"),
+                "old_label",
             )
             .localCheckpoint()
         )
@@ -473,10 +506,7 @@ def dedup_corpus(
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    drop = labels.filter(F.col("label") != F.col("id")).select(
-        F.col("id").alias(id_col)
-    )
-    return df.join(drop, id_col, "left_anti")
+    return labels
 
 
 # ---------------------------------------------------------------------------

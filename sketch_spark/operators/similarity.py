@@ -40,6 +40,7 @@ __all__ = [
     "load_ann_centroids",
     "ivf_topk_indexed",
     "lsh_topk_indexed",
+    "semantic_dedup_report",
 ]
 
 
@@ -684,3 +685,50 @@ def cosine_sim_col(a, b):
     na = F.sqrt(dot(ca, ca))
     nb = F.sqrt(dot(cb, cb))
     return dot(ca, cb) / F.greatest(na * nb, F.lit(1e-300))
+
+
+def semantic_dedup_report(
+    emb_df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "blocked",
+    n_blocks: int | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cluster, cluster_size, keep): SemDeDup-style semantic
+    deduplication — documents whose embeddings sit within cosine
+    ``threshold`` of each other collapse into connected-component
+    clusters, and one representative (smallest id = the cluster label)
+    is kept per cluster.  Near-dup pairs that whole-text dedup misses
+    (paraphrases, translations, re-renders) share a cluster here.
+
+    Composition of two already-hardened pieces: the block-pair exact
+    cosine join (no driver collect, no corpus broadcast — the 100TB
+    plan; pass ``pairs`` with `ivf_assign`-bucketed candidate edges
+    when exact O(n^2/B) is unaffordable) and min-id label propagation
+    over the candidate-scale edge set (``propagate_min_labels``).  The
+    final shuffles are corpus-scale but carry only (id, label) rows.
+    """
+    from .dedup import propagate_min_labels
+
+    if pairs is None:
+        pairs = exact_cosine_pairs(
+            emb_df, threshold, id_col, vec_col, strategy=strategy, n_blocks=n_blocks
+        )
+    pairs = pairs.select("id_a", "id_b")
+    labels = propagate_min_labels(pairs)
+    labeled = (
+        emb_df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("label", F.col(id_col)).alias("cluster")
+        )
+    )
+    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster").select(
+        id_col,
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster")).alias("keep"),
+    )

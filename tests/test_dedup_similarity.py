@@ -419,3 +419,56 @@ def test_minhash_no_stored_shingles_equivalent(spark, neardup_df):
 
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_propagate_min_labels_long_chain_converges(spark):
+    """Regression: neighbor-min alone spreads one hop per round, so a
+    path-shaped component longer than the round cap silently got split
+    into several clusters (caught by the semantic_dedup oracle).  The
+    pointer-jumping step makes convergence O(log diameter): a 200-edge
+    chain must collapse to ONE label within the default round cap."""
+    from sketch_spark.operators.dedup import propagate_min_labels
+
+    n = 201
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels = propagate_min_labels(pairs).collect()
+    assert len(labels) == n
+    assert {r["label"] for r in labels} == {0}
+
+
+def test_semantic_dedup_report_clusters_and_survivors(spark):
+    """Two planted clusters (near-identical vectors) + isolated
+    singletons: cluster = min id, keep only for that id, sizes exact."""
+    import numpy as np
+
+    from sketch_spark.operators.similarity import semantic_dedup_report
+
+    rng = np.random.default_rng(5)
+    base1 = rng.normal(size=8)
+    base2 = rng.normal(size=8)
+    rows = []
+    for i in range(3):  # cluster of ids 0,1,2 around base1
+        rows.append((i, (base1 + rng.normal(scale=1e-3, size=8)).tolist()))
+    for i in range(3, 5):  # cluster of ids 3,4 around base2
+        rows.append((i, (base2 + rng.normal(scale=1e-3, size=8)).tolist()))
+    # orthogonal-ish singletons
+    for i in range(5, 8):
+        v = np.zeros(8)
+        v[i - 4] = 1.0 if i % 2 else -1.0
+        rows.append((i, (v + rng.normal(scale=1e-3, size=8)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster"], r["cluster_size"], r["keep"])
+        for r in semantic_dedup_report(
+            emb, threshold=0.95, strategy="blocked", n_blocks=2
+        ).collect()
+    }
+    assert out[0] == (0, 3, True)
+    assert out[1] == (0, 3, False)
+    assert out[2] == (0, 3, False)
+    assert out[3] == (3, 2, True)
+    assert out[4] == (3, 2, False)
+    for i in (5, 6, 7):
+        assert out[i] == (i, 1, True)
