@@ -836,6 +836,28 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture weights per source (alpha=0.5 up-weights
+    small sources) and the per-source sampling rate for a 300-doc
+    budget — the data-mixing policy table, category-scale."""
+    from sketch_spark.operators.sampling import mixture_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_weights(docs, "source", alpha=0.5, budget=300)
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-mixture sample (~300 docs at alpha=0.5):
+    md5-rank filter against broadcast per-source rates — map-only,
+    repartition-stable, byte-reproducible in DuckDB."""
+    from sketch_spark.operators.sampling import temperature_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_sample(docs, "source", alpha=0.5, budget=300).select(
+        "doc_id", "source"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup report: connected components over
     the blocked exact-cosine near-dup graph, smallest id kept per
@@ -1465,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
+        "mixture_weights": q_mixture_weights,
+        "temperature_sample": q_temperature_sample,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "lsh_topk": q_lsh_topk,
@@ -1780,6 +1804,36 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        # weights rounded to 6 BEFORE rates derive from them, so the
+        # doubles agree bit-for-bit across engines (CLAUDE.md rule)
+        "mixture_weights": """
+            WITH counts AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source
+            ), tot AS (SELECT sum(pow(n_docs, 0.5)) AS s FROM counts)
+            SELECT source, n_docs,
+                   round(pow(n_docs, 0.5) / (SELECT s FROM tot), 6) AS weight,
+                   round(least(1.0,
+                         300.0 * round(pow(n_docs, 0.5) / (SELECT s FROM tot), 6)
+                         / n_docs), 6) AS sample_rate
+            FROM counts
+        """,
+        "temperature_sample": """
+            WITH counts AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), tot AS (SELECT sum(pow(n, 0.5)) AS s FROM counts),
+            rates AS (
+              SELECT source,
+                     round(least(1.0,
+                           300.0 * round(pow(n, 0.5) / (SELECT s FROM tot), 6) / n),
+                           6) AS rate
+              FROM counts
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r USING (source)
+            WHERE CAST(CAST('0x' || substr(md5('1:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  AS UBIGINT) AS DOUBLE) / 4294967296.0 < r.rate
         """,
         # transitive closure over the exact cosine>=0.35 edge graph —
         # the recursive-CTE components pattern from dedup_corpus, keyed

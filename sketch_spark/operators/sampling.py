@@ -30,6 +30,8 @@ __all__ = [
     "bottomk_sample",
     "kmv_distinct",
     "kmv_set_similarity",
+    "mixture_weights",
+    "temperature_sample",
 ]
 
 _HEX_DIGITS = 8  # 32 bits of rank: plenty for split fractions; exact in double
@@ -211,4 +213,70 @@ def kmv_set_similarity(
             F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / u_k), 4
         ).alias("est_union"),
         n_both.cast("long").alias("n_both"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    budget: int | None = None,
+) -> DataFrame:
+    """(group, n_docs, weight, sample_rate): temperature-based mixture
+    weights for source/language rebalancing — weight ∝ n^alpha
+    normalized over groups (alpha=1 keeps natural proportions, alpha=0
+    is uniform over groups; 0<alpha<1 up-weights small sources the way
+    multilingual LM training mixes do).  With ``budget`` (target
+    sampled rows), sample_rate = min(1, budget * weight / n).
+
+    Weights are rounded to 6 decimals BEFORE rates are derived, so the
+    numbers (and any downstream deterministic sample) are bit-stable
+    across engines.  The group table is category-scale (sources,
+    languages), so the normalization is a 1-row aggregate broadcast —
+    the only corpus-scale work is the groupBy count.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    wraw = counts.withColumn("_wraw", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
+    tot = wraw.agg(F.sum("_wraw").alias("_tot"))
+    out = (
+        wraw.crossJoin(F.broadcast(tot))
+        .withColumn("weight", F.round(F.col("_wraw") / F.col("_tot"), 6))
+        .drop("_wraw", "_tot")
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "sample_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(budget)) * F.col("weight") / F.col("n_docs"),
+                ),
+                6,
+            ),
+        )
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    budget: int = 1000,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic temperature-mixture sample: ~``budget`` rows drawn
+    with per-group rates from ``mixture_weights`` (small groups
+    up-weighted at alpha<1), keeping a row iff its md5 rank u(seed, id)
+    < its group's rate.  Rate table is category-scale and broadcast;
+    the pass is map-only per row (no shuffle of the corpus, stable
+    under repartition/re-execution like every sampler in this module).
+    """
+    rates = mixture_weights(df, group_col, alpha, budget).select(
+        group_col, "sample_rate"
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(uniform_hash_col(id_col, seed) < F.col("sample_rate"))
+        .drop("sample_rate")
     )

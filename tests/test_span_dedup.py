@@ -141,3 +141,61 @@ def test_span_plan_is_pure_catalyst(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, plan
         assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# temperature-mixture sampling (same deterministic-md5-rank family)
+# ---------------------------------------------------------------------------
+def test_mixture_weights_alpha_extremes(spark):
+    from sketch_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(90)] + [(i + 90, "small") for i in range(10)],
+        "doc_id long, source string",
+    )
+    # alpha=1: natural proportions
+    w1 = {r["source"]: r["weight"] for r in mixture_weights(df, alpha=1.0).collect()}
+    assert w1 == {"big": 0.9, "small": 0.1}
+    # alpha=0: uniform over groups regardless of size
+    w0 = {r["source"]: r["weight"] for r in mixture_weights(df, alpha=0.0).collect()}
+    assert w0 == {"big": 0.5, "small": 0.5}
+    # 0<alpha<1 up-weights the small source vs natural
+    wh = {r["source"]: r["weight"] for r in mixture_weights(df, alpha=0.5).collect()}
+    assert wh["small"] > 0.1 and wh["big"] < 0.9
+    assert abs(wh["small"] + wh["big"] - 1.0) < 1e-5
+
+
+def test_mixture_sample_rate_caps_at_one(spark):
+    from sketch_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(990)] + [(990, "tiny")],
+        "doc_id long, source string",
+    )
+    rates = {
+        r["source"]: r["sample_rate"]
+        for r in mixture_weights(df, alpha=0.5, budget=500).collect()
+    }
+    # tiny source: budget * weight > 1 doc -> rate capped at 1.0
+    assert rates["tiny"] == 1.0
+    assert 0.0 < rates["big"] < 1.0
+
+
+def test_temperature_sample_deterministic_and_sized(spark):
+    from sketch_spark.operators.sampling import temperature_sample
+
+    rows = [(i, f"s{i % 7}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in temperature_sample(df, budget=400).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(df.repartition(13), budget=400).collect()
+    )
+    assert a == b, "sample must be stable under repartition"
+    # expected 400 draws; binomial sd ~ sqrt(400) -> generous 5-sigma band
+    assert 300 <= len(a) <= 500
+    # different seed -> different sample
+    c = sorted(
+        r["doc_id"] for r in temperature_sample(df, budget=400, seed=2).collect()
+    )
+    assert a != c
