@@ -836,6 +836,22 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality deciles: docs bucketed 1..10 by corpus-trained
+    bigram-LM perplexity (rounded values — the same hash-checked ones
+    as lm_perplexity — so cross-engine ordering is exact).  Bucket
+    assignment is rank-based integer math over a range-partitioned
+    order, never a global-order window (one-task trap)."""
+    from sketch_spark.operators.lm import bigram_lm_perplexity
+    from sketch_spark.operators.sampling import rank_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    ppl = bigram_lm_perplexity(docs, add_k=0.5)
+    return rank_buckets(ppl, "ppl", n_buckets=10, bucket_col="decile").select(
+        "doc_id", "n_bigrams", "ppl", "decile"
+    )
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixture weights per source (alpha=0.5 up-weights
     small sources) and the per-source sampling rate for a 300-doc
@@ -1402,6 +1418,20 @@ def _lm_perplexity_oracle_sql() -> str:
     return bigram_lm_perplexity_sql(add_k=0.5)
 
 
+def _quality_deciles_oracle_sql() -> str:
+    # same rank->bucket integer formula as rank_buckets (NOT ntile,
+    # whose remainder rule differs): (rank-1)*10 // N + 1
+    from sketch_spark.operators.lm import bigram_lm_perplexity_sql
+
+    return f"""
+        WITH ppl_tbl AS ({bigram_lm_perplexity_sql(add_k=0.5)})
+        SELECT doc_id, n_bigrams, ppl,
+               CAST((row_number() OVER (ORDER BY ppl, doc_id) - 1) * 10
+                    // (count(*) OVER ()) + 1 AS INT) AS decile
+        FROM ppl_tbl
+    """
+
+
 def _passage_dups_oracle_sql() -> str:
     from sketch_spark.operators.dedup import passage_duplicates_sql
 
@@ -1489,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "mixture_weights": q_mixture_weights,
         "temperature_sample": q_temperature_sample,
+        "quality_deciles": q_quality_deciles,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "lsh_topk": q_lsh_topk,
@@ -1872,6 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_report": _dup_span_report_oracle_sql(),
         "dup_span_removal": _dup_span_removal_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
+        "quality_deciles": _quality_deciles_oracle_sql(),
         "source_quality": _source_quality_oracle_sql(),
         # replays one Lloyd iteration exactly: init = embeddings of the
         # 8 smallest ids, argmin with (dist, cell) tie order matching

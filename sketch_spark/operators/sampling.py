@@ -32,6 +32,7 @@ __all__ = [
     "kmv_set_similarity",
     "mixture_weights",
     "temperature_sample",
+    "rank_buckets",
 ]
 
 _HEX_DIGITS = 8  # 32 bits of rank: plenty for split fractions; exact in double
@@ -279,4 +280,56 @@ def temperature_sample(
         df.join(F.broadcast(rates), group_col)
         .filter(uniform_hash_col(id_col, seed) < F.col("sample_rate"))
         .drop("sample_rate")
+    )
+
+
+def rank_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Adds ``bucket_col`` in 1..n_buckets: the row's quantile bucket
+    under the total order (score, id) — quality deciles for curriculum
+    schedules and threshold ablations.  bucket = (rank-1)*n // N + 1,
+    a pure integer function of the global rank, so results are exact
+    and engine-independent (no ntile remainder-rule ambiguity).
+
+    Scale shape — NO global-order window (which Spark executes as ONE
+    task): repartitionByRange on (score, id), then global rank = local
+    row_number within each range partition + the partition's offset
+    from a P-row count table (broadcast).  Range boundaries come from
+    sampling and vary run to run, but rank — and therefore bucket — is
+    invariant to where the boundaries fall, so the output is still
+    deterministic.  The input is localCheckpoint'd because two branches
+    (counts, rank join) read the ranged table.
+    """
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(p, F.col(score_col).asc(), F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offs = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    total = counts.agg(F.sum("_n").alias("_N"))
+    lw = W.partitionBy("_pid").orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_rank", F.row_number().over(lw) + F.col("_off"))
+        .withColumn(
+            bucket_col,
+            (F.expr(f"((_rank - 1) * {int(n_buckets)}) div _N") + 1).cast("int"),
+        )
+        .drop("_pid", "_off", "_N", "_rank")
     )

@@ -199,3 +199,55 @@ def test_temperature_sample_deterministic_and_sized(spark):
         r["doc_id"] for r in temperature_sample(df, budget=400, seed=2).collect()
     )
     assert a != c
+
+
+def test_rank_buckets_matches_reference_and_is_stable(spark):
+    import numpy as np
+
+    from sketch_spark.operators.sampling import rank_buckets
+
+    rng = np.random.default_rng(11)
+    rows = [(i, float(round(rng.uniform(0, 100), 4))) for i in range(537)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in rank_buckets(df, "score", n_buckets=10).collect()
+    }
+    # driver-side reference: rank over (score, id), (rank-1)*n//N + 1
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = {
+        doc_id: (rank * 10) // len(rows) + 1
+        for rank, (doc_id, _) in enumerate(order)
+    }
+    assert got == want
+    # invariant under input partitioning (range boundaries resample)
+    got2 = {
+        r["doc_id"]: r["bucket"]
+        for r in rank_buckets(df.repartition(17), "score", n_buckets=10).collect()
+    }
+    assert got2 == got
+    # every bucket within 1 of N/n (the integer-formula guarantee)
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_rank_buckets_no_global_order_window(spark):
+    """The plan must range-partition and rank per partition — never a
+    single-task global-order Window (the one-task trap at scale)."""
+    from sketch_spark.operators.sampling import rank_buckets
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("double").alias("score")
+    )
+    out = rank_buckets(df, "score", n_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Window specs are partitioned by _pid (local rank) or over
+    # the P-row offset table; a global-order window over the data would
+    # surface as 'Window [...] [score... ASC' with no partition spec
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line and "_pid" not in line:
+            # the offset-table window runs over <= P rows (counts table)
+            assert "_n" in line or "_off" in line, line
