@@ -958,23 +958,26 @@ def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicate-span report: maximal token spans
     covered by 10-grams occurring >= 2x corpus-wide (Lee et al. 2022's
     'deduplicating training data' pass at n-gram granularity).  Runs
-    the hash-keyed scale path (8-byte xxhash64 shuffle rows); the
-    DuckDB oracle groups by gram STRING, so the hash-green row also
-    certifies the hash path's equivalence."""
+    the Arrow corpus-scale path (rolling gram hashes from the
+    dictionary-encoded token base — no gram strings, unique-hash-only
+    exchange, broadcast-membership second pass; 12x the Catalyst form
+    at 500k organic docs, BENCH.md); the DuckDB oracle groups by gram
+    STRING, so the hash-green row also certifies the scale path's
+    equivalence."""
     from sketch_spark.operators.dedup import duplicate_ngram_spans
 
     docs = _read(spark, sf_dir, "documents")
-    return duplicate_ngram_spans(docs, n=10, min_count=2, key="hash")
+    return duplicate_ngram_spans(docs, n=10, min_count=2, key="arrow")
 
 
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with every duplicated 10-gram span cut out: (doc_id,
     clean_text, n_tokens, n_removed), clean text byte-checked against
-    the DuckDB reconstruction."""
+    the DuckDB reconstruction; spans come from the Arrow scale path."""
     from sketch_spark.operators.dedup import remove_duplicate_spans
 
     docs = _read(spark, sf_dir, "documents")
-    return remove_duplicate_spans(docs, n=10, min_count=2, key="hash")
+    return remove_duplicate_spans(docs, n=10, min_count=2, key="arrow")
 
 
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

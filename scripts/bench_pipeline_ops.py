@@ -83,6 +83,41 @@ def main() -> None:
     )
     emb.persist().count()
 
+    from sketch_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        remove_duplicate_spans,
+    )
+
+    timed(
+        "dup_span_report_n10_arrow",
+        lambda: duplicate_ngram_spans(docs, n=10, min_count=2, key="arrow").count(),
+        args.rows,
+    )
+    # aggregate n_removed so the optimizer cannot eliminate the span
+    # subtree under a bare count (left join with unique keys preserves
+    # row count, so .count() alone measures nothing)
+    timed(
+        "dup_span_removal_n10_arrow",
+        lambda: int(
+            remove_duplicate_spans(docs, n=10, min_count=2, key="arrow")
+            .agg(F.sum("n_removed").alias("s"))
+            .collect()[0]["s"]
+        ),
+        args.rows,
+    )
+
+    from sketch_spark.operators.sampling import rank_buckets
+
+    scored = docs.select("doc_id", F.length("text").cast("double").alias("score"))
+    timed(
+        "rank_buckets_10",
+        lambda: rank_buckets(scored, "score", n_buckets=10)
+        .groupBy("bucket")
+        .count()
+        .count(),
+        args.rows,
+    )
+
     from sketch_spark.operators.clustering import kmeans_fit
 
     timed(

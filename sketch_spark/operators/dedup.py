@@ -870,28 +870,31 @@ def duplicate_ngram_spans(
     positions: a new span starts when pos > prev_pos + n).  Positions
     are 0-based over whitespace tokens.
 
-    Plan shape for 100 TB — pure Catalyst end to end:
-      1. posexplode of the gram array: token-scale stream
-         (doc, pos, key), all codegen.
-      2. duplicated-key set via groupBy count: hash aggregate with
-         map-side partial combine, so the exchange carries each
-         partition's UNIQUE grams, not the occurrence stream.
-      3. hits = occurrences semi-joined against the duplicated set on
-         the gram key; with ``key="hash"`` the shuffle rows carry an
-         8-byte xxhash64 instead of the gram string (~4x narrower at
-         n=10; identical output up to 64-bit collisions — equivalence
-         pinned by pytest).  Spark's runtime Bloom-filter join
-         (spark.sql.optimizer.runtime.bloomFilter.enabled) prefilters
-         this exchange map-side on low-duplication corpora; no custom
-         operator needed.
-      4. per-document island merge: one window over (doc, pos) on the
-         HIT stream only — duplicated positions, a small fraction of
-         the corpus.
+    Three key modes (identical output up to 64-bit hash collisions —
+    equivalence pytest-pinned):
+      "gram"  — pure Catalyst, gram STRINGS as keys; the oracle form.
+      "hash"  — pure Catalyst, xxhash64 keys (8-byte shuffle rows).
+      "arrow" — the corpus-scale path (default for big runs; measured
+        960 s -> 75 s at 500k organic docs / 550M grams, BENCH.md):
+        rolling n-gram hashes from the dictionary-encoded token base
+        (no gram strings EVER materialize), a unique-hash-only
+        exchange for the duplicated set, then a SECOND streaming pass
+        that re-derives positions and emits only the hits — against a
+        sorted broadcast of the dup set when it fits
+        (``broadcast_cap``), else a shuffle semi join.  The occurrence
+        stream never shuffles in broadcast mode.
+
+    Pure-Catalyst plan shape (gram/hash modes):
+      1. posexplode of the gram array: token-scale (doc, pos, key).
+      2. dup set via groupBy count: partial agg below the exchange, so
+         the shuffle carries each partition's UNIQUE grams.
+      3. hits = occurrences semi-joined against the dup set.
+      4. island merge: one window over (doc, pos) on HITS only.
     """
     if n < 2:
         raise ValueError("span dedup needs n >= 2 (n=1 removes every repeated token)")
-    from pyspark.sql import Window as W
-
+    if key == "arrow":
+        return _duplicate_ngram_spans_arrow(docs, text_col, id_col, n, min_count)
     from ..functions.text import word_ngrams_col
 
     from .aggregate import ensure_min_partitions
@@ -911,6 +914,15 @@ def duplicate_ngram_spans(
         .select("_k")
     )
     hits = occ.join(dup, "_k", "left_semi").select(id_col, "pos")
+    return _merge_hit_spans(hits, id_col, n)
+
+
+def _merge_hit_spans(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated gram positions into maximal
+    spans — runs over the HIT stream only (duplicated positions, a
+    small fraction of the corpus)."""
+    from pyspark.sql import Window as W
+
     w = W.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
     flagged = hits.withColumn(
@@ -930,6 +942,146 @@ def duplicate_ngram_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def _ngram_hash_positions(
+    texts: pa.Array, n: int, seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(gram hashes, batch row index, 0-based token position) for every
+    in-row n-gram occurrence — rolling combine over the dictionary-
+    encoded token base; gram strings never materialize."""
+    from ..functions.text import _NGRAM_PRIME, token_base
+
+    hd, idx, parents = token_base(texts, seed)
+    m = len(idx)
+    if m == 0 or m < n:
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), e, e
+    h = hd[idx]
+    # same rolling combine as hashes_from_base (token_hashes family),
+    # kept inline because positions must survive the same_row filter
+    combined = h[: m - n + 1].copy()
+    for j in range(1, n):
+        combined = mix_u64(combined * _NGRAM_PRIME ^ h[j : m - n + 1 + j], np.uint64(j))
+    same_row = parents[: m - n + 1] == parents[n - 1 :]
+    rows = parents[: m - n + 1][same_row]
+    # token position inside the row: flat index minus the row's start
+    n_rows = len(texts)
+    counts = np.bincount(parents, minlength=n_rows)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    flat_idx = np.arange(m - n + 1, dtype=np.int64)[same_row]
+    pos = flat_idx - starts[rows]
+    return combined[same_row], rows, pos
+
+
+def _duplicate_ngram_spans_arrow(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    min_count: int,
+    seed: int = 1,
+    broadcast_cap: int = 16_000_000,
+) -> DataFrame:
+    """The corpus-scale ExactSubstr span pass (see
+    ``duplicate_ngram_spans(key="arrow")``).
+
+    Pass 1 folds each partition's gram-hash counts Arrow-side in
+    bounded chunks, so the exchange carries unique 8-byte hashes with
+    partial counts — never the occurrence stream and never a string.
+    Pass 2 re-derives (row, position) per gram from a fresh scan and
+    emits ONLY hits: against a sorted numpy broadcast of the dup set
+    when |dup| <= ``broadcast_cap`` (128 MB at the default — zero
+    occurrence shuffle), else via a shuffle semi join on the hash
+    (boilerplate-heavy corpora where the dup set itself is huge).
+    """
+    from typing import Iterator as _It
+
+    from .aggregate import ensure_min_partitions
+
+    src = ensure_min_partitions(docs.select(id_col, text_col))
+
+    def count_run(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        acc: list[pa.Table] = []
+        acc_rows = 0
+
+        def fold() -> pa.Table:
+            t = pa.concat_tables(acc).group_by("h").aggregate([("c", "sum")])
+            return t.rename_columns(["h", "c"])
+
+        for batch in batches:
+            hs, _, _ = _ngram_hash_positions(batch.column(0), n, seed)
+            if not len(hs):
+                continue
+            uniq, counts = np.unique(hs, return_counts=True)
+            acc.append(
+                pa.table(
+                    {"h": pa.array(uniq.view(np.int64)), "c": pa.array(counts.astype(np.int64))}
+                )
+            )
+            acc_rows += len(uniq)
+            if acc_rows > 32_000_000:  # bound the fold buffer (~0.5 GB)
+                acc, acc_rows = [fold()], len(acc[0])
+        if acc:
+            yield from fold().to_batches()
+
+    partial = src.select(text_col).mapInArrow(count_run, "h long, c long")
+    dup = (
+        partial.groupBy("h")
+        .agg(F.sum("c").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    dup = dup.persist()
+    n_dup = dup.count()
+
+    if n_dup <= broadcast_cap:
+        dup_arr = np.sort(
+            np.fromiter((r["h"] for r in dup.collect()), dtype=np.int64, count=n_dup)
+        )
+        dup.unpersist()
+        bc = docs.sparkSession.sparkContext.broadcast(dup_arr)
+
+        def hit_run(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+            d = bc.value
+            if len(d) == 0:
+                return
+            for batch in batches:
+                ids = batch.column(0)
+                hs, rows, pos = _ngram_hash_positions(batch.column(1), n, seed)
+                if not len(hs):
+                    continue
+                sh = hs.view(np.int64)
+                loc = np.minimum(np.searchsorted(d, sh), len(d) - 1)
+                hit = d[loc] == sh
+                if not hit.any():
+                    continue
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        id_col: ids.take(pa.array(rows[hit])),
+                        "pos": pa.array(pos[hit]),
+                    }
+                )
+
+        hits = src.mapInArrow(hit_run, f"{id_col} long, pos long")
+    else:
+        def occ_run(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+            for batch in batches:
+                ids = batch.column(0)
+                hs, rows, pos = _ngram_hash_positions(batch.column(1), n, seed)
+                if not len(hs):
+                    continue
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        id_col: ids.take(pa.array(rows)),
+                        "pos": pa.array(pos),
+                        "h": pa.array(hs.view(np.int64)),
+                    }
+                )
+
+        occ = src.mapInArrow(occ_run, f"{id_col} long, pos long, h long")
+        hits = occ.join(dup, "h", "left_semi").select(id_col, "pos")
+    return _merge_hit_spans(hits, id_col, n)
 
 
 def remove_duplicate_spans(

@@ -35,7 +35,7 @@ def _duck(rows):
     return con
 
 
-@pytest.mark.parametrize("key", ["hash", "gram"])
+@pytest.mark.parametrize("key", ["hash", "gram", "arrow"])
 def test_span_fixture_hand_computed(spark, key):
     df = spark.createDataFrame(FIXTURE, "doc_id long, text string")
     spans = {
@@ -110,24 +110,45 @@ def test_randomized_duckdb_parity(spark, seed):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     con = _duck(rows)
     for n in (3, 8):
-        got = sorted(
-            tuple(r)
-            for r in duplicate_ngram_spans(df, n=n, min_count=2, key="hash").collect()
-        )
         want = sorted(
             tuple(r)
             for r in con.execute(duplicate_ngram_spans_sql(n=n, min_count=2)).fetchall()
-        )
-        assert got == want, f"spans diverge at n={n} seed={seed}"
-        got_rm = sorted(
-            tuple(r)
-            for r in remove_duplicate_spans(df, n=n, min_count=2, key="hash").collect()
         )
         want_rm = sorted(
             tuple(r)
             for r in con.execute(remove_duplicate_spans_sql(n=n, min_count=2)).fetchall()
         )
-        assert got_rm == want_rm, f"removal diverges at n={n} seed={seed}"
+        for key in ("hash", "arrow"):
+            got = sorted(
+                tuple(r)
+                for r in duplicate_ngram_spans(df, n=n, min_count=2, key=key).collect()
+            )
+            assert got == want, f"spans diverge at n={n} seed={seed} key={key}"
+            got_rm = sorted(
+                tuple(r)
+                for r in remove_duplicate_spans(df, n=n, min_count=2, key=key).collect()
+            )
+            assert got_rm == want_rm, f"removal diverges at n={n} seed={seed} key={key}"
+
+
+def test_arrow_join_fallback_matches_broadcast(spark):
+    """broadcast_cap=0 forces the shuffle-semi-join branch (huge-dup-set
+    corpora); results must equal the broadcast-membership branch."""
+    from sketch_spark.operators.dedup import _duplicate_ngram_spans_arrow
+
+    rows = _random_corpus(9)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        tuple(r)
+        for r in _duplicate_ngram_spans_arrow(df, "text", "doc_id", 4, 2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in _duplicate_ngram_spans_arrow(
+            df, "text", "doc_id", 4, 2, broadcast_cap=0
+        ).collect()
+    )
+    assert a == b and len(a) > 0
 
 
 def test_span_plan_is_pure_catalyst(spark):

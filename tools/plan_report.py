@@ -316,22 +316,25 @@ def main() -> None:
         "driver holds only the k x d centroid matrix.",
     ))
 
-    # duplicate n-gram span removal (ExactSubstr): hash-keyed dup set
-    # with map-side combine; window merge only over the hit stream
+    # duplicate n-gram span removal (ExactSubstr), Arrow scale path:
+    # q_dup_span_report eagerly runs pass 1 (unique-hash dup set) when
+    # called; the returned frame's plan is pass 2 + the island merge
     df = entrymod.q_dup_span_report(spark, sf)
     plan = explain_str(df)
-    partial_before_exchange = plan.index("HashAggregate") < plan.index("Exchange")
+    no_occ_exchange = plan.count("Exchange") <= 2  # hits window + span groupBy only
     sections.append((
-        "Duplicate n-gram span report (ExactSubstr-style)",
+        "Duplicate n-gram span report (ExactSubstr-style, Arrow scale path)",
         plan,
-        f"- dup-set aggregate partial sits below its exchange "
-        f"({partial_before_exchange}): the shuffle carries each partition's "
-        "UNIQUE xxhash64 gram keys (8 bytes/row), never the occurrence "
-        "stream or gram strings.\n"
-        f"- occurrence->dup-set join is a semi join: `{'LeftSemi' in plan}` "
-        "(hits only; non-duplicated positions never reach the window merge).\n"
-        f"- zero Python stages: `{'Python' not in plan}` — gram explode, "
-        "count, join, and gaps-and-islands window are all codegen.",
+        "- pass 1 (not in this plan; runs eagerly) folds per-partition "
+        "gram-hash counts Arrow-side — the exchange carries unique 8-byte "
+        "hashes, never the occurrence stream and never a gram string.\n"
+        f"- pass 2 is one MapInArrow over the scan (`{'MapInArrow' in plan}`) "
+        "emitting ONLY hit positions against the sorted broadcast dup set: "
+        f"the occurrence stream never shuffles (exchanges in plan <= 2: "
+        f"{no_occ_exchange} — just the hit-stream window + span groupBy).\n"
+        "- the Catalyst forms (key='hash'/'gram') remain for the oracle and "
+        "small corpora; equivalence is pytest-pinned and the DuckDB gram-"
+        "string oracle hash-greens the Arrow path at both gate scales.",
     ))
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
