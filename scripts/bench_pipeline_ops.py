@@ -125,6 +125,29 @@ def main() -> None:
         lambda: kmeans_fit(emb, k=16, iters=2).shape[0],
         args.vec_rows * 2,  # vectors assigned per pass x 2 iterations
     )
+
+    # semantic dedup at vector scale: 5% planted twins, LSH-bucketed
+    # candidate pairs (NOT exact all-pairs), components, keep flags
+    from sketch_spark.operators.similarity import (
+        embedding_near_duplicates,
+        semantic_dedup_report,
+    )
+
+    twins = (
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(20)) == 0)
+        .select((F.col("vec_id") + args.vec_rows).alias("vec_id"), "embedding")
+    )
+    corpus = emb.unionByName(twins)
+
+    def _semantic():
+        pairs = embedding_near_duplicates(
+            corpus, threshold=0.99, bits=10, n_tables=2
+        )
+        rep = semantic_dedup_report(corpus, pairs=pairs)
+        drops = rep.filter(~F.col("keep")).count()
+        return drops  # ~= number of planted twins found
+
+    timed("semantic_dedup_lsh_planted", _semantic, args.vec_rows)
     spark.stop()
 
 

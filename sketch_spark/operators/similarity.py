@@ -704,11 +704,15 @@ def semantic_dedup_report(
     (paraphrases, translations, re-renders) share a cluster here.
 
     Composition of two already-hardened pieces: the block-pair exact
-    cosine join (no driver collect, no corpus broadcast — the 100TB
-    plan; pass ``pairs`` with `ivf_assign`-bucketed candidate edges
-    when exact O(n^2/B) is unaffordable) and min-id label propagation
-    over the candidate-scale edge set (``propagate_min_labels``).  The
-    final shuffles are corpus-scale but carry only (id, label) rows.
+    cosine join (no driver collect, no corpus broadcast — exact at any
+    n the O(n^2/B) compute is affordable at) and min-id label
+    propagation over the candidate-scale edge set
+    (``propagate_min_labels``).  When exact all-pairs is unaffordable,
+    pass ``pairs=embedding_near_duplicates(emb, threshold, n_tables=L)``
+    — hyperplane-LSH bucketed pairs with OR-amplified recall — and the
+    whole composition stays bucketed end to end (measured at 500k
+    vectors in BENCH.md).  The final shuffles are corpus-scale but
+    carry only (id, label) rows.
     """
     from .dedup import propagate_min_labels
 
