@@ -105,7 +105,10 @@ def main() -> None:
         "kmeans_cells",
         "passage_dups",
         "kmv_lang_similarity",
-        "dup_span_removal",
+        # report, not removal: removal's bare count() lets Catalyst
+        # eliminate the span subtree (unique-key left join preserves
+        # row count); the report's count forces the whole pipeline
+        "dup_span_report",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}
