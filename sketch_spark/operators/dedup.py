@@ -1036,9 +1036,10 @@ def _duplicate_ngram_spans_arrow(
     n_dup = dup.count()
 
     if n_dup <= broadcast_cap:
-        dup_arr = np.sort(
-            np.fromiter((r["h"] for r in dup.collect()), dtype=np.int64, count=n_dup)
-        )
+        # Arrow-backed transfer: row-based collect() of a multi-million
+        # row dup set pays per-Row python overhead; toPandas streams
+        # Arrow batches
+        dup_arr = np.sort(dup.toPandas()["h"].to_numpy(np.int64))
         dup.unpersist()
         bc = docs.sparkSession.sparkContext.broadcast(dup_arr)
 
