@@ -1226,6 +1226,27 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: index the even-id half of the corpus once
+    (persisted LSH band keys), then dedup the odd-id half against it —
+    corpus signatures are NOT recomputed; verification re-reads text
+    for candidates only.  Oracle: exact cross-half Jaccard pairs (the
+    same above-the-knee fixture property as dedup_corpus)."""
+    import os
+
+    from sketch_spark.operators.dedup import (
+        incremental_near_duplicates,
+        write_minhash_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = f"/tmp/sketch_spark_mh_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_minhash_index(old, idx)
+    return incremental_near_duplicates(new, idx, old, threshold=0.4)
+
+
 def q_keyed_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The explicit-salting skew path (north-star heavy-hitter clause):
     per-source sketches via keyed_sketch_aggregate — rows fan out to
@@ -1538,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "source_quality": q_source_quality,
         "dedup_corpus": q_dedup_corpus,
+        "incremental_dedup": q_incremental_dedup,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
         "html_roundtrip": q_html_roundtrip,
@@ -2022,6 +2044,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang
             FROM documents d JOIN labels l ON l.id = d.doc_id
             WHERE l.label = l.id
+        """,
+        # exact Jaccard pairs BETWEEN the odd (new) and even (indexed)
+        # halves — the cross-batch restriction of the dedup_corpus
+        # pair CTE; same above-the-LSH-knee fixture property
+        "incremental_dedup": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             FOR i IN generate_series(1, len(t)-2)]) AS shingle
+              FROM toks WHERE len(t) >= 3
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS ni
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+              GROUP BY 1, 2
+            )
+            SELECT id_new, id_old,
+                   round(ni / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_new
+            JOIN sizes sb ON sb.doc_id = id_old
+            WHERE ni / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.4
         """,
         "keyed_stats_by_source": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

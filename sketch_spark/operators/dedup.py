@@ -32,7 +32,11 @@ from ..functions.text import tokenize_batch
 __all__ = [
     "exact_dedup",
     "minhash_signatures",
+    "lsh_band_keys",
     "lsh_candidate_pairs",
+    "write_minhash_index",
+    "read_minhash_index",
+    "incremental_near_duplicates",
     "verify_jaccard_pairs",
     "verify_jaccard_pairs_from_text",
     "minhash_near_duplicates",
@@ -207,6 +211,27 @@ def minhash_signatures(
     )
 
 
+def lsh_band_keys(sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16) -> DataFrame:
+    """(id, band, bucket) LSH keys — xxhash64 of each signature slice.
+    A pure function of (sig, bands), so keys computed today and keys
+    stored in an index written last month collide iff the slices are
+    equal: the join contract for incremental dedup."""
+    bands_col = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.xxhash64(
+                F.slice(
+                    F.col("sig"),
+                    i * (F.size("sig") / bands).cast("int") + 1,
+                    (F.size("sig") / bands).cast("int"),
+                ).cast("array<string>").cast("string"),
+                i,
+            ),
+        )
+    )
+    return sig_df.select(F.col(id_col), bands_col.alias("band", "bucket"))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -227,24 +252,11 @@ def lsh_candidate_pairs(
     degenerate near-identical content, where pair explosion is
     quadratic by nature.
     """
-    bands_col = F.posexplode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda i: F.xxhash64(
-                F.slice(
-                    F.col("sig"),
-                    i * (F.size("sig") / bands).cast("int") + 1,
-                    (F.size("sig") / bands).cast("int"),
-                ).cast("array<string>").cast("string"),
-                i,
-            ),
-        )
-    )
     # band on (id, band, bucket) ONLY — the 64-long signature array must
     # not ride through the bucket shuffles (measured: carrying it costs
     # ~10x on the banded exchange at 100k docs); signatures join back
     # below for just the surviving candidate pairs
-    banded = sig_df.select(F.col(id_col), bands_col.alias("band", "bucket"))
+    banded = lsh_band_keys(sig_df, id_col, bands)
 
     # singleton buckets (the vast majority) can never produce a pair —
     # drop them JVM-side before the pair join, which otherwise pays a
@@ -1229,4 +1241,144 @@ def remove_duplicate_spans_sql(
                          covered -> covered)) AS BIGINT) AS n_removed
         FROM toks t LEFT JOIN sp ON t.{id_col} = sp.{id_col}
     """
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs a persisted MinHash index
+# ---------------------------------------------------------------------------
+_MINHASH_META = "_minhash_index_meta.json"
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 1,
+    bands: int = 16,
+    mode: str = "overwrite",
+) -> dict:
+    """Persist the LSH band keys of a corpus — (id, band, bucket),
+    partitioned by ``band`` — plus a sidecar recording the hash-family
+    parameters, so future batches can be deduped against this corpus
+    WITHOUT recomputing its signatures (the daily-dump production
+    pattern: index once, probe every new crawl).
+
+    ``mode="append"`` adds a new batch's keys to an existing index
+    (write the batch's SURVIVORS after ``incremental_near_duplicates``
+    so the index stays duplicate-free).  At real scale the parquet
+    layout maps 1:1 onto an Iceberg table bucketed by (band, bucket).
+    Returns the meta dict.
+    """
+    import json
+    import os
+
+    meta = {
+        "version": 1,
+        "id_col": id_col,
+        "num_perm": num_perm,
+        "shingle_k": shingle_k,
+        "seed": seed,
+        "bands": bands,
+    }
+    meta_path = os.path.join(path, _MINHASH_META)
+    if mode == "append" and os.path.exists(meta_path):
+        stored = json.load(open(meta_path))
+        if {k: stored.get(k) for k in meta} != meta:
+            raise ValueError(
+                f"index at {path} was built with different parameters: {stored}"
+            )
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_k, seed, keep_shingles=False
+    )
+    keys = lsh_band_keys(sigs, id_col, bands)
+    keys.write.mode(mode).partitionBy("band").parquet(os.path.join(path, "keys"))
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """(keys DataFrame, meta dict) for an index written by
+    ``write_minhash_index``."""
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(path, _MINHASH_META)))
+    keys = spark.read.parquet(os.path.join(path, "keys"))
+    return keys, meta
+
+
+def incremental_near_duplicates(
+    new_df: DataFrame,
+    index_path: str,
+    old_docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str | None = None,
+    text_col: str = "text",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """(id_new, id_old, jaccard): near-duplicate pairs between a NEW
+    batch and an already-indexed corpus, J >= ``threshold`` — corpus
+    signatures are NOT recomputed; only the stored band keys are read.
+
+    Plan shape: the batch's keys (16 rows/doc) join the index on
+    (band, bucket) — batch-scale against an index scan, with AQE free
+    to broadcast the batch side when the day's crawl is small; the
+    corpus-side bucket membership is capped at ``max_bucket`` ids per
+    (band, bucket) with a ``capped`` flag (degenerate boilerplate
+    buckets, same treatment as ``lsh_candidate_pairs``).  Exact Jaccard
+    verification re-reads TEXT for the candidate ids only, from the
+    union of both corpora (the ``store_shingles=False`` scale path).
+    """
+    spark = new_df.sparkSession
+    old_keys, meta = read_minhash_index(spark, index_path)
+    id_col = id_col or meta["id_col"]
+    sigs = minhash_signatures(
+        new_df,
+        id_col,
+        text_col,
+        meta["num_perm"],
+        meta["shingle_k"],
+        meta["seed"],
+        keep_shingles=False,
+    )
+    new_keys = lsh_band_keys(sigs, id_col, meta["bands"]).withColumnRenamed(
+        id_col, "id_new"
+    )
+
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy("band", "bucket")
+    old_ranked = (
+        old_keys.withColumnRenamed(id_col, "id_old")
+        .withColumn("_bn", F.count("*").over(wb))
+        .withColumn("_rn", F.row_number().over(wb.orderBy("id_old")))
+        .filter(F.col("_rn") <= max_bucket)
+        .select("band", "bucket", "id_old", (F.col("_bn") > max_bucket).alias("capped"))
+    )
+    cand = (
+        new_keys.join(old_ranked, ["band", "bucket"])
+        .groupBy("id_new", "id_old")
+        .agg(F.max("capped").alias("capped"))
+    )
+    all_docs = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        old_docs.select(F.col(id_col), F.col(text_col))
+    )
+    verified = verify_jaccard_pairs_from_text(
+        cand.select(F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b")),
+        all_docs,
+        id_col,
+        text_col,
+        threshold,
+        meta["shingle_k"],
+    )
+    return verified.select(
+        F.col("id_a").alias("id_new"),
+        F.col("id_b").alias("id_old"),
+        "jaccard",
     )

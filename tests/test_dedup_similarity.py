@@ -472,3 +472,65 @@ def test_semantic_dedup_report_clusters_and_survivors(spark):
     assert out[4] == (3, 2, False)
     for i in (5, 6, 7):
         assert out[i] == (i, 1, True)
+
+
+def test_incremental_dedup_matches_batch(spark, neardup_df, tmp_path):
+    """Dedup a new batch against a persisted index: cross-batch pairs
+    must equal the batch-mode pairs on the union restricted to
+    (new, old), with identical Jaccard values (both verify via the
+    text re-read path)."""
+    from sketch_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_near_duplicates,
+        write_minhash_index,
+    )
+
+    old = neardup_df.filter(F.col("doc_id") % 10 == 0)   # bases
+    new = neardup_df.filter(F.col("doc_id") % 10 != 0)   # twins + unrelated
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(old, idx)
+
+    got = sorted(
+        (r["id_new"], r["id_old"], r["jaccard"])
+        for r in incremental_near_duplicates(new, idx, old, threshold=0.5).collect()
+    )
+    batch = minhash_near_duplicates(
+        neardup_df, threshold=0.5, seed=1, store_shingles=False
+    )
+    want = sorted(
+        (r["id_b"] if r["id_b"] % 10 else r["id_a"],
+         r["id_a"] if r["id_b"] % 10 else r["id_b"],
+         r["jaccard"])
+        for r in batch.collect()
+        if (r["id_a"] % 10 == 0) != (r["id_b"] % 10 == 0)
+    )
+    assert got == want
+    assert len(got) == 60  # every planted twin crosses the split
+
+
+def test_minhash_index_append_and_param_guard(spark, neardup_df, tmp_path):
+    from sketch_spark.operators.dedup import (
+        incremental_near_duplicates,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    half_a = neardup_df.filter(F.col("doc_id") < 300)
+    half_b = neardup_df.filter(F.col("doc_id") >= 300)
+    idx = str(tmp_path / "mh_index2")
+    write_minhash_index(half_a.filter(F.col("doc_id") % 10 == 0), idx)
+    write_minhash_index(
+        half_b.filter(F.col("doc_id") % 10 == 0), idx, mode="append"
+    )
+    keys, meta = read_minhash_index(spark, idx)
+    n_bases = neardup_df.filter(F.col("doc_id") % 10 == 0).count()
+    assert keys.select("doc_id").distinct().count() == n_bases
+    assert meta["bands"] == 16
+    # appending with a different hash family must refuse
+    with pytest.raises(ValueError):
+        write_minhash_index(half_a, idx, mode="append", seed=2)
+    # probing the merged index finds twins from BOTH halves
+    new = neardup_df.filter(F.col("doc_id") % 10 == 1)
+    old = neardup_df.filter(F.col("doc_id") % 10 == 0)
+    inc = incremental_near_duplicates(new, idx, old, threshold=0.5)
+    assert inc.count() == 60
