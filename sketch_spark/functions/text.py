@@ -264,16 +264,31 @@ def tokens_col(text: str | Column, lowercase: bool = False) -> Column:
 def word_ngrams_col(text: str | Column, n: int, lowercase: bool = False) -> Column:
     """Word n-gram strings as a Catalyst expression (space-joined).
 
-    Guarded for rows with fewer than ``n`` tokens (F.sequence would
-    otherwise run backwards and emit bogus grams).
+    Built as a zip_with chain — g_k = zip_with(g_{k-1},
+    slice(tokens, k, INF), concat) — NOT as transform(sequence(...),
+    i -> slice(tokens, i, n)): Catalyst does not CSE an outer
+    expression referenced inside a higher-order-function lambda, so
+    the transform form re-evaluates the whole tokenize per ELEMENT —
+    O(tokens^2) per row (measured 10x on 1100-token organic pages;
+    invisible on the short sf fixtures).  The chain references the
+    tokenize O(n) times per ROW, each g_k exactly once (no
+    exponential re-evaluation — the winnow doubling lesson), and
+    zip_with's null padding on the shorter slice null-propagates
+    through concat so the trailing partial grams vanish in the final
+    slice.  Guarded for rows with fewer than ``n`` tokens.
     """
     toks = tokens_col(text, lowercase)
     if n == 1:
         return toks
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    big = F.lit(1 << 30)
+    grams = toks
+    for k in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k, big),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.slice(grams, 1, F.size(toks) - F.lit(n - 1))
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
