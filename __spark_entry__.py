@@ -295,6 +295,32 @@ def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_chunks(docs, "text", "doc_id", chunk_size=512)
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export manifest (WebDataset-style):
+    shard + within-shard order are pure md5 functions of (seed, id);
+    the order-SENSITIVE bit_xor fingerprint pins each shard's exact doc
+    set AND training order in 8 bytes.  One shard-id exchange +
+    per-shard window — no global sort (operators/packing.py)."""
+    from sketch_spark.operators.packing import shard_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=8, id_col="doc_id", seed=1)
+
+
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed naive-Bayes classifier (fastText-style LID/quality gate):
+    train = ONE map-side-combined bucket-count aggregation (shuffle <=
+    n_buckets rows/partition, B-row bounded collect like kmeans_fit);
+    score = map-only Catalyst fold with the weight table as an array
+    literal — no join, no shuffle.  Train AND score replayed exactly in
+    DuckDB (identical md5 buckets, 9dp weights, 6dp scores)."""
+    from sketch_spark.operators.classifier import nb_score, nb_train
+
+    docs = _read(spark, sf_dir, "documents")
+    weights, bias = nb_train(docs, F.col("lang") == "en")
+    return nb_score(docs, weights, bias).select("doc_id", "score", "pred")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.functions.text import lang_id_col
 
@@ -1390,6 +1416,18 @@ def _url_oracle_sql(rollup: bool) -> str:
     """
 
 
+def _shard_manifest_oracle() -> str:
+    from sketch_spark.operators.packing import shard_manifest_sql
+
+    return shard_manifest_sql(n_shards=8, table="documents", id_col="doc_id", seed=1)
+
+
+def _nb_classifier_oracle() -> str:
+    from sketch_spark.operators.classifier import nb_classifier_sql
+
+    return nb_classifier_sql("lang = 'en'")
+
+
 def _pii_oracle_sql() -> str:
     from sketch_spark.functions.pii import pii_sql_exprs
 
@@ -1502,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "domain_rollup": q_domain_rollup,
         "token_chunks": q_token_chunks,
+        "training_shards": q_training_shards,
+        "nb_classifier": q_nb_classifier,
         "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,
@@ -1688,6 +1728,8 @@ def oracle_sql() -> dict[str, str]:
                         - start_off // 512 + 1 AS BIGINT) AS n_chunks
             FROM o
         """,
+        "training_shards": _shard_manifest_oracle(),
+        "nb_classifier": _nb_classifier_oracle(),
         "decontaminate": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents

@@ -1,0 +1,57 @@
+"""Hashed naive-Bayes classifier (operators/classifier.py).
+
+Engine equality (Spark score == DuckDB replay) is the contract query
+`nb_classifier`; here we test what the oracle can't: that the model
+actually LEARNS (separable synthetic corpus -> ~perfect accuracy),
+that scoring is a map-only plan, and weight-table invariants.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from sketch_spark.operators.classifier import nb_score, nb_train
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    """Separable two-class corpus: class 1 speaks {alpha..delta},
+    class 0 speaks {zeta..theta}, with a shared stopword."""
+    rows = []
+    pos_v = ["alpha", "beta", "gamma", "delta"]
+    neg_v = ["zeta", "eta", "theta", "iota"]
+    for i in range(200):
+        v = pos_v if i % 2 == 0 else neg_v
+        toks = ["the"] + [v[(i * 7 + j) % 4] for j in range(12)]
+        rows.append((i, " ".join(toks), i % 2 == 0))
+    return spark.createDataFrame(rows, ["doc_id", "text", "y"])
+
+
+def test_learns_separable_corpus(toy):
+    w, b = nb_train(toy, F.col("y"), n_buckets=64)
+    scored = nb_score(toy, w, b).select("doc_id", "pred", "y").toPandas()
+    acc = (scored["pred"] == scored["y"].astype(int)).mean()
+    assert acc == 1.0
+
+
+def test_score_is_map_only(toy):
+    w, b = nb_train(toy, F.col("y"), n_buckets=64)
+    plan = nb_score(toy, w, b)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weights_shape_and_balance(toy):
+    w, b = nb_train(toy, F.col("y"), n_buckets=32)
+    assert len(w) == 32
+    # weights/bias are fixed-point integers in 1e-6 log-odds units
+    assert all(isinstance(x, int) for x in w)
+    # balanced classes -> prior exactly 0
+    assert b == 0
+    # positive-vocab buckets must carry positive weight and vice versa
+    assert max(w) > 500_000 and min(w) < -500_000
+
+
+def test_train_counts_partitioning_invariant(toy):
+    w1, b1 = nb_train(toy, F.col("y"))
+    w2, b2 = nb_train(toy.repartition(7), F.col("y"))
+    assert w1 == w2 and b1 == b2
