@@ -1052,6 +1052,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_TERMS, k=20)
 
 
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 candidate generation (no data-scale
+    shuffle) -> 50-row candidate broadcast into ONE hash join against
+    the embeddings table -> cosine rerank against a fixed query vector
+    (embedding of vec_id 0; 1-row bounded collect) -> blended top-10.
+    Exact DuckDB replay including both 6dp rounding points."""
+    from sketch_spark.operators.retrieval import hybrid_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return hybrid_topk(docs, emb, _BM25_TERMS, list(qv), k=10, n_candidates=50)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Postings-list construction: distinct (token, doc) exchange,
     df + capped sorted posting string per token."""
@@ -1450,6 +1464,12 @@ def _bm25_oracle_sql() -> str:
     return bm25_sql(_BM25_TERMS, k=20)
 
 
+def _hybrid_oracle_sql() -> str:
+    from sketch_spark.operators.retrieval import hybrid_sql
+
+    return hybrid_sql(_BM25_TERMS, query_vec_id=0, k=10, n_candidates=50)
+
+
 def _inverted_index_oracle_sql() -> str:
     from sketch_spark.operators.retrieval import inverted_index_sql
 
@@ -1589,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "kmeans_cells": q_kmeans_cells,
         "bm25_topk": q_bm25_topk,
+        "hybrid_topk": q_hybrid_topk,
         "inverted_index": q_inverted_index,
         "corpus_filter": q_corpus_filter,
         "clean_corpus": q_clean_corpus,
@@ -1962,6 +1983,7 @@ def oracle_sql() -> dict[str, str]:
             FROM labels l JOIN sizes s USING (cluster)
         """,
         "bm25_topk": _bm25_oracle_sql(),
+        "hybrid_topk": _hybrid_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),
         "corpus_filter": _corpus_filter_oracle_sql(),
         "clean_corpus": _clean_corpus_oracle_sql(),

@@ -109,6 +109,10 @@ def main() -> None:
         # eliminate the span subtree (unique-key left join preserves
         # row count); the report's count forces the whole pipeline
         "dup_span_report",
+        # late round-3 additions
+        "training_shards",
+        "nb_classifier",
+        "hybrid_topk",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}

@@ -148,6 +148,42 @@ def main() -> None:
         return drops  # ~= number of planted twins found
 
     timed("semantic_dedup_lsh_planted", _semantic, args.vec_rows)
+
+    # late round-3 additions: shard export manifest, hashed NB
+    # classifier train+score, hybrid retrieval
+    from sketch_spark.operators.packing import shard_manifest
+    from sketch_spark.operators.classifier import nb_score, nb_train
+    from sketch_spark.operators.retrieval import hybrid_topk
+
+    n_shards = max(8, args.rows // 50_000)
+    timed(
+        f"shard_manifest_{n_shards}shards",
+        lambda: shard_manifest(docs, n_shards, id_col="doc_id").count(),
+        args.rows,
+    )
+
+    def _nb():
+        # label: host parity via doc_id — meaningless semantically but
+        # exercises the full train+score cost honestly
+        w, b = nb_train(docs, F.pmod(F.col("doc_id"), F.lit(2)) == 0, n_buckets=1024)
+        return nb_score(docs, w, b).agg(F.sum("pred")).collect()[0][0]
+
+    timed("nb_train_plus_score_1024buckets", _nb, args.rows * 2)
+
+    qv = [((i * 37) % 1000) / 500.0 - 1.0 for i in range(64)]
+    # docs carry xxhash64 ids; fold them into the vec_id range so the
+    # candidate->embedding join actually matches (timing, not semantics)
+    docs_h = docs.withColumn("doc_id", F.pmod(F.col("doc_id"), F.lit(args.vec_rows)))
+    timed(
+        "hybrid_topk_50cand",
+        lambda: len(
+            hybrid_topk(
+                docs_h, emb, ["the", "and", "data"], qv, k=10, n_candidates=50,
+                emb_id_col="vec_id",
+            ).collect()
+        ),
+        args.rows,
+    )
     spark.stop()
 
 

@@ -29,7 +29,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bm25_topk", "inverted_index"]
+__all__ = ["bm25_topk", "inverted_index", "hybrid_topk", "hybrid_sql"]
 
 
 def _tokens_expr(text_col: str):
@@ -197,4 +197,86 @@ def inverted_index_sql(
                array_to_string((list_sort(list({id_col})))[1:{max_postings}], ',') AS postings
         FROM pairs WHERE token <> ''
         GROUP BY token HAVING count(*) >= {min_df}
+    """
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 generates candidates,
+    embedding cosine reranks, final = alpha*bm25_norm + (1-alpha)*cos.
+
+    Scale shape: the candidate set (``n_candidates`` rows) BROADCASTS
+    into one hash join against the embeddings table — no data-scale
+    shuffle; the corpus-side work is one scan (and at real scale the
+    embedding table is bucketed/z-ordered by id, so the broadcast join
+    prunes to candidate files).  bm25_norm divides by the candidate
+    max (1-row broadcast agg).  All floats are rounded-at-source
+    (bm25 and cos at 6dp) so the blend is bit-reproducible in DuckDB.
+    """
+    from .similarity import cosine_sim_col
+
+    cand = bm25_topk(docs, terms, n_candidates, text_col=text_col, id_col=id_col)
+    bmax = cand.agg(F.max("score").alias("_bmax"))
+    qv = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    joined = emb.join(
+        F.broadcast(cand), emb[emb_id_col] == cand[id_col]
+    ).crossJoin(F.broadcast(bmax))
+    cos = F.round(cosine_sim_col(F.col(vec_col), qv), 6)
+    final = F.round(
+        F.lit(alpha) * (F.col("score") / F.col("_bmax")) + F.lit(1.0 - alpha) * cos,
+        6,
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.col("score").alias("bm25"),
+            cos.alias("cos"),
+            final.alias("hybrid"),
+        )
+        .orderBy(F.col("hybrid").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hybrid_sql(
+    terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    n_candidates: int = 50,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for ``hybrid_topk`` with the query vector taken
+    from ``emb_table`` at ``query_vec_id`` — same BM25, same 6dp
+    rounding points, same tie order."""
+    inner = bm25_sql(terms, n_candidates, k1, b, table, id_col)
+    return f"""
+        WITH cand AS ({inner}),
+        bmax AS (SELECT max(score) AS m FROM cand),
+        q AS (SELECT embedding AS qv FROM {emb_table} WHERE vec_id = {query_vec_id}),
+        rer AS (
+          SELECT c.{id_col}, c.score AS bm25,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cos
+          FROM cand c JOIN {emb_table} e ON e.vec_id = c.{id_col}, q
+        )
+        SELECT {id_col}, bm25, cos,
+               round({alpha} * (bm25 / bmax.m) + {1.0 - alpha} * cos, 6) AS hybrid
+        FROM rer, bmax
+        ORDER BY hybrid DESC, {id_col} ASC
+        LIMIT {k}
     """

@@ -79,3 +79,58 @@ def test_inverted_index_min_df(spark, docs_df):
     rows = inverted_index(docs_df, min_df=2).collect()
     assert all(r["df"] >= 2 for r in rows)
     assert {"join", "spark"} <= {r["token"] for r in rows}
+
+
+EMB = [
+    # doc 2 wins pure BM25 for "join" (tf=1 but dl=1 beats doc 0's
+    # tf=2/dl=4 under length normalization); giving doc 0 the
+    # near-parallel vector forces the cosine leg to rerank it on top
+    (0, [1.0, 0.05, 0.0]),
+    (1, [0.5, 0.5, 0.0]),
+    (2, [0.1, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+    (4, [-1.0, 0.0, 0.0]),
+]
+QUERY_VEC = [1.0, 0.0, 0.0]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<double>")
+
+
+def test_hybrid_reranks_by_cosine(spark, docs_df, emb_df):
+    from sketch_spark.operators.retrieval import hybrid_topk
+
+    lex = bm25_topk(docs_df, ["join"], k=5).collect()
+    hyb = hybrid_topk(
+        docs_df, emb_df, ["join"], QUERY_VEC, k=5, n_candidates=5, alpha=0.2
+    ).collect()
+    # doc 2 wins pure BM25 (short doc), but with cosine dominating the
+    # blend the near-parallel doc 0 must outrank it
+    assert lex[0]["doc_id"] == 2
+    assert hyb[0]["doc_id"] == 0
+    # cosine column is the true cosine (rounded)
+    by_id = {r["doc_id"]: r for r in hyb}
+    assert by_id[0]["cos"] == pytest.approx(1.0, abs=2e-3)
+    assert by_id[4]["cos"] == pytest.approx(-1.0, abs=1e-6)
+    # blend endpoints: alpha=1 reduces to normalized bm25 order
+    pure = hybrid_topk(
+        docs_df, emb_df, ["join"], QUERY_VEC, k=5, n_candidates=5, alpha=1.0
+    ).collect()
+    assert [r["doc_id"] for r in pure][0] == 2
+
+
+def test_hybrid_join_is_broadcast(spark, docs_df, emb_df):
+    """The embeddings side must join against a BROADCAST candidate set —
+    a sort-merge join here would shuffle the corpus-scale table."""
+    from sketch_spark.operators.retrieval import hybrid_topk
+
+    plan = (
+        hybrid_topk(docs_df, emb_df, ["join"], QUERY_VEC, k=3, n_candidates=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
