@@ -309,16 +309,20 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed naive-Bayes classifier (fastText-style LID/quality gate):
-    train = ONE map-side-combined bucket-count aggregation (shuffle <=
-    n_buckets rows/partition, B-row bounded collect like kmeans_fit);
-    score = map-only Catalyst fold with the weight table as an array
-    literal — no join, no shuffle.  Train AND score replayed exactly in
-    DuckDB (identical md5 buckets, 9dp weights, 6dp scores)."""
+    train = ONE mapInArrow bucket-count pass (dictionary-encode hash
+    path — md5 per batch-UNIQUE token — each task emits a single
+    B-array partial; B-row bounded collect like kmeans_fit); score =
+    map-only with fixed-point integer weights, exact integer sums.
+    The driver gate runs the ARROW scale path; the Catalyst engine is
+    equality-pinned to it in pytest, and train AND score replay
+    exactly in DuckDB."""
     from sketch_spark.operators.classifier import nb_score, nb_train
 
     docs = _read(spark, sf_dir, "documents")
-    weights, bias = nb_train(docs, F.col("lang") == "en")
-    return nb_score(docs, weights, bias).select("doc_id", "score", "pred")
+    weights, bias = nb_train(docs, F.col("lang") == "en", engine="arrow")
+    return nb_score(docs, weights, bias, engine="arrow").select(
+        "doc_id", "score", "pred"
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

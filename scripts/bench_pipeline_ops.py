@@ -162,13 +162,27 @@ def main() -> None:
         args.rows,
     )
 
-    def _nb():
+    def _nb(engine, d):
         # label: host parity via doc_id — meaningless semantically but
         # exercises the full train+score cost honestly
-        w, b = nb_train(docs, F.pmod(F.col("doc_id"), F.lit(2)) == 0, n_buckets=1024)
-        return nb_score(docs, w, b).agg(F.sum("pred")).collect()[0][0]
+        w, b = nb_train(
+            d, F.pmod(F.col("doc_id"), F.lit(2)) == 0, n_buckets=1024,
+            engine=engine,
+        )
+        return (
+            nb_score(d, w, b, engine=engine)
+            .agg(F.sum("pred"))
+            .collect()[0][0]
+        )
 
-    timed("nb_train_plus_score_1024buckets", _nb, args.rows * 2)
+    timed("nb_train_plus_score_1024buckets_arrow", lambda: _nb("arrow", docs),
+          args.rows * 2)
+    # the per-occurrence-md5 Catalyst engine is ~20x slower (md5-bound);
+    # time it on a 10% slice so the script stays runnable — the label
+    # carries the slice size
+    sql_slice = docs.limit(args.rows // 10).localCheckpoint(eager=True)
+    timed("nb_train_plus_score_1024buckets_sql_50k", lambda: _nb("sql", sql_slice),
+          args.rows // 10 * 2)
 
     qv = [((i * 37) % 1000) / 500.0 - 1.0 for i in range(64)]
     # docs carry xxhash64 ids; fold them into the vec_id range so the

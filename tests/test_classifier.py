@@ -55,3 +55,46 @@ def test_train_counts_partitioning_invariant(toy):
     w1, b1 = nb_train(toy, F.col("y"))
     w2, b2 = nb_train(toy.repartition(7), F.col("y"))
     assert w1 == w2 and b1 == b2
+
+
+def test_arrow_and_sql_engines_bit_identical(spark):
+    """The Arrow scale path (dictionary-encode md5 per unique token)
+    must reproduce the Catalyst per-occurrence form EXACTLY — weights,
+    bias, scores, preds — including empty / whitespace-only rows
+    (where Catalyst split() would emit a '' token if not filtered)."""
+    rows = [
+        (0, "alpha beta alpha", True),
+        (1, "zeta  eta   zeta", False),  # multi-space
+        (2, "", True),                   # empty text
+        (3, "   ", False),               # whitespace only
+        (4, "alpha zeta the", True),
+        (5, "beta beta beta eta", False),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    w_sql, b_sql = nb_train(df, F.col("y"), n_buckets=16, engine="sql")
+    w_ar, b_ar = nb_train(df, F.col("y"), n_buckets=16, engine="arrow")
+    assert w_sql == w_ar and b_sql == b_ar
+
+    s_sql = (
+        nb_score(df, w_sql, b_sql, engine="sql")
+        .select("doc_id", "score", "pred")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    s_ar = (
+        nb_score(df, w_ar, b_ar, engine="arrow")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert s_sql["score"].tolist() == s_ar["score"].tolist()
+    assert s_sql["pred"].tolist() == s_ar["pred"].tolist()
+
+
+def test_arrow_engine_null_labels_count_neither_class(spark):
+    rows = [(0, "alpha alpha", True), (1, "alpha", None), (2, "alpha beta", False)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w_sql, _ = nb_train(df, F.col("y"), n_buckets=8, engine="sql")
+    w_ar, _ = nb_train(df, F.col("y"), n_buckets=8, engine="arrow")
+    assert w_sql == w_ar

@@ -321,7 +321,10 @@ def main() -> None:
     # called; the returned frame's plan is pass 2 + the island merge
     df = entrymod.q_dup_span_report(spark, sf)
     plan = explain_str(df)
-    no_occ_exchange = plan.count("Exchange") <= 2  # hits window + span groupBy only
+    # formatted plans print each exchange twice (tree node + detail
+    # paragraph) — count the detail paragraphs only
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    no_occ_exchange = n_exchanges <= 2
     sections.append((
         "Duplicate n-gram span report (ExactSubstr-style, Arrow scale path)",
         plan,
@@ -331,10 +334,62 @@ def main() -> None:
         f"- pass 2 is one MapInArrow over the scan (`{'MapInArrow' in plan}`) "
         "emitting ONLY hit positions against the sorted broadcast dup set: "
         f"the occurrence stream never shuffles (exchanges in plan <= 2: "
-        f"{no_occ_exchange} — just the hit-stream window + span groupBy).\n"
+        f"{no_occ_exchange} — the tiny-input scan-spread round-robin plus "
+        "the hit-stream hash exchange, which the window and span groupBy "
+        "SHARE).\n"
         "- the Catalyst forms (key='hash'/'gram') remain for the oracle and "
         "small corpora; equivalence is pytest-pinned and the DuckDB gram-"
         "string oracle hash-greens the Arrow path at both gate scales.",
+    ))
+
+    # hashed NB classifier scoring: map-only in BOTH engines
+    from sketch_spark.operators.classifier import nb_score, nb_train
+
+    docs_tbl = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    w_nb, b_nb = nb_train(docs_tbl, F.col("lang") == "en", engine="arrow")
+    plan_arrow = explain_str(nb_score(docs_tbl, w_nb, b_nb, engine="arrow"))
+    plan_sql = explain_str(nb_score(docs_tbl, w_nb, b_nb, engine="sql"))
+    sections.append((
+        "Hashed NB classifier scoring (map-only, both engines)",
+        plan_arrow,
+        f"- arrow engine (shown; the contract/scale path): one MapInArrow "
+        f"over the scan ({'MapInArrow' in plan_arrow}) with ZERO exchanges "
+        f"({'Exchange' not in plan_arrow}) — dictionary-encode hash path, "
+        "md5 per batch-unique token.\n"
+        f"- sql engine plan is also exchange-free codegen "
+        f"({'Exchange' not in plan_sql and 'EvalPython' not in plan_sql}): "
+        "weight table as an array literal, exact integer fold; the two "
+        "engines are bit-equal (pytest).  Training is one partial-row-per-"
+        "task mapInArrow aggregate (not shown).",
+    ))
+
+    # hybrid retrieval: candidate set broadcasts into the embeddings join
+    df = entrymod.q_hybrid_topk(spark, sf)
+    plan = explain_str(df)
+    sections.append((
+        "Hybrid BM25+cosine retrieval",
+        plan,
+        f"- the candidate set BROADCASTS into the embeddings join "
+        f"(BroadcastHashJoin present: {'BroadcastHashJoin' in plan}; "
+        f"SortMergeJoin absent: {'SortMergeJoin' not in plan}) — the "
+        "corpus-scale embeddings table is scanned once and never shuffled.\n"
+        "- final top-k is TakeOrderedAndProject over candidate-scale rows: "
+        f"{'TakeOrderedAndProject' in plan}.",
+    ))
+
+    # shard manifest: one shard-id exchange, per-shard window, no global sort
+    df = entrymod.q_training_shards(spark, sf)
+    plan = explain_str(df)
+    one_exchange_kinds = plan.count("Exchange hashpartitioning")
+    sections.append((
+        "Training-shard export manifest",
+        plan,
+        f"- shard assignment and training order are map-only md5 "
+        "projections; the window + groupBy share the shard partitioning "
+        f"(hash exchanges in plan: {one_exchange_kinds}).\n"
+        f"- NO global-order window / global sort anywhere: "
+        f"{'SinglePartition' not in plan} — the fingerprint is an "
+        "order-sensitive bit_xor fold computed per shard.",
     ))
 
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
