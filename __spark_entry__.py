@@ -325,6 +325,28 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training + corpus encoding (operators/bpe.py):
+    ONE map-side-combined word-count pass -> vocabulary-bounded collect
+    -> exact driver merge loop (deterministic tie-break) -> map-only
+    Arrow encode (merge cascade once per batch-unique word).  Rows-only
+    by nature (iterative merge state is not SQL-expressible); merge
+    correctness is pinned against a pure-Python reference in
+    tests/test_bpe.py.  Returns the top subwords by occurrence."""
+    from sketch_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=100)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.select(F.explode("subwords").alias("subword"))
+        .groupBy("subword")
+        .agg(F.count("*").cast("long").alias("total_count"))
+        .orderBy(F.col("total_count").desc(), F.col("subword").asc())
+        .limit(30)
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.functions.text import lang_id_col
 
@@ -1566,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_chunks": q_token_chunks,
         "training_shards": q_training_shards,
         "nb_classifier": q_nb_classifier,
+        "bpe_train_encode": q_bpe_train_encode,
         "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "lang_id_ngram": q_lang_id_ngram,

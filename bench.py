@@ -113,6 +113,7 @@ def main() -> None:
         "training_shards",
         "nb_classifier",
         "hybrid_topk",
+        "bpe_train_encode",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}

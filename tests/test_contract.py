@@ -32,6 +32,7 @@ def test_oracle_keys_subset_of_queries():
         "ivf_topk_indexed",  # == ivf_topk by pytest; stored-index layout
         "lsh_topk",
         "streaming_cmcu_snapshot",  # sketch estimates; fold==batch by pytest
+        "bpe_train_encode",  # iterative merge state; fast==naive ref by pytest
         "hll_lang_overlap",  # estimates; error bound asserted in pytest
     }
     assert qs - oracles == allowed_rows_only
