@@ -60,6 +60,8 @@ def _tokens(df: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
 # documents: text analysis / sketch surface
 # ---------------------------------------------------------------------------
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact whitespace-token frequencies (cnt >= 200) — the baseline
+    the CMCU/HH sketch paths are judged against."""
     docs = _read(spark, sf_dir, "documents")
     return (
         _tokens(docs)
@@ -71,6 +73,8 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram frequencies (cnt >= 25) via the Arrow
+    map-side-combine n-gram counter."""
     # Arrow map-side combine: the shuffle carries per-partition UNIQUE
     # bigrams, not the exploded occurrence stream (6x vs codegen
     # explode at sf0.1; identical exact semantics, same oracle)
@@ -111,6 +115,8 @@ def q_emerging_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language distinct-token counts — the ground truth for
+    the HLL/KMV estimate queries."""
     docs = _read(spark, sf_dir, "documents")
     return (
         _tokens(docs, ["lang"])
@@ -120,6 +126,8 @@ def q_distinct_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-scoring columns (lengths, distinct ratio,
+    stopword/punctuation ratios) as one codegen projection."""
     from sketch_spark.functions.text import (
         punct_ratio_col,
         quality_columns,
@@ -348,6 +356,8 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language ID per document — pure Catalyst, exact
+    SQL mirror."""
     from sketch_spark.functions.text import lang_id_col
 
     docs = _read(spark, sf_dir, "documents")
@@ -364,6 +374,8 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 content fingerprint per document (case-folded) —
+    the exact-dedup key."""
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.md5(F.lower(F.col("text"))).alias("fingerprint")
@@ -371,12 +383,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one survivor (min id) per md5 hash, one
+    shuffle of (hash, id)."""
     from sketch_spark.operators.dedup import exact_dedup
 
     return exact_dedup(_read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata (length, magic-sniffed kind, md5) over an opaque
+    binary column — pure Catalyst, no Python stage (PLANS.md §5)."""
     from sketch_spark.functions.multimodal import binary_metadata
 
     docs = _read(spark, sf_dir, "documents").withColumn("bin", F.encode("text", "UTF-8"))
@@ -387,6 +403,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events: windowed / stateful surface
 # ---------------------------------------------------------------------------
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windowed rollup of the events stream (count + summed
+    value per event type)."""
     ev = _read(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -401,6 +419,8 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type — ground truth for the
+    approximate distinct-count family."""
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
 
@@ -423,6 +443,8 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by summed value per event type (partitioned
+    window rank, deterministic tie-break)."""
     ev = _read(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.round(F.sum("value"), 2).alias("total_value")
@@ -438,7 +460,26 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # TPC-H style relational surface
 # ---------------------------------------------------------------------------
+def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed top-10 users per event type (half-life
+    2 days at anchor 2024-01-31) — the time-aware generalization of the
+    reference's growth-scaled history (sketch.cpp:179-183).  Weights
+    are dyadic 2^e with integer exponents, so the decayed counts are
+    EXACT integer sums (order-independent, bit-identical cross-engine)
+    and the whole ranking sits under the value-hash gate with no float
+    knife-edge anywhere."""
+    from sketch_spark.operators.decay import decayed_topk
+
+    ev = _read(spark, sf_dir, "events")
+    return decayed_topk(
+        ev, ["user_id"], ["event_type"], k=10,
+        anchor="2024-01-31", half_life=2, max_exp=15,
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the relational-aggregation yardstick
+    (pushdown + partial aggregation, PLANS.md §3)."""
     li = _read(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -456,6 +497,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join (all four dimensions broadcast, PLANS.md
+    §4) rolled up to revenue per region."""
     li = _read(spark, sf_dir, "lineitem")
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
@@ -476,6 +519,8 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact price percentiles — ground truth for the KLL/t-digest
+    quantile-sketch queries."""
     li = _read(spark, sf_dir, "lineitem")
     return li.select(
         F.round(F.expr("percentile(l_extendedprice, 0.1)"), 4).alias("p10"),
@@ -539,6 +584,9 @@ def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch estimates (deterministic; not SQL-expressible -> rows-only)
 # ---------------------------------------------------------------------------
 def q_cmcu_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin-CU frequency estimates for the exact-count>=200
+    candidates (rows-only: never-underestimate + (eps, delta) bound
+    pinned in pytests and the bench bound report)."""
     from sketch_spark.operators.aggregate import SketchSpec, sketch_aggregate
     from sketch_spark.operators.emerging import broadcast_sketch, candidate_token_counts, estimate_tokens_udf
 
@@ -686,6 +734,9 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (xxhash bit votes;
+    rows-only — the md5-vote variant simhash_md5 is the hash-green
+    row; deterministic equality pinned in pytest)."""
     from sketch_spark.operators.dedup import simhash
 
     docs = _read(spark, sf_dir, "documents")
@@ -866,6 +917,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k baseline: broadcast queries, blocked
+    gemm per partition, partition-local top-k (shuffle <= P*Q*k)."""
     from sketch_spark.operators.similarity import cosine_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -876,6 +929,8 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the blocked block-pair
+    self-join (exact, no driver collect, no corpus broadcast)."""
     # blocked strategy: exact all-pairs with NO driver collect / corpus
     # broadcast — the block-pair self-join is the 100TB-safe plan and is
     # exact, so the DuckDB all-pairs oracle stays hash-green at any sf
@@ -1209,6 +1264,53 @@ def q_streaming_cmcu_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup probe under the driver's value-hash gate:
+    the odd-id half of the corpus arrives as file-stream micro-batches
+    (maxFilesPerTrigger=2 over 8 files) and each batch is probed
+    against the persisted even-half MinHash index via foreachBatch —
+    pure probe mode (static index), so the union of the epoch pair
+    logs must hash-match the BATCH ``incremental_dedup`` oracle no
+    matter where the micro-batch boundaries fall (pinned as a pytest
+    property too: test_streaming_dedup.py::
+    test_probe_mode_matches_batch_incremental)."""
+    import shutil
+
+    from sketch_spark.streaming.dedup_stream import (
+        init_near_dedup_index,
+        read_stream_pairs,
+        streaming_near_dedup,
+    )
+
+    base = os.path.join(
+        "/tmp", "sketch_spark_stream",
+        os.path.basename(os.path.normpath(sf_dir)), "neardup",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    root = os.path.join(base, "idx")
+    init_near_dedup_index(old, root)
+    in_dir = os.path.join(base, "input")
+    new.repartition(8).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    q = streaming_near_dedup(
+        stream,
+        root,
+        threshold=0.4,
+        update_index=False,
+        within_batch=False,
+        checkpoint=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return read_stream_pairs(spark, root).select("id_new", "id_old", "jaccard")
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest with a hard driver signal (VERDICT r2 #7): the
     documents table is written out as deterministic .warc.gz archives
@@ -1311,6 +1413,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = f"/tmp/sketch_spark_mh_index_{os.path.basename(os.path.normpath(sf_dir))}"
     write_minhash_index(old, idx)
     return incremental_near_duplicates(new, idx, old, threshold=0.4)
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bands, rows) auto-tuner at threshold 0.6 over 64-hash
+    signatures: weighted S-curve FP/FN midpoint-quadrature areas per
+    (b, r) grid point, ``chosen`` marking the argmin.  A parameter dim
+    table (pure function of the tuning constants, not a corpus scan) —
+    still under the full value-hash gate because the quadrature is
+    margin-tested to clear every 6dp rounding boundary by >1e-10
+    while cross-engine pow drift is ~1e-14 (tests/test_tuning.py)."""
+    from sketch_spark.operators.tuning import lsh_tuning_table
+
+    return lsh_tuning_table(spark, threshold=0.6, num_perm=64, grid=256)
 
 
 def q_keyed_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users": q_events_distinct_users,
         "events_sessions": q_events_sessions,
         "events_top_users": q_events_top_users,
+        "decayed_topk": q_decayed_topk,
         "tpch_q1": q_tpch_q1,
         "revenue_by_region": q_revenue_by_region,
         "price_quantiles": q_price_quantiles,
@@ -1648,17 +1764,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": q_source_quality,
         "dedup_corpus": q_dedup_corpus,
         "incremental_dedup": q_incremental_dedup,
+        "lsh_tuning": q_lsh_tuning,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
         "html_roundtrip": q_html_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "streaming_token_counts": q_streaming_token_counts,
         "streaming_cmcu_snapshot": q_streaming_cmcu_snapshot,
+        "streaming_incremental_dedup": q_streaming_incremental_dedup,
         "bpe_token_counts": q_bpe_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_daily": q_rollup_daily,
     }
 
+
+# exact cross-half Jaccard pairs: the oracle for BOTH incremental_dedup
+# (batch) and streaming_incremental_dedup (same probe, micro-batched)
+_INCREMENTAL_DEDUP_SQL = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     FOR i IN generate_series(1, len(t)-2)]) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY 1, 2
+    )
+    SELECT id_new, id_old,
+           round(ni / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_new
+    JOIN sizes sb ON sb.doc_id = id_old
+    WHERE ni / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.4
+"""
 
 _TOKENS_CTE = (
     "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok{extra} "
@@ -2139,29 +2283,57 @@ def oracle_sql() -> dict[str, str]:
         # exact Jaccard pairs BETWEEN the odd (new) and even (indexed)
         # halves — the cross-batch restriction of the dedup_corpus
         # pair CTE; same above-the-LSH-knee fixture property
-        "incremental_dedup": """
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                     unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                             FOR i IN generate_series(1, len(t)-2)]) AS shingle
-              FROM toks WHERE len(t) >= 3
-            ), sizes AS (
-              SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-            ), inter AS (
-              SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS ni
-              FROM sh a JOIN sh b ON a.shingle = b.shingle
-              WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-              GROUP BY 1, 2
+        "decayed_topk": """
+            WITH aged AS (
+              SELECT event_type, user_id,
+                     date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS age
+              FROM events
+            ), agg AS (
+              SELECT event_type, user_id,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CASE WHEN age < 0 OR age > 2*15 + 2 - 1 THEN 0
+                                   ELSE (CAST(1 AS BIGINT) << (15 - CAST(floor(age / 2) AS INT)))
+                              END) AS BIGINT) AS decayed_fp
+              FROM aged GROUP BY 1, 2
+            ), ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY decayed_fp DESC, user_id) AS INT) AS rank
+              FROM agg
             )
-            SELECT id_new, id_old,
-                   round(ni / CAST(sa.n + sb.n - ni AS DOUBLE), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_new
-            JOIN sizes sb ON sb.doc_id = id_old
-            WHERE ni / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.4
+            SELECT event_type, rank, user_id, cnt, decayed_fp,
+                   CAST(decayed_fp / 32768.0 AS DOUBLE) AS decayed
+            FROM ranked WHERE rank <= 10
         """,
+        "lsh_tuning": """
+            WITH combos AS (
+              SELECT DISTINCT CAST(64 // r AS INTEGER) AS b, CAST(r AS INTEGER) AS r
+              FROM generate_series(1, 64) t(r)
+            ), areas AS (
+              SELECT b, r,
+                list_sum([CASE WHEN (2*i-1)/512.0 < 0.6
+                               THEN 1 - pow(1 - pow((2*i-1)/512.0, r), b)
+                               ELSE 0.0 END
+                          FOR i IN generate_series(1, 256)]) / 256 AS fp_raw,
+                list_sum([CASE WHEN (2*i-1)/512.0 >= 0.6
+                               THEN pow(1 - pow((2*i-1)/512.0, r), b)
+                               ELSE 0.0 END
+                          FOR i IN generate_series(1, 256)]) / 256 AS fn_raw
+              FROM combos
+            ), scored AS (
+              SELECT b, r, round(fp_raw, 6) AS fp_area, round(fn_raw, 6) AS fn_area,
+                     round(0.5 * fp_raw + 0.5 * fn_raw, 6) AS err
+              FROM areas
+            )
+            SELECT b, r, fp_area, fn_area, err,
+                   row_number() OVER (ORDER BY err, b, r) = 1 AS chosen
+            FROM scored
+        """,
+        "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        # identical semantics by design: the streaming run is a pure
+        # probe of the same static even-half index (micro-batch
+        # boundaries must not change the answer)
+        "streaming_incremental_dedup": _INCREMENTAL_DEDUP_SQL,
         "keyed_stats_by_source": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -37,6 +37,7 @@ __all__ = [
     "write_minhash_index",
     "read_minhash_index",
     "incremental_near_duplicates",
+    "near_duplicates_against_keys",
     "verify_jaccard_pairs",
     "verify_jaccard_pairs_from_text",
     "minhash_near_duplicates",
@@ -388,7 +389,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | str = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 1,
@@ -398,10 +399,17 @@ def minhash_near_duplicates(
     signature-estimate pre-filter at threshold - 0.15 slack) -> exact
     Jaccard verify.  Output: (id_a, id_b, jaccard), id_a < id_b.
 
+    ``bands="auto"`` picks the band count from (threshold, num_perm)
+    via the S-curve tuner (``operators.tuning.choose_lsh_params``).
+
     ``store_shingles=False`` is the 100TB path: signatures carry no
     shingle arrays (the dominant serde volume) and verification
     re-reads text for just the candidate docs
     (``verify_jaccard_pairs_from_text``) — identical output, tested."""
+    if bands == "auto":
+        from .tuning import choose_lsh_params
+
+        bands, _ = choose_lsh_params(threshold, num_perm)
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, shingle_k, seed, keep_shingles=store_shingles
     )
@@ -427,7 +435,7 @@ def dedup_corpus(
     text_col: str = "text",
     threshold: float = 0.8,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | str = 16,
     shingle_k: int = 3,
     seed: int = 1,
     pairs: DataFrame | None = None,
@@ -1338,6 +1346,27 @@ def incremental_near_duplicates(
     spark = new_df.sparkSession
     old_keys, meta = read_minhash_index(spark, index_path)
     id_col = id_col or meta["id_col"]
+    return near_duplicates_against_keys(
+        new_df, old_keys, old_docs, meta, threshold, id_col, text_col, max_bucket
+    )
+
+
+def near_duplicates_against_keys(
+    new_df: DataFrame,
+    old_keys: DataFrame,
+    old_docs: DataFrame,
+    meta: dict,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Core of ``incremental_near_duplicates`` with the stored band
+    keys passed as a DataFrame instead of an index path — the seam the
+    streaming wrapper (``streaming.dedup_stream``) probes epoch-
+    partitioned key layouts through.  ``meta`` carries the hash-family
+    parameters (``write_minhash_index`` schema); extra columns on
+    ``old_keys`` (e.g. an ``epoch`` partition) are ignored."""
     sigs = minhash_signatures(
         new_df,
         id_col,
@@ -1350,6 +1379,7 @@ def incremental_near_duplicates(
     new_keys = lsh_band_keys(sigs, id_col, meta["bands"]).withColumnRenamed(
         id_col, "id_new"
     )
+    old_keys = old_keys.select(id_col, "band", "bucket")
 
     from pyspark.sql import Window as W
 
