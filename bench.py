@@ -114,6 +114,7 @@ def main() -> None:
         "nb_classifier",
         "hybrid_topk",
         "bpe_train_encode",
+        "streaming_incremental_dedup",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}

@@ -150,3 +150,61 @@ def test_bottomk_and_bm25_take_ordered(spark, sf001):
     for q in (em.q_bottomk_sample, em.q_bm25_topk):
         plan = _plan(q(spark, sf001))
         assert "TakeOrderedAndProject" in plan, q.__name__
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf001, tmp_path_factory):
+    """The co-located-join story at 100 TB: two tables bucketed on the
+    join key (the parquet stand-in for Iceberg `bucket(N, key)`
+    partitioning) must sort-merge join with ZERO Exchange — neither
+    side shuffles, because Spark trusts the bucket layout.  Pinned
+    with broadcast and AQE off so the guard tests the bucket path, not
+    a planner shortcut."""
+    base = tmp_path_factory.mktemp("buckets")
+    docs = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    stats = docs.select("doc_id", F.length("text").alias("n_chars"))
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, df in (("bkt_docs", docs), ("bkt_stats", stats)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(8, "doc_id")
+                .sortBy("doc_id")
+                .option("path", str(base / name))
+                .saveAsTable(name)
+            )
+        joined = spark.table("bkt_docs").join(spark.table("bkt_stats"), "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan  # both scans bucket-aware
+        assert joined.count() == docs.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for name in ("bkt_docs", "bkt_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_streaming_dedup_index_scan_partition_pruned(spark, tmp_path):
+    """The streaming near-dedup fold reads the band-key index with
+    `epoch < current`: that predicate must reach the scan as a
+    PartitionFilter (replay correctness AND an O(committed-prefix)
+    scan instead of O(all-epochs) at real scale)."""
+    from sketch_spark.streaming.dedup_stream import init_near_dedup_index
+
+    root = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    init_near_dedup_index(docs, root)
+    keys = spark.read.parquet(os.path.join(root, "keys")).filter(F.col("epoch") < 1)
+    plan = _plan(keys)
+    assert "PartitionFilters" in plan and "epoch" in plan.split("PartitionFilters")[1][:80]

@@ -392,6 +392,82 @@ def main() -> None:
         "order-sensitive bit_xor fold computed per shard.",
     ))
 
+    # decayed top-k: map-side dyadic weights, one exchange, per-type window
+    df = entrymod.q_decayed_topk(spark, sf)
+    plan = explain_str(df)
+    sections.append((
+        "Time-decayed top-k (dyadic integer weights)",
+        plan,
+        "- the decay weight is a map-side codegen projection; the "
+        "aggregation is an ordinary partial-aggregated LongType sum "
+        f"(partial_sum present: {'partial_sum' in plan or 'partial' in plan}) "
+        "— a plain count's plan, one hash exchange.\n"
+        "- the rank window partitions by event_type "
+        f"(SinglePartition global window absent: {'SinglePartition' not in plan}).",
+    ))
+
+    # streaming near-dedup index probe: epoch partition pruning
+    import shutil
+
+    from sketch_spark.streaming.dedup_stream import init_near_dedup_index
+
+    idx_root = "/tmp/plan_report_neardup_idx"
+    shutil.rmtree(idx_root, ignore_errors=True)
+    docs001 = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    init_near_dedup_index(docs001.limit(200), idx_root)
+    keys = spark.read.parquet(os.path.join(idx_root, "keys")).filter(
+        F.col("epoch") < 1
+    )
+    plan = explain_str(keys)
+    sections.append((
+        "Streaming near-dedup index read (epoch < current)",
+        plan,
+        "- the replay-safety predicate `epoch < current` lands as a "
+        f"PartitionFilter at the scan: {'PartitionFilters' in plan and 'epoch' in plan} "
+        "— a replayed micro-batch reads exactly the committed prefix, "
+        "and the scan is O(committed epochs), never O(directory).",
+    ))
+
+    # bucketed co-located join: zero Exchange (the Iceberg bucket(N, key) story)
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        bdir = "/tmp/plan_report_buckets"
+        shutil.rmtree(bdir, ignore_errors=True)
+        stats = docs001.select("doc_id", F.length("text").alias("n_chars"))
+        for name, bdf in (("plan_bkt_docs", docs001), ("plan_bkt_stats", stats)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                bdf.write.bucketBy(8, "doc_id")
+                .sortBy("doc_id")
+                .option("path", os.path.join(bdir, name))
+                .saveAsTable(name)
+            )
+        joined = spark.table("plan_bkt_docs").join(
+            spark.table("plan_bkt_stats"), "doc_id"
+        )
+        plan = explain_str(joined)
+        sections.append((
+            "Bucketed co-located join (Iceberg bucket(N, key) stand-in)",
+            plan,
+            "- both sides bucketed on the join key: SortMergeJoin with "
+            f"ZERO Exchange ({'Exchange' not in plan}) — at 100 TB this is "
+            "the difference between a metadata-only merge and shuffling "
+            "both tables; pinned as a pytest "
+            "(test_plan_guards::test_bucketed_tables_join_without_shuffle).",
+        ))
+        for name in ("plan_bkt_docs", "plan_bkt_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by tools/plan_report.py)\n\n"
