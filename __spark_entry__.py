@@ -1147,6 +1147,20 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_topk(docs, emb, _BM25_TERMS, list(qv), k=10, n_candidates=50)
 
 
+def q_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and cosine candidate lists
+    (rrf = sum 1/(60+rank)): rank-level hybrid retrieval whose fused
+    score involves only integer ranks and IEEE-exact division/addition
+    — bit-reproducible cross-engine by construction, no normalization,
+    no libm in the fusion."""
+    from sketch_spark.operators.retrieval import rrf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return rrf_topk(docs, emb, _BM25_TERMS, list(qv), k=10, n_candidates=50)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Postings-list construction: distinct (token, doc) exchange,
     df + capped sorted posting string per token."""
@@ -1373,6 +1387,32 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_ann_index(corpus, path, n_cells=16, seed=1, kind="ivf")
     return ivf_topk_indexed(spark, path, queries, k=5, nprobe=6)
+
+
+def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding analogue of incremental_dedup: the even-id half of the
+    embeddings table is indexed ONCE as a stored cell-partitioned IVF
+    layout, then the odd-id half probes it for cosine near-duplicates —
+    nothing about the indexed corpus is recomputed.  Contract runs
+    nprobe="all" (exact — the whole pair set with rounded cosines under
+    the value hash); small-nprobe pruning is the scale mode, pinned by
+    subset/recall/plan pytests (test_dedup_similarity)."""
+    import shutil
+
+    from sketch_spark.operators.similarity import (
+        build_ann_index,
+        incremental_semantic_dedup,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = os.path.join(
+        "/tmp", "sketch_spark_sem_idx", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ann_index(old, idx, n_cells=8)
+    return incremental_semantic_dedup(new, idx, threshold=0.35, nprobe="all")
 
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1611,6 +1651,12 @@ def _hybrid_oracle_sql() -> str:
     return hybrid_sql(_BM25_TERMS, query_vec_id=0, k=10, n_candidates=50)
 
 
+def _rrf_oracle_sql() -> str:
+    from sketch_spark.operators.retrieval import rrf_sql
+
+    return rrf_sql(_BM25_TERMS, query_vec_id=0, k=10, n_candidates=50)
+
+
 def _inverted_index_oracle_sql() -> str:
     from sketch_spark.operators.retrieval import inverted_index_sql
 
@@ -1753,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": q_kmeans_cells,
         "bm25_topk": q_bm25_topk,
         "hybrid_topk": q_hybrid_topk,
+        "rrf_topk": q_rrf_topk,
         "inverted_index": q_inverted_index,
         "corpus_filter": q_corpus_filter,
         "clean_corpus": q_clean_corpus,
@@ -1764,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": q_source_quality,
         "dedup_corpus": q_dedup_corpus,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "lsh_tuning": q_lsh_tuning,
         "keyed_stats_by_source": q_keyed_stats_by_source,
         "bloom_semi_join": q_bloom_semi_join,
@@ -2155,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle_sql(),
         "hybrid_topk": _hybrid_oracle_sql(),
+        "rrf_topk": _rrf_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),
         "corpus_filter": _corpus_filter_oracle_sql(),
         "clean_corpus": _clean_corpus_oracle_sql(),
@@ -2330,6 +2379,13 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         """,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "incremental_semantic_dedup": """
+            SELECT a.vec_id AS id_new, b.vec_id AS id_old,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
         # identical semantics by design: the streaming run is a pure
         # probe of the same static even-half index (micro-batch
         # boundaries must not change the answer)

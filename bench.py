@@ -115,6 +115,9 @@ def main() -> None:
         "hybrid_topk",
         "bpe_train_encode",
         "streaming_incremental_dedup",
+        "incremental_semantic_dedup",
+        "rrf_topk",
+        "decayed_topk",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}

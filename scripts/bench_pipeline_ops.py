@@ -198,6 +198,48 @@ def main() -> None:
         ),
         args.rows,
     )
+
+    # final round-3 additions: RRF fusion + incremental semantic probe
+    from sketch_spark.operators.retrieval import rrf_topk
+
+    timed(
+        "rrf_topk_50cand",
+        lambda: len(
+            rrf_topk(
+                docs_h, emb, ["the", "and", "data"], qv, k=10, n_candidates=50,
+                emb_id_col="vec_id",
+            ).collect()
+        ),
+        args.rows,
+    )
+
+    import shutil
+
+    from sketch_spark.operators.similarity import (
+        build_ann_index,
+        incremental_semantic_dedup,
+    )
+
+    idx = f"/tmp/bench_sem_idx_{args.vec_rows}"
+
+    def _isd_build():
+        shutil.rmtree(idx, ignore_errors=True)
+        build_ann_index(emb, idx, n_cells=32)
+        return 32
+
+    timed("ann_index_build_32cells", _isd_build, args.vec_rows)
+    # probe the planted twins (5% of the corpus) as the "new crawl":
+    # every twin must find its original at cos 1.0; the nprobe=4 row's
+    # result/count vs the exact row IS the measured recall
+    n_new = args.vec_rows // 20
+
+    def _isd(nprobe):
+        return incremental_semantic_dedup(
+            twins, idx, threshold=0.99, nprobe=nprobe
+        ).count()
+
+    timed("incr_semantic_probe_nprobe4", lambda: _isd(4), n_new)
+    timed("incr_semantic_probe_exact_all_cells", lambda: _isd("all"), n_new)
     spark.stop()
 
 

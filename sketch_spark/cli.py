@@ -169,6 +169,67 @@ def cmd_warc_ingest(args) -> None:
     print(json.dumps({"pages": spark.read.parquet(args.out).count(), "out": args.out}))
 
 
+def cmd_tune_lsh(args) -> None:
+    # driver-side math only — no Spark session needed
+    from .operators.tuning import choose_lsh_params
+
+    b, r = choose_lsh_params(args.threshold, args.num_perm)
+    print(json.dumps({"bands": b, "rows_per_band": r, "num_perm": args.num_perm}))
+
+
+def cmd_index_build(args) -> None:
+    from .operators.dedup import write_minhash_index
+
+    spark = _spark("minhash-index-build")
+    df = spark.read.parquet(args.input)
+    bands = args.bands
+    if bands == "auto":
+        from .operators.tuning import choose_lsh_params
+
+        bands, _ = choose_lsh_params(args.threshold, args.num_perm)
+    meta = write_minhash_index(
+        df, args.index, args.id_col, args.text_col,
+        num_perm=args.num_perm, seed=args.seed, bands=int(bands),
+        mode="append" if args.append else "overwrite",
+    )
+    print(json.dumps({"index": args.index, **meta}))
+
+
+def cmd_index_probe(args) -> None:
+    from .operators.dedup import incremental_near_duplicates
+
+    spark = _spark("minhash-index-probe")
+    new = spark.read.parquet(args.input)
+    old = spark.read.parquet(args.old_docs)
+    pairs = incremental_near_duplicates(
+        new, args.index, old, threshold=args.threshold, text_col=args.text_col
+    )
+    pairs.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"pairs": spark.read.parquet(args.out).count(), "out": args.out}))
+
+
+def cmd_stream_dedup(args) -> None:
+    from .streaming.dedup_stream import streaming_near_dedup
+
+    spark = _spark("stream-near-dedup")
+    schema = spark.read.parquet(args.input).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.input)
+    )
+    q = streaming_near_dedup(
+        stream,
+        args.index_root,
+        threshold=args.threshold,
+        update_index=args.update_index,
+        within_batch=args.within_batch,
+    )
+    q.awaitTermination()
+    pairs = spark.read.parquet(f"{args.index_root}/pairs")
+    print(json.dumps({"pairs": pairs.count(), "index_root": args.index_root}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="sketch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -217,6 +278,41 @@ def main(argv: list[str] | None = None) -> None:
     w.add_argument("--extract-text", action="store_true", default=True)
     w.add_argument("--no-extract-text", dest="extract_text", action="store_false")
     w.set_defaults(fn=cmd_warc_ingest)
+
+    t = sub.add_parser("tune-lsh")
+    t.add_argument("--threshold", type=float, required=True)
+    t.add_argument("--num-perm", type=int, default=64)
+    t.set_defaults(fn=cmd_tune_lsh)
+
+    ib = sub.add_parser("index-build")
+    ib.add_argument("--input", required=True)
+    ib.add_argument("--index", required=True)
+    ib.add_argument("--id-col", default="doc_id")
+    ib.add_argument("--text-col", default="text")
+    ib.add_argument("--num-perm", type=int, default=64)
+    ib.add_argument("--bands", default="16", help="band count or 'auto'")
+    ib.add_argument("--threshold", type=float, default=0.5, help="for --bands auto")
+    ib.add_argument("--seed", type=int, default=1)
+    ib.add_argument("--append", action="store_true")
+    ib.set_defaults(fn=cmd_index_build)
+
+    ip = sub.add_parser("index-probe")
+    ip.add_argument("--input", required=True, help="new batch parquet")
+    ip.add_argument("--index", required=True)
+    ip.add_argument("--old-docs", required=True, help="indexed corpus parquet")
+    ip.add_argument("--out", required=True)
+    ip.add_argument("--text-col", default="text")
+    ip.add_argument("--threshold", type=float, default=0.5)
+    ip.set_defaults(fn=cmd_index_probe)
+
+    sd = sub.add_parser("stream-dedup")
+    sd.add_argument("--input", required=True, help="parquet dir consumed as a file stream")
+    sd.add_argument("--index-root", required=True, help="init_near_dedup_index root")
+    sd.add_argument("--threshold", type=float, default=0.5)
+    sd.add_argument("--max-files-per-trigger", type=int, default=2)
+    sd.add_argument("--no-update-index", dest="update_index", action="store_false", default=True)
+    sd.add_argument("--no-within-batch", dest="within_batch", action="store_false", default=True)
+    sd.set_defaults(fn=cmd_stream_dedup)
 
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
     args.fn(args)

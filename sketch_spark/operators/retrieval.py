@@ -29,7 +29,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bm25_topk", "inverted_index", "hybrid_topk", "hybrid_sql"]
+__all__ = ["bm25_topk", "inverted_index", "hybrid_topk", "hybrid_sql", "rrf_topk", "rrf_sql"]
 
 
 def _tokens_expr(text_col: str):
@@ -278,5 +278,113 @@ def hybrid_sql(
                round({alpha} * (bm25 / bmax.m) + {1.0 - alpha} * cos, 6) AS hybrid
         FROM rer, bmax
         ORDER BY hybrid DESC, {id_col} ASC
+        LIMIT {k}
+    """
+
+
+def rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    c: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and cosine candidate lists:
+    rrf(d) = sum_lists 1/(c + rank_d), the standard rank-level hybrid
+    (Cormack et al.) that needs no score normalization at all.
+
+    Cross-engine exactness: every quantity entering the fused score is
+    either an integer rank (deterministic ties: score desc then id
+    asc, over 6dp-rounded inputs) or an IEEE-exact division/addition of
+    those ranks — no libm anywhere between the ranked lists and the
+    final ordering, so the fusion is bit-reproducible by construction
+    (the ranked lists themselves reuse bm25/cosine's round-at-source
+    contract).
+
+    Plan shape: both lists are candidate-scale TakeOrdered results
+    (BM25 = one scan + 1-row stats broadcast; cosine = one scan +
+    TakeOrderedAndProject); fusion is a candidate x candidate full
+    outer join — nothing data-scale shuffles.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_sim_col
+
+    cand = bm25_topk(docs, terms, n_candidates, text_col=text_col, id_col=id_col)
+    wb = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    b_ranked = cand.select(
+        F.col(id_col).alias("_id"), F.row_number().over(wb).alias("bm25_rank")
+    )
+    qv = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    cos_top = (
+        emb.select(
+            F.col(emb_id_col).alias("_id"),
+            F.round(cosine_sim_col(F.col(vec_col), qv), 6).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), F.col("_id").asc())
+        .limit(n_candidates)
+    )
+    wc = Window.orderBy(F.col("_cos").desc(), F.col("_id").asc())
+    c_ranked = cos_top.select("_id", F.row_number().over(wc).alias("cos_rank"))
+    fused = b_ranked.join(c_ranked, "_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(float(c)) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(float(c)) + F.col("cos_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            F.col("_id").alias(id_col), "bm25_rank", "cos_rank", rrf.alias("rrf")
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def rrf_sql(
+    terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    n_candidates: int = 50,
+    c: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for ``rrf_topk`` with the query vector taken from
+    ``emb_table`` at ``query_vec_id`` — same ranked lists, same
+    IEEE-exact fusion arithmetic, same tie order."""
+    inner = bm25_sql(terms, n_candidates, k1, b, table, id_col)
+    return f"""
+        WITH bm AS (
+          SELECT {id_col} AS _id,
+                 CAST(row_number() OVER (ORDER BY score DESC, {id_col} ASC) AS INT)
+                   AS bm25_rank
+          FROM ({inner})
+        ), q AS (SELECT embedding AS qv FROM {emb_table} WHERE vec_id = {query_vec_id}),
+        cs AS (
+          SELECT _id, CAST(row_number() OVER (ORDER BY _cos DESC, _id ASC) AS INT)
+                   AS cos_rank
+          FROM (
+            SELECT e.vec_id AS _id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS _cos
+            FROM {emb_table} e, q
+            ORDER BY _cos DESC, _id ASC
+            LIMIT {n_candidates}
+          )
+        )
+        SELECT _id AS {id_col}, bm25_rank, cos_rank,
+               round(COALESCE(1.0/({c} + bm25_rank), 0.0)
+                     + COALESCE(1.0/({c} + cos_rank), 0.0), 6) AS rrf
+        FROM bm FULL OUTER JOIN cs USING (_id)
+        ORDER BY rrf DESC, {id_col} ASC
         LIMIT {k}
     """

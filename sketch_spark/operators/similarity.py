@@ -40,6 +40,7 @@ __all__ = [
     "load_ann_centroids",
     "ivf_topk_indexed",
     "lsh_topk_indexed",
+    "incremental_semantic_dedup",
     "semantic_dedup_report",
 ]
 
@@ -736,3 +737,109 @@ def semantic_dedup_report(
         F.col("cluster_size").cast("long").alias("cluster_size"),
         (F.col(id_col) == F.col("cluster")).alias("keep"),
     )
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.85,
+    nprobe: int | str = "all",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """(id_new, id_old, cos): embedding near-duplicates between a NEW
+    batch of vectors and a STORED ``build_ann_index(kind='ivf')``
+    corpus — the embedding analogue of the text-side
+    ``incremental_near_duplicates`` (same daily-dump pattern: index the
+    corpus once, probe every new crawl; nothing about the corpus is
+    recomputed).
+
+    Each new vector probes its ``nprobe`` nearest coarse cells (by
+    centroid cosine); the index scan reads ONLY those cell partitions
+    (PartitionFilters, same pruned layout ``ivf_topk_indexed`` uses).
+    ``nprobe="all"`` probes every cell — still one partitioned scan,
+    but EXACT: this is the contract-oracle mode, while small ``nprobe``
+    is the 10^12-scale mode whose recall is governed by the quantizer
+    (an exact duplicate always lands in its original's cell, so true
+    twins survive any nprobe >= 1 up to centroid ties).
+
+    Plan shape: the batch side is batch-scale x nprobe rows; old
+    vectors are read once each and joined by cell; cosine runs as one
+    numpy gemm per cell group (few/large groups — the applyInPandas
+    regime CLAUDE.md allows), values rounded at source to match the
+    DuckDB ``list_cosine_similarity`` oracle.
+    """
+    import pandas as pd
+
+    spark = new_df.sparkSession
+    cents = load_ann_centroids(index_path)
+    k_cells = len(cents)
+    n_probe = k_cells if nprobe == "all" else min(int(nprobe), k_cells)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast(cn)
+    vec_type = new_df.schema[vec_col].dataType.simpleString()
+
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cmat = bc.value
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            mat = _as_matrix(batch.column(1))
+            if mat.size == 0:
+                continue
+            sims = _normalize(mat) @ cmat.T  # (b, K)
+            # deterministic probe order: similarity desc, cell asc
+            order = np.lexsort((np.arange(cmat.shape[0])[None, :].repeat(len(ids), 0), -sims), axis=1)
+            probes = order[:, :n_probe]  # (b, nprobe)
+            b_idx = np.repeat(np.arange(len(ids)), n_probe)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: pa.array(ids[b_idx], pa.int64()),
+                    vec_col: batch.column(1).take(pa.array(b_idx)),
+                    "cell": pa.array(probes.ravel(), pa.int64()),
+                }
+            )
+
+    new_probed = new_df.select(id_col, vec_col).mapInArrow(
+        assign, f"{id_col} long, {vec_col} {vec_type}, cell long"
+    ).withColumn("is_new", F.lit(1))
+
+    old = spark.read.parquet(index_path)
+    if n_probe < k_cells:
+        probed_cells = [
+            r.cell for r in new_probed.select("cell").distinct().collect()
+        ]
+        old = old.filter(F.col("cell").isin(sorted(probed_cells)))
+    old = old.select(id_col, vec_col, "cell").withColumn("is_new", F.lit(0))
+
+    both = new_probed.unionByName(old)
+    out_schema = "id_new long, id_old long, cos double"
+
+    def pairs_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        new_part = pdf[pdf.is_new == 1]
+        old_part = pdf[pdf.is_new == 0]
+        if new_part.empty or old_part.empty:
+            return pd.DataFrame(
+                {
+                    "id_new": pd.Series(dtype="int64"),
+                    "id_old": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                }
+            )
+        nm = _normalize(
+            np.stack(new_part[vec_col].apply(np.asarray).to_numpy()).astype(np.float64)
+        )
+        om = _normalize(
+            np.stack(old_part[vec_col].apply(np.asarray).to_numpy()).astype(np.float64)
+        )
+        sims = nm @ om.T
+        ia, ib = np.nonzero(sims >= threshold)
+        return pd.DataFrame(
+            {
+                "id_new": new_part[id_col].to_numpy()[ia],
+                "id_old": old_part[id_col].to_numpy()[ib],
+                "cos": np.round(sims[ia, ib], sim_decimals),
+            }
+        )
+
+    return both.groupBy("cell").applyInPandas(pairs_fn, out_schema)

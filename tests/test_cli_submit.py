@@ -125,3 +125,51 @@ def test_cli_warc_ingest(spark, pages_pdf, tmp_path):
     src = pages.head(50).set_index("url")
     for u in list(src.index)[:10]:
         assert got.loc[u, "text"] == src.loc[u, "text"]  # byte-identical extraction
+
+
+def test_cli_tune_lsh(capsys):
+    from sketch_spark import cli
+
+    cli.main(["tune-lsh", "--threshold", "0.6", "--num-perm", "64"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (out["bands"], out["rows_per_band"]) == (10, 6)
+
+
+def test_cli_index_build_probe_stream(spark, sf001, tmp_path, capsys):
+    """The incremental-dedup workflow end to end through the CLI:
+    index-build (auto bands) -> index-probe -> stream-dedup in probe
+    mode over the same batch, which must find the same pair count."""
+    from sketch_spark import cli
+    from sketch_spark.streaming.dedup_stream import init_near_dedup_index
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    old_dir, new_dir = str(tmp_path / "old"), str(tmp_path / "new")
+    docs.filter("doc_id % 2 = 0").write.parquet(old_dir)
+    docs.filter("doc_id % 2 = 1").repartition(4).write.parquet(new_dir)
+
+    idx = str(tmp_path / "mh_idx")
+    cli.main([
+        "index-build", "--input", old_dir, "--index", idx,
+        "--bands", "auto", "--threshold", "0.4",
+    ])
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["bands"] == 16  # choose_lsh_params(0.4, 64)
+
+    pairs_out = str(tmp_path / "pairs")
+    cli.main([
+        "index-probe", "--input", new_dir, "--index", idx,
+        "--old-docs", old_dir, "--out", pairs_out, "--threshold", "0.4",
+    ])
+    probed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert probed["pairs"] >= 1
+
+    root = str(tmp_path / "stream_idx")
+    init_near_dedup_index(
+        spark.read.parquet(old_dir), root, bands=built["bands"]
+    )
+    cli.main([
+        "stream-dedup", "--input", new_dir, "--index-root", root,
+        "--threshold", "0.4", "--no-update-index", "--no-within-batch",
+    ])
+    streamed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert streamed["pairs"] == probed["pairs"]

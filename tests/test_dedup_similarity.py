@@ -534,3 +534,72 @@ def test_minhash_index_append_and_param_guard(spark, neardup_df, tmp_path):
     old = neardup_df.filter(F.col("doc_id") % 10 == 0)
     inc = incremental_near_duplicates(new, idx, old, threshold=0.5)
     assert inc.count() == 60
+
+
+def test_incremental_semantic_dedup_exact_and_pruned(spark, emb, tmp_path):
+    """nprobe='all' must equal brute-force new-vs-old cosine pairs;
+    small nprobe must be a subset, find planted twins, and prune the
+    index scan to the probed cell partitions."""
+    from sketch_spark.operators.similarity import (
+        build_ann_index,
+        incremental_semantic_dedup,
+    )
+
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "sem_idx")
+    build_ann_index(old, idx, n_cells=8)
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        a = a / np.linalg.norm(a)
+        b = b / np.linalg.norm(b)
+        return float(a @ b)
+
+    want = sorted(
+        (n, o, round(cos(vecs[n], vecs[o]), 6))
+        for n in vecs
+        for o in vecs
+        if n % 2 == 1 and o % 2 == 0 and cos(vecs[n], vecs[o]) >= 0.35
+    )
+    exact = incremental_semantic_dedup(new, idx, threshold=0.35, nprobe="all")
+    got = sorted((r.id_new, r.id_old, r.cos) for r in exact.collect())
+    assert got == want and len(want) > 50
+
+    pruned = incremental_semantic_dedup(new, idx, threshold=0.35, nprobe=2)
+    got_pruned = {(r.id_new, r.id_old) for r in pruned.collect()}
+    assert got_pruned <= {(a, b) for a, b, _ in want}
+    # the probe-side scan must be partition-pruned to the probed cells
+    # (match the INDEX scan's filter — the new-side scan also prints an
+    # empty PartitionFilters block)
+    import re
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"(?:Partition)?Filters: \[[^\]]*cell#\d+ IN", plan), plan
+
+
+def test_incremental_semantic_dedup_finds_planted_twin(spark, emb, tmp_path):
+    from sketch_spark.operators.similarity import (
+        build_ann_index,
+        incremental_semantic_dedup,
+    )
+
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "sem_idx2")
+    build_ann_index(old, idx, n_cells=8)
+    # plant an exact duplicate of an indexed vector as a "new" arrival:
+    # it shares its original's nearest centroid, so ANY nprobe >= 1
+    # finds it
+    twin_src = old.orderBy("vec_id").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [(999999, list(twin_src.embedding))], "vec_id long, embedding array<double>"
+    )
+    for nprobe in (1, "all"):
+        pairs = incremental_semantic_dedup(
+            twin, idx, threshold=0.95, nprobe=nprobe
+        ).collect()
+        assert (999999, twin_src.vec_id, 1.0) in {
+            (r.id_new, r.id_old, r.cos) for r in pairs
+        }, nprobe

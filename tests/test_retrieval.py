@@ -134,3 +134,49 @@ def test_hybrid_join_is_broadcast(spark, docs_df, emb_df):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rrf_fusion_matches_python(spark, docs_df, emb_df):
+    """Fused scores must equal the pure-python RRF over independently
+    computed BM25 and cosine rankings, including docs present in only
+    one list (the other list contributes zero)."""
+    import numpy as np
+
+    from sketch_spark.operators.retrieval import rrf_topk
+
+    terms = ["spark", "join"]
+    qv = QUERY_VEC
+    got = rrf_topk(
+        docs_df, emb_df, terms, qv, k=10, n_candidates=3
+    ).collect()
+
+    # python reference: bm25 ranks from the hand-rolled scorer
+    ref = _bm25_reference(terms)
+    b_order = sorted(ref, key=lambda i: (-round(ref[i], 6), i))[:3]
+    b_rank = {d: r + 1 for r, d in enumerate(b_order)}
+    emb_rows = {r.vec_id: np.asarray(r.embedding) for r in emb_df.collect()}
+    q = np.asarray(qv) / np.linalg.norm(qv)
+    cos = {
+        i: round(float(v / np.linalg.norm(v) @ q), 6) for i, v in emb_rows.items()
+    }
+    c_order = sorted(cos, key=lambda i: (-cos[i], i))[:3]
+    c_rank = {d: r + 1 for r, d in enumerate(c_order)}
+    want = {}
+    for d in set(b_rank) | set(c_rank):
+        want[d] = round(
+            (1.0 / (60 + b_rank[d]) if d in b_rank else 0.0)
+            + (1.0 / (60 + c_rank[d]) if d in c_rank else 0.0),
+            6,
+        )
+    got_map = {r.doc_id: (r.bm25_rank, r.cos_rank, r.rrf) for r in got}
+    assert set(got_map) == set(want)
+    for d, (br, cr, score) in got_map.items():
+        assert score == want[d]
+        assert br == b_rank.get(d) and cr == c_rank.get(d)
+    # ordering: rrf desc, id asc
+    ids = [r.doc_id for r in got]
+    assert ids == sorted(got_map, key=lambda d: (-got_map[d][2], d))
+    # at least one doc must come from a single list on this fixture
+    assert any(
+        (d in b_rank) != (d in c_rank) for d in want
+    ), "fixture should exercise the one-list case"
