@@ -63,7 +63,7 @@ def main() -> None:
 
     timed(
         "bm25_topk",
-        lambda: len(bm25_topk(docs, ["the", "and", "data"], k=20).collect()),
+        lambda: len(bm25_topk(docs, ["w1", "w17", "w123"], k=20).collect()),
         args.rows,
     )
     timed("inverted_index", lambda: inverted_index(docs).count(), args.rows)
@@ -192,7 +192,7 @@ def main() -> None:
         "hybrid_topk_50cand",
         lambda: len(
             hybrid_topk(
-                docs_h, emb, ["the", "and", "data"], qv, k=10, n_candidates=50,
+                docs_h, emb, ["w1", "w17", "w123"], qv, k=10, n_candidates=50,
                 emb_id_col="vec_id",
             ).collect()
         ),
@@ -206,7 +206,7 @@ def main() -> None:
         "rrf_topk_50cand",
         lambda: len(
             rrf_topk(
-                docs_h, emb, ["the", "and", "data"], qv, k=10, n_candidates=50,
+                docs_h, emb, ["w1", "w17", "w123"], qv, k=10, n_candidates=50,
                 emb_id_col="vec_id",
             ).collect()
         ),

@@ -19,8 +19,9 @@ modeling gain; half-life granularity is the age-bucket unit.
 Scale shape: one map-side projection computes the weight, then the
 groupBy is an ordinary partial-aggregated LongType sum — the same
 single-shuffle plan as a plain count.  Overflow headroom: sums stay
-under 2^63 while n_rows * 2^max_exp < 2^63 (10^13 rows at the default
-max_exp=15), asserted at the operator boundary.
+under 2^63 while rows_per_key * 2^max_exp < 2^63 (2.8e14 rows/key at
+the default max_exp=15); the operator rejects max_exp > 30 so the
+headroom never drops below ~8.6e9 rows per key.
 """
 
 from __future__ import annotations
@@ -48,6 +49,11 @@ def decayed_counts(
     Events newer than the anchor or older than
     ``half_life * (max_exp+1)`` units contribute zero weight.
     """
+    if not 0 < max_exp <= 30:
+        # 2^63 / 2^30 ~ 8.6e9 rows per key of headroom at the cap
+        # (2.8e14 at the default 15) — the int64 sum can never wrap on
+        # any realistic key cardinality
+        raise ValueError(f"max_exp must be in (0, 30], got {max_exp}")
     if unit == "day":
         age = F.datediff(F.lit(anchor).cast("date"), F.to_date(F.col(ts_col)))
     elif unit == "hour":

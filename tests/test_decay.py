@@ -112,3 +112,24 @@ def test_matches_events_python(spark, sf001):
     for k, a in ages.items():
         want[k] = _py_fp(a)
     assert got == want
+
+
+def test_max_exp_guard(spark):
+    rows = [("a", "2024-01-30 00:00:00")]
+    with pytest.raises(ValueError, match="max_exp"):
+        decayed_counts(_ev(spark, rows), ["key"], max_exp=31)
+    with pytest.raises(ValueError, match="unit"):
+        decayed_counts(_ev(spark, rows), ["key"], unit="minute")
+
+
+def test_null_ts_rows_count_but_carry_no_weight(spark):
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 30, 12, 0, 0)),
+        ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = decayed_counts(df, ["key"]).collect()[0]
+    assert out.cnt == 2                      # the row is still a row
+    assert out.decayed_fp == 2 ** (MAX_EXP)  # but only the dated one weighs

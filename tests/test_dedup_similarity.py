@@ -603,3 +603,16 @@ def test_incremental_semantic_dedup_finds_planted_twin(spark, emb, tmp_path):
         assert (999999, twin_src.vec_id, 1.0) in {
             (r.id_new, r.id_old, r.cos) for r in pairs
         }, nprobe
+
+
+def test_incremental_semantic_dedup_empty_batch(spark, emb, tmp_path):
+    from sketch_spark.operators.similarity import (
+        build_ann_index,
+        incremental_semantic_dedup,
+    )
+
+    idx = str(tmp_path / "sem_idx3")
+    build_ann_index(emb.filter(F.col("vec_id") % 2 == 0), idx, n_cells=4)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for nprobe in (1, "all"):
+        assert incremental_semantic_dedup(empty, idx, nprobe=nprobe).count() == 0

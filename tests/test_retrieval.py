@@ -180,3 +180,18 @@ def test_rrf_fusion_matches_python(spark, docs_df, emb_df):
     assert any(
         (d in b_rank) != (d in c_rank) for d in want
     ), "fixture should exercise the one-list case"
+
+
+def test_hybrid_all_terms_miss_corpus(spark, docs_df, emb_df):
+    """A query whose terms never occur must not raise (ANSI 0/0 on the
+    bm25 normalization — found by the organic-corpus bench) and must
+    rank purely by the cosine leg."""
+    from sketch_spark.operators.retrieval import hybrid_topk
+
+    out = hybrid_topk(
+        docs_df, emb_df, ["zzzznope"], QUERY_VEC, k=5, n_candidates=5, alpha=0.5
+    ).collect()
+    assert [r.doc_id for r in out][0] == 0  # pure cosine order
+    for r in out:
+        assert r.bm25 == 0.0
+        assert r.hybrid == round(0.5 * r.cos, 6)
