@@ -806,6 +806,10 @@ def incremental_semantic_dedup(
 
     old = spark.read.parquet(index_path)
     if n_probe < k_cells:
+        # pruned mode references the assignment pass twice (the probed-
+        # cell collect AND the union): materialize the batch-scale
+        # result once (all-cells mode has a single reference — skip)
+        new_probed = new_probed.localCheckpoint(eager=True)
         probed_cells = [
             r.cell for r in new_probed.select("cell").distinct().collect()
         ]
