@@ -1325,6 +1325,62 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_stream_pairs(spark, root).select("id_new", "id_old", "jaccard")
 
 
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WINDOWED aggregation under the driver gate: events
+    arrive as file-stream micro-batches, a native streaming
+    window(ts, 1 hour) x event_type aggregation accumulates across
+    epochs, and the complete-mode snapshot must hash-match the BATCH
+    events_hourly oracle — the tumbling-window streaming==batch
+    equivalence as a contract query, not just a pytest."""
+    import shutil
+
+    base = os.path.join(
+        "/tmp", "sketch_spark_stream",
+        os.path.basename(os.path.normpath(sf_dir)), "evhourly",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "input")
+    ev = _read(spark, sf_dir, "events")
+    ev.repartition(8).write.parquet(in_dir)
+    out_dir = os.path.join(base, "out")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(in_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("_sv"))
+    )
+
+    def snap(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(snap)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+        "n",
+        F.round(F.col("_sv"), 2).alias("sum_value"),
+    )
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE coverage: day x event_type counts at every grouping-set
+    level with the grouping_id bitmask — the OLAP rollup surface beyond
+    the linear ROLLUP in tpch_rollup."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.cube(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.grouping_id().alias("gid"))
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest with a hard driver signal (VERDICT r2 #7): the
     documents table is written out as deterministic .warc.gz archives
@@ -1820,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_token_counts": q_streaming_token_counts,
         "streaming_cmcu_snapshot": q_streaming_cmcu_snapshot,
         "streaming_incremental_dedup": q_streaming_incremental_dedup,
+        "streaming_events_hourly": q_streaming_events_hourly,
+        "events_cube": q_events_cube,
         "bpe_token_counts": q_bpe_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_daily": q_rollup_daily,
@@ -2020,6 +2078,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
                    CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # identical semantics by design: the streaming windowed agg's
+        # complete-mode snapshot must equal the batch hourly rollup
+        "streaming_events_hourly": """
+            SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_cube": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(GROUPING(strftime(ts, '%Y-%m-%d')) * 2
+                        + GROUPING(event_type) AS INT) AS gid
+            FROM events GROUP BY CUBE (1, 2)
         """,
         "events_distinct_users": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
