@@ -826,6 +826,22 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split: near-duplicate clusters (same exact-Jaccard
+    fixture property as dedup_corpus) land wholly in one split, so no
+    eval document is a near-copy of a training document.  The oracle
+    replays components via the recursive CTE and the split via the
+    same md5-of-cluster rank — (doc_id, cluster, split) all under the
+    value hash."""
+    from sketch_spark.operators.sampling import leakage_safe_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+        threshold=0.4, store_shingles=False,
+    ).select("doc_id", "cluster", "split")
+
+
 def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-doc sample per source (md5-rank window; with AQE
     the WindowGroupLimit folds per-partition top-k before the exchange,
@@ -1836,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_df_tokens": q_top_df_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
         "train_val_test_split": q_train_val_test_split,
+        "leakage_safe_split": q_leakage_safe_split,
         "sample_per_source": q_sample_per_source,
         "bottomk_sample": q_bottomk_sample,
         "kmv_distinct_by_lang": q_kmv_distinct_by_lang,
@@ -2528,6 +2545,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY tok
             ORDER BY df DESC, token ASC LIMIT 50
+        """,
+        "leakage_safe_split": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             FOR i IN generate_series(1, len(t)-2)]) AS shingle
+              FROM toks WHERE len(t) >= 3
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE ni / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.4
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+            ), labels AS (
+              SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+              FROM reach GROUP BY 1
+            ), ranked AS (
+              SELECT doc_id, cluster,
+                     CAST(CAST('0x' || substr(md5('1:' || CAST(cluster AS VARCHAR)), 1, 8)
+                          AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+              FROM labels
+            )
+            SELECT doc_id, cluster,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM ranked
         """,
         "train_val_test_split": """
             WITH u AS (

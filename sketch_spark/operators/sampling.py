@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 __all__ = [
     "uniform_hash_col",
     "deterministic_split",
+    "leakage_safe_split",
     "sample_per_group",
     "bottomk_sample",
     "kmv_distinct",
@@ -66,8 +67,15 @@ def deterministic_split(
     Fractions need not sum to 1; they are normalized.  Assignment is
     stable under repartition/re-execution and independent of row order.
     """
+    return df.withColumn(
+        split_col, _interval_expr(uniform_hash_col(id_col, seed), weights)
+    )
+
+
+def _interval_expr(u: Column, weights: dict[str, float]) -> Column:
+    """CASE expression mapping a U[0,1) rank to the named weight
+    interval containing it (weights normalized)."""
     total = float(sum(weights.values()))
-    u = uniform_hash_col(id_col, seed)
     expr = None
     acc = 0.0
     items = list(weights.items())
@@ -76,8 +84,56 @@ def deterministic_split(
         cond = u < F.lit(acc)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return df.withColumn(split_col, expr)
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 1,
+    split_col: str = "split",
+    pairs: DataFrame | None = None,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int | str = 16,
+    shingle_k: int = 3,
+    store_shingles: bool = True,
+) -> DataFrame:
+    """Dedup-AWARE train/val/test split: every near-duplicate cluster
+    lands wholly in one split, so eval can never contain a near-copy
+    of a training document — the leakage guard a C4/Dolma-style
+    pipeline applies between dedup and packing.  Output adds
+    ``cluster`` (the min-id component label; own id for singletons)
+    and ``split_col``.
+
+    Composition: MinHash near-dup pairs (or a precomputed ``pairs``
+    edge set) -> min-label components (candidate-scale label
+    propagation, same machinery as ``dedup_corpus``) -> one left join
+    back to the corpus -> split = the weight interval containing
+    u(seed, cluster).  The split decision is a pure md5 function of
+    (seed, cluster), so it inherits ``deterministic_split``'s
+    replay/repartition stability, and documents in no pair never
+    shuffle — their label join is a candidate-scale broadcast at real
+    scale.
+    """
+    from .dedup import minhash_near_duplicates, propagate_min_labels
+
+    if pairs is None:
+        pairs = minhash_near_duplicates(
+            df, id_col, text_col, num_perm, bands, shingle_k, threshold, seed,
+            store_shingles=store_shingles,
+        )
+    labels = propagate_min_labels(pairs.select("id_a", "id_b")).withColumnRenamed(
+        "id", id_col
+    )
+    out = df.join(labels, id_col, "left")
+    cluster = F.coalesce(F.col("label"), F.col(id_col)).cast("long")
+    out = out.withColumn("cluster", cluster).drop("label")
+    return out.withColumn(
+        split_col, _interval_expr(uniform_hash_col(F.col("cluster"), seed), weights)
+    )
 
 
 def sample_per_group(

@@ -486,3 +486,43 @@ def test_bottomk_sample_plans_as_take_ordered(spark):
     ids = sorted(r["doc_id"] for r in out.collect())
     out2 = sorted(r["doc_id"] for r in bottomk_sample(df.coalesce(1), 25, "doc_id").collect())
     assert ids == out2 and len(ids) == 25
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every near-dup pair must land in ONE split; singletons must get
+    exactly the deterministic_split assignment for their own id."""
+    import numpy as np
+
+    from sketch_spark.operators.sampling import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(3000)]
+    rows = []
+    for i in range(40):
+        toks = list(rng.choice(vocab, size=120))
+        rows.append((i * 10, " ".join(toks)))
+        rows.append((i * 10 + 1, " ".join(toks[:112])))       # twin
+        rows.append((i * 10 + 2, " ".join(rng.choice(vocab, size=120))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, weights, threshold=0.5).collect()
+    by_id = {r.doc_id: (r.cluster, r.split) for r in out}
+    assert len(by_id) == len(rows)
+    for i in range(40):
+        base, twin = by_id[i * 10], by_id[i * 10 + 1]
+        assert base == twin  # same cluster AND same split
+        assert base[0] == i * 10  # min-id cluster label
+    # singletons: cluster = own id, split = plain deterministic_split
+    singles = {i * 10 + 2 for i in range(40)}
+    plain = {
+        r.doc_id: r.split
+        for r in deterministic_split(docs, weights).collect()
+    }
+    for s in singles:
+        assert by_id[s][0] == s
+        assert by_id[s][1] == plain[s]
+    # all three splits materialize at cluster granularity
+    assert {s for _, s in by_id.values()} == {"train", "val", "test"}
