@@ -144,6 +144,13 @@ def streaming_near_dedup(
     incremental dedup.  One stream lifetime per index generation:
     epochs restart at 0 for a fresh checkpoint, so re-seed the index
     (or keep the checkpoint) when restarting.
+
+    Resource note for long-lived streams: the within-batch MinHash
+    pass persists its signature table per epoch (the materialize-once
+    rule); those caches become dead weight once the epoch's outputs
+    are checkpointed and are evicted LRU under storage-memory
+    pressure, so growth is bounded by executor storage, not by stream
+    lifetime.
     """
     checkpoint = checkpoint or os.path.join(root, "_checkpoint")
     fold = make_near_dedup_fold(
