@@ -1461,6 +1461,29 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, path, queries, k=5, nprobe=6)
 
 
+def q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index probe machinery under the FULL value-hash gate:
+    probing every cell of the partitioned ann index is exact, so the
+    index write (assignment gemm + partitionBy layout + centroid
+    sidecar) and the probe read must together reproduce the brute-force
+    cosine top-k oracle bit-for-bit — hardening what was previously
+    pytest-only equality into a driver-checked result.  The
+    approximate nprobe path stays the separate rows-only entry."""
+    import os
+
+    from sketch_spark.operators.similarity import build_ann_index, ivf_topk_indexed
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = os.path.join(
+        "/tmp", "sketch_spark_ann_index_x", os.path.basename(os.path.normpath(sf_dir))
+    )
+    build_ann_index(corpus, path, n_cells=16, seed=1, kind="ivf")
+    return ivf_topk_indexed(spark, path, queries, k=5, nprobe=16)
+
+
 def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding analogue of incremental_dedup: the even-id half of the
     embeddings table is indexed ONCE as a stored cell-partitioned IVF
@@ -1868,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": q_quality_deciles,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
+        "ivf_topk_exact": q_ivf_topk_exact,
         "lsh_topk": q_lsh_topk,
         "kmeans_cells": q_kmeans_cells,
         "bm25_topk": q_bm25_topk,
@@ -1900,6 +1924,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_daily": q_rollup_daily,
     }
 
+
+# exact cosine top-5: the oracle for ann_cosine_topk (brute force) AND
+# ivf_topk_exact (all-cells probe of the stored index — same answer)
+_COSINE_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         sims AS (
+           SELECT q.query_id, c.vec_id,
+                  round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+           FROM q CROSS JOIN c
+         )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+"""
 
 # exact cross-half Jaccard pairs: the oracle for BOTH incremental_dedup
 # (batch) and streaming_incremental_dedup (same probe, micro-batched)
@@ -2212,20 +2253,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.9
         """,
-        "ann_cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-                 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
-                 sims AS (
-                   SELECT q.query_id, c.vec_id,
-                          round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
-                   FROM q CROSS JOIN c
-                 )
-            SELECT query_id, CAST(rank AS INT) AS rank, vec_id, sim FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                          ORDER BY sim DESC, vec_id ASC) AS rank
-              FROM sims
-            ) WHERE rank <= 5
-        """,
+        "ann_cosine_topk": _COSINE_TOPK_SQL,
+        # all-cells probe of the stored index is exact by construction:
+        # the same brute-force oracle must hold through the index
+        # write + partitioned probe read
+        "ivf_topk_exact": _COSINE_TOPK_SQL,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
