@@ -1484,6 +1484,29 @@ def q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, path, queries, k=5, nprobe=16)
 
 
+def q_lsh_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH stored index under the full value-hash gate:
+    probing every bucket (probe_hamming >= bits) is exact, so the
+    sign-bit bucketed layout plus its partitioned probe read must
+    reproduce the brute-force cosine top-k oracle — the hyperplane
+    twin of ivf_topk_exact.  The radius-1 probe stays rows-only."""
+    import os
+
+    from sketch_spark.operators.similarity import build_ann_index, lsh_topk_indexed
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = {int(r["vec_id"]): r["embedding"] for r in qrows}
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    path = os.path.join(
+        "/tmp", "sketch_spark_lsh_index_x", os.path.basename(os.path.normpath(sf_dir))
+    )
+    build_ann_index(corpus, path, seed=1, kind="hyperplane", bits=4)
+    return lsh_topk_indexed(
+        spark, path, queries, k=5, bits=4, seed=1, probe_hamming=4
+    )
+
+
 def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding analogue of incremental_dedup: the even-id half of the
     embeddings table is indexed ONCE as a stored cell-partitioned IVF
@@ -1892,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "ivf_topk_exact": q_ivf_topk_exact,
+        "lsh_topk_exact": q_lsh_topk_exact,
         "lsh_topk": q_lsh_topk,
         "kmeans_cells": q_kmeans_cells,
         "bm25_topk": q_bm25_topk,
@@ -2258,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         # the same brute-force oracle must hold through the index
         # write + partitioned probe read
         "ivf_topk_exact": _COSINE_TOPK_SQL,
+        "lsh_topk_exact": _COSINE_TOPK_SQL,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos

@@ -602,10 +602,16 @@ def lsh_topk_indexed(
 ) -> DataFrame:
     """Hyperplane-LSH top-k over a STORED ``kind='hyperplane'`` index:
     same semantics as ``lsh_bucket_topk`` but the Hamming<=r probe set
-    prunes to bucket partitions at the scan."""
+    prunes to bucket partitions at the scan.  ``probe_hamming >= bits``
+    probes every bucket — one full partitioned scan, EXACT top-k (the
+    oracle mode of ``ivf_topk_exact``'s hyperplane twin)."""
     rng = np.random.default_rng(int(derive_seeds(seed, "hyperplane", 1)[0]) % 2**32)
     dim = len(next(iter(sorted(queries.items())))[1])
     planes = rng.standard_normal((dim, bits))
+    if probe_hamming >= bits:
+        return _probe_indexed(
+            spark, path, list(range(1 << bits)), queries, k, id_col, vec_col
+        )
     probe: set[int] = set()
     for _qid, vec in sorted(queries.items()):
         b = int(
