@@ -1853,7 +1853,58 @@ def _text_normalize_oracle_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Contract battery.  ORDER MATTERS: the driver's CORRECTNESS capture
+    keeps only the first ~50 entries, so never-driver-checked queries come
+    FIRST (new this round, then round-3 additions that missed the r3
+    window), then queries last checked in r1/r2, then the r3-checked tail.
+    test_entry_contract.test_driver_window_covers_unchecked pins this.
+    """
     return {
+        # --- never driver-checked (missed the r3 50-row window) ---
+        "semantic_dedup": q_semantic_dedup,
+        "mixture_weights": q_mixture_weights,
+        "temperature_sample": q_temperature_sample,
+        "quality_deciles": q_quality_deciles,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
+        "ivf_topk_exact": q_ivf_topk_exact,
+        "lsh_topk_exact": q_lsh_topk_exact,
+        "kmeans_cells": q_kmeans_cells,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_topk": q_hybrid_topk,
+        "rrf_topk": q_rrf_topk,
+        "inverted_index": q_inverted_index,
+        "corpus_filter": q_corpus_filter,
+        "clean_corpus": q_clean_corpus,
+        "text_normalize": q_text_normalize,
+        "passage_dups": q_passage_dups,
+        "dup_span_report": q_dup_span_report,
+        "dup_span_removal": q_dup_span_removal,
+        "lm_perplexity": q_lm_perplexity,
+        "source_quality": q_source_quality,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
+        "lsh_tuning": q_lsh_tuning,
+        "warc_roundtrip": q_warc_roundtrip,
+        "streaming_token_counts": q_streaming_token_counts,
+        "streaming_cmcu_snapshot": q_streaming_cmcu_snapshot,
+        "streaming_incremental_dedup": q_streaming_incremental_dedup,
+        "streaming_events_hourly": q_streaming_events_hourly,
+        "events_cube": q_events_cube,
+        # --- last driver-checked in r1/r2 (code moved since) ---
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
+        "dedup_corpus": q_dedup_corpus,
+        "keyed_stats_by_source": q_keyed_stats_by_source,
+        "bloom_semi_join": q_bloom_semi_join,
+        "html_roundtrip": q_html_roundtrip,
+        "bpe_token_counts": q_bpe_token_counts,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "rollup_daily": q_rollup_daily,
+        # --- driver-checked green in r3 (rotate to the tail) ---
         "token_counts": q_token_counts,
         "bigram_counts": q_bigram_counts,
         "emerging_hh": q_emerging_hh,
@@ -1904,48 +1955,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_by_lang": q_kmv_distinct_by_lang,
         "kmv_lang_similarity": q_kmv_lang_similarity,
         "hll_lang_overlap": q_hll_lang_overlap,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "semantic_dedup": q_semantic_dedup,
-        "mixture_weights": q_mixture_weights,
-        "temperature_sample": q_temperature_sample,
-        "quality_deciles": q_quality_deciles,
-        "ivf_topk": q_ivf_topk,
-        "ivf_topk_indexed": q_ivf_topk_indexed,
-        "ivf_topk_exact": q_ivf_topk_exact,
-        "lsh_topk_exact": q_lsh_topk_exact,
-        "lsh_topk": q_lsh_topk,
-        "kmeans_cells": q_kmeans_cells,
-        "bm25_topk": q_bm25_topk,
-        "hybrid_topk": q_hybrid_topk,
-        "rrf_topk": q_rrf_topk,
-        "inverted_index": q_inverted_index,
-        "corpus_filter": q_corpus_filter,
-        "clean_corpus": q_clean_corpus,
-        "text_normalize": q_text_normalize,
-        "passage_dups": q_passage_dups,
-        "dup_span_report": q_dup_span_report,
-        "dup_span_removal": q_dup_span_removal,
-        "lm_perplexity": q_lm_perplexity,
-        "source_quality": q_source_quality,
-        "dedup_corpus": q_dedup_corpus,
-        "incremental_dedup": q_incremental_dedup,
-        "incremental_semantic_dedup": q_incremental_semantic_dedup,
-        "lsh_tuning": q_lsh_tuning,
-        "keyed_stats_by_source": q_keyed_stats_by_source,
-        "bloom_semi_join": q_bloom_semi_join,
-        "html_roundtrip": q_html_roundtrip,
-        "warc_roundtrip": q_warc_roundtrip,
-        "streaming_token_counts": q_streaming_token_counts,
-        "streaming_cmcu_snapshot": q_streaming_cmcu_snapshot,
-        "streaming_incremental_dedup": q_streaming_incremental_dedup,
-        "streaming_events_hourly": q_streaming_events_hourly,
-        "events_cube": q_events_cube,
-        "bpe_token_counts": q_bpe_token_counts,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "rollup_daily": q_rollup_daily,
     }
 
 

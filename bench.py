@@ -5,8 +5,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is total wall seconds over the headline set (lower = better).
-A second section of the JSON carries throughput and scaling info used
-by BENCH/BASELINE.md (extra keys are allowed by the contract).
+
+The printed line MUST stay under 1,900 chars: the driver records only
+the last 2,000 chars of stdout, and round 3's 2,657-char line was
+truncated into ``"parsed": null`` (VERDICT r3 "What's wrong" #1).  The
+full measurement detail (row counts, per-query pipeline timings, wall
+arrays) goes to ``bench_detail.json`` next to this script; the stdout
+line carries the headline value, per-query times, and one-number
+summaries only.  test_entry_contract pins the line length.
 
 Run ``python bench_util/scaling.py`` for the two-parallelism-level
 (N vs 4N cores) scaling-efficiency measurement on the pages table.
@@ -21,6 +27,40 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+MAX_LINE_CHARS = 1900
+
+
+def compact_line(detail: dict) -> str:
+    """Compress the full detail dict into the one driver-visible line."""
+    scal = detail.get("scaling_efficiency") or {}
+    sk = detail["sketch_build"]
+    err = detail["cmcu_error_vs_bound"]
+    out = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "queries": detail["queries"],
+        "sf": detail["sf"],
+        "cpus": detail["cpus"],
+        "pipeline_total": detail.get("pipeline_total"),
+        "sketch_mtok_per_sec": round(sk["tokens_per_sec"] / 1e6, 2),
+        "cmcu_underestimates": err["underestimates"],
+        "cmcu_violation_rate": err["violation_rate"],
+        "scaling": {
+            k: scal[k]
+            for k in ("value", "spread", "mode", "rows")
+            if k in scal
+        },
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= MAX_LINE_CHARS:
+        raise RuntimeError(
+            f"bench stdout line is {len(line)} chars (>= {MAX_LINE_CHARS}); "
+            "the driver truncates at 2,000 — move detail to bench_detail.json"
+        )
+    return line
 
 # headline set: the flagship sketch pipeline + representative operators
 # from each family (exact text, windowed events, relational, dedup, ANN)
@@ -92,11 +132,11 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # round-3 pipeline operators, timed SEPARATELY: ``value`` and
+    # LLM-pipeline operators, timed SEPARATELY: ``value`` and
     # ``queries`` keep the round-2 headline set so the driver's
     # round-over-round comparison stays apples-to-apples; these land in
-    # their own keys (extra keys are allowed by the contract)
-    ROUND3 = [
+    # bench_detail.json with only their total on the stdout line
+    PIPELINE = [
         "corpus_filter",
         "clean_corpus",
         "bm25_topk",
@@ -121,7 +161,7 @@ def main() -> None:
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}
-    for name in ROUND3:
+    for name in PIPELINE:
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -173,7 +213,7 @@ def main() -> None:
         "delta_budget": round(cmcu.delta, 5),
     }
 
-    out = {
+    detail = {
         "metric": "headline_query_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -191,9 +231,9 @@ def main() -> None:
             "kinds": ["cmcu", "hll", "bloom"],
         },
         "cmcu_error_vs_bound": error_report,
-        "round3_queries": r3_timings,
-        "round3_total": round(sum(r3_timings.values()), 3),
-        "round3_rowcounts": r3_rowcounts,
+        "pipeline_queries": r3_timings,
+        "pipeline_total": round(sum(r3_timings.values()), 3),
+        "pipeline_rowcounts": r3_rowcounts,
     }
     # attach the most recent two-parallelism-level scaling measurement
     # (bench_util/scaling.py, median-of-runs with spread) so the north
@@ -201,9 +241,11 @@ def main() -> None:
     scaling_path = os.path.join(REPO, "bench_util", "scaling_last.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling_efficiency"] = json.load(f)
+            detail["scaling_efficiency"] = json.load(f)
     spark.stop()
-    print(json.dumps(out))
+    with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(compact_line(detail))
 
 
 if __name__ == "__main__":

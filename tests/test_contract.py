@@ -38,6 +38,60 @@ def test_oracle_keys_subset_of_queries():
     assert qs - oracles == allowed_rows_only
 
 
+def test_driver_window_covers_unchecked():
+    """The driver's CORRECTNESS capture keeps only the first ~50 entries
+    of queries() (VERDICT r3 "What's wrong" #2): every query with no
+    driver-checked row in ANY prior round must sit inside that window."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            checked |= set(json.load(f))
+    names = list(entrymod.queries())
+    unchecked = [n for n in names if n not in checked]
+    window = set(names[:50])
+    if len(unchecked) <= 50:
+        missing = set(unchecked) - window
+        assert not missing, f"never-driver-checked queries outside window: {missing}"
+    else:
+        extra = window - set(unchecked)
+        assert not extra, f"window wastes slots on already-checked queries: {extra}"
+
+
+def test_bench_line_fits_driver_capture():
+    """The driver records the last 2,000 chars of bench.py stdout; r3's
+    2,657-char line was truncated into parsed:null.  Build a worst-case
+    detail dict (real query names, max-width floats) and assert the
+    compact line stays under the 1,900-char budget."""
+    import bench
+
+    detail = {
+        "metric": "headline_query_wall_seconds",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {name: 99999.999 for name in bench.HEADLINE},
+        "sf": "/root/testdata/sf0.1",
+        "cpus": 32,
+        "sketch_build": {"tokens_per_sec": 999999999.9},
+        "cmcu_error_vs_bound": {"underestimates": 0, "violation_rate": 0.99999},
+        "pipeline_total": 99999.999,
+        "scaling_efficiency": {
+            "value": 0.999,
+            "spread": [0.999, 99.999],
+            "mode": "local-cluster-processes",
+            "rows": 999999999,
+        },
+    }
+    line = bench.compact_line(detail)
+    assert len(line) < bench.MAX_LINE_CHARS
+    parsed = __import__("json").loads(line)
+    assert parsed["value"] == 99999.999
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+
+
 def test_entry_smoke(spark, sf001):
     df = entrymod.entry(spark)
     rows = df.collect()
