@@ -173,7 +173,14 @@ def nb_train(
     docs = df.select(
         F.sum(label.cast("int")).alias("p"), F.sum((~label).cast("int")).alias("n")
     ).collect()[0]
-    bias = int(round(math.log(docs["p"] / docs["n"]) * 1_000_000))
+    n_pos, n_neg = docs["p"] or 0, docs["n"] or 0
+    if n_pos == 0 or n_neg == 0:
+        # log(0) / division by zero otherwise — a single-class corpus has
+        # no learnable prior; fail loudly instead of returning NaN weights
+        raise ValueError(
+            f"nb_train requires both classes present: pos={n_pos}, neg={n_neg}"
+        )
+    bias = int(round(math.log(n_pos / n_neg) * 1_000_000))
     return weights, bias
 
 
@@ -333,7 +340,13 @@ def nb_classifier_sql(
     """DuckDB mirror of nb_train + nb_score as one statement:
     identical md5 bucketing, identical fixed-point micro-log-odds
     weights, exact integer score sums.  ``label_sql`` is the boolean
-    label expression (e.g. "lang = 'en'")."""
+    label expression (e.g. "lang = 'en'").
+
+    Semantics mirrored EXACTLY, including the edge cases the sf fixtures
+    never trigger: NULL labels count in NEITHER class (``lab IS TRUE`` /
+    ``lab IS FALSE``, matching Spark's when/otherwise and null-skipping
+    sums), and zero-token docs still score raw=bias (docsum LEFT JOIN
+    from the full doc set, wsum coalesced to 0)."""
     return f"""
         WITH base AS (
           SELECT {id_col}, ({label_sql}) AS lab,
@@ -347,8 +360,8 @@ def nb_classifier_sql(
           WHERE u.tok <> ''
         ), counts AS (
           SELECT bkt,
-                 sum(CASE WHEN lab THEN 1 ELSE 0 END) AS pos,
-                 sum(CASE WHEN lab THEN 0 ELSE 1 END) AS neg
+                 sum(CASE WHEN lab IS TRUE THEN 1 ELSE 0 END) AS pos,
+                 sum(CASE WHEN lab IS FALSE THEN 1 ELSE 0 END) AS neg
           FROM tok GROUP BY bkt
         ), tot AS (
           SELECT sum(pos) AS pt, sum(neg) AS nt FROM counts
@@ -360,13 +373,16 @@ def nb_classifier_sql(
           FROM generate_series(0, {n_buckets} - 1) AS g(b)
           LEFT JOIN counts c ON c.bkt = g.b, tot
         ), prior AS (
-          SELECT CAST(round(ln(CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS DOUBLE)
-                        / sum(CASE WHEN lab THEN 0 ELSE 1 END)) * 1000000) AS BIGINT) AS bias
+          SELECT CAST(round(ln(CAST(sum(CASE WHEN lab IS TRUE THEN 1 ELSE 0 END) AS DOUBLE)
+                        / sum(CASE WHEN lab IS FALSE THEN 1 ELSE 0 END)) * 1000000) AS BIGINT) AS bias
           FROM base
+        ), docsum AS (
+          SELECT tok.{id_col}, sum(wts.w) AS wsum
+          FROM tok JOIN wts USING (bkt)
+          GROUP BY tok.{id_col}
         ), scores AS (
-          SELECT tok.{id_col}, prior.bias + sum(wts.w) AS raw
-          FROM tok JOIN wts USING (bkt), prior
-          GROUP BY tok.{id_col}, prior.bias
+          SELECT base.{id_col}, prior.bias + coalesce(d.wsum, 0) AS raw
+          FROM base LEFT JOIN docsum d ON d.{id_col} = base.{id_col}, prior
         )
         SELECT {id_col}, raw / 1000000.0 AS score,
                CAST(CASE WHEN raw > 0 THEN 1 ELSE 0 END AS INT) AS pred

@@ -381,6 +381,12 @@ def verify_jaccard_pairs_from_text(
             F.array_distinct(word_ngrams_col(text_col, shingle_k)).alias("shingles"),
         )
     )
+    # the verify join references sh TWICE (id_a side and id_b side) and
+    # Catalyst does not CSE across self-joins: without a cut each side
+    # re-scans and re-tokenizes every candidate doc.  Materialize the
+    # candidate-restricted shingle sets ONCE — the table is candidate-
+    # sized (bucket-mates only), never corpus-sized
+    sh = sh.localCheckpoint(eager=True)
     return verify_jaccard_pairs(pairs, sh, id_col, threshold)
 
 
@@ -1041,7 +1047,8 @@ def _duplicate_ngram_spans_arrow(
             )
             acc_rows += len(uniq)
             if acc_rows > 32_000_000:  # bound the fold buffer (~0.5 GB)
-                acc, acc_rows = [fold()], len(acc[0])
+                folded = fold()
+                acc, acc_rows = [folded], len(folded)
         if acc:
             yield from fold().to_batches()
 

@@ -45,6 +45,34 @@ __all__ = [
 ]
 
 
+def _topk_cells(sims: np.ndarray, n_probe: int) -> np.ndarray:
+    """Deterministic per-row top-``n_probe`` column indices of ``sims``
+    (similarity desc, column asc), shape (rows, n_probe).
+
+    O(K) boundary cut instead of a full O(K log K) row sort (the
+    argpartition pattern from ``cosine_topk``): per row, keep columns
+    strictly above the n_probe-th largest value plus the FIRST
+    (column-ascending) boundary ties up to the quota, then stable-sort
+    only the kept n_probe by similarity — equal similarities keep
+    column-ascending order, matching a lexsort over (col asc, sim desc).
+    Matters when the coarse quantizer has many cells (K ~ 10^5 at
+    10^12-vector scale) and n_probe is small.
+    """
+    rows, k_cols = sims.shape
+    if n_probe >= k_cols:
+        return np.argsort(-sims, axis=1, kind="stable")
+    vk = np.partition(sims, k_cols - n_probe, axis=1)[:, k_cols - n_probe, None]
+    greater = sims > vk
+    quota = n_probe - greater.sum(axis=1, keepdims=True)
+    ties = sims == vk
+    keep = greater | (ties & (np.cumsum(ties, axis=1) <= quota))
+    # nonzero is row-major: within each row the kept columns come out
+    # ascending, so the stable sort's tie order is column-ascending
+    cells = np.nonzero(keep)[1].reshape(rows, n_probe)
+    order = np.argsort(-np.take_along_axis(sims, cells, axis=1), axis=1, kind="stable")
+    return np.take_along_axis(cells, order, axis=1)
+
+
 def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """(n, d) float64 matrix from an Arrow list<float> column."""
     if isinstance(col, pa.ChunkedArray):
@@ -794,9 +822,9 @@ def incremental_semantic_dedup(
             if mat.size == 0:
                 continue
             sims = _normalize(mat) @ cmat.T  # (b, K)
-            # deterministic probe order: similarity desc, cell asc
-            order = np.lexsort((np.arange(cmat.shape[0])[None, :].repeat(len(ids), 0), -sims), axis=1)
-            probes = order[:, :n_probe]  # (b, nprobe)
+            # deterministic probe order (sim desc, cell asc) via the
+            # O(K) boundary cut — not a full per-row sort of all cells
+            probes = _topk_cells(sims, n_probe)  # (b, nprobe)
             b_idx = np.repeat(np.arange(len(ids)), n_probe)
             yield pa.RecordBatch.from_pydict(
                 {

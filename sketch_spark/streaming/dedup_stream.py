@@ -143,7 +143,9 @@ def streaming_near_dedup(
     that are near-dups only pairwise can differ, as with any
     incremental dedup.  One stream lifetime per index generation:
     epochs restart at 0 for a fresh checkpoint, so re-seed the index
-    (or keep the checkpoint) when restarting.
+    (or keep the checkpoint) when restarting — ENFORCED: batch 0 of a
+    fresh checkpoint fails fast if epoch directories from a previous
+    generation remain under the root.
 
     Resource note for long-lived streams: the within-batch MinHash
     pass persists its signature table per epoch (the materialize-once
@@ -163,6 +165,25 @@ def streaming_near_dedup(
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+def _stale_epochs_beyond(root: str, max_ok: int) -> set[str]:
+    """Epoch partition directories numbered above ``max_ok`` under any
+    of the index subpaths (relative paths, for the error message)."""
+    stale: set[str] = set()
+    for sub in ("keys", "docs", "pairs", "pairs_within"):
+        base = os.path.join(root, sub)
+        if not os.path.isdir(base):
+            continue
+        for name in os.listdir(base):
+            if name.startswith("epoch="):
+                try:
+                    num = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if num > max_ok:
+                    stale.add(f"{sub}/{name}")
+    return stale
 
 
 def make_near_dedup_fold(
@@ -198,6 +219,24 @@ def make_near_dedup_fold(
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         epoch = int(epoch_id) + 1
+        if int(epoch_id) == 0:
+            # Fresh-checkpoint start (epochs restart at 0): epoch dirs
+            # beyond this batch's own epoch=1 can only be leftovers from
+            # a PREVIOUS stream generation; partition discovery in
+            # read_stream_pairs/read_index_docs would silently union
+            # them, so refuse to run instead of documenting the caveat.
+            # (epoch=1 itself is fine — a crash-replayed batch 0
+            # overwrites it completely.)  A same-checkpoint resume
+            # arrives with epoch_id > 0 and never hits this check.
+            stale = _stale_epochs_beyond(root, 1)
+            if stale:
+                raise RuntimeError(
+                    "index root has epoch directories from a previous "
+                    f"stream generation: {sorted(stale)}; a fresh "
+                    "checkpoint would silently union them into results. "
+                    "Re-seed the index (init_near_dedup_index to a clean "
+                    "root) or restart with the previous checkpoint."
+                )
         # the batch is referenced by several downstream stages
         # (within-pairs, representatives, probe, survivors): cut the
         # file-source lineage once (CLAUDE.md: 3+ references rule)

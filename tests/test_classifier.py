@@ -98,3 +98,54 @@ def test_arrow_engine_null_labels_count_neither_class(spark):
     w_sql, _ = nb_train(df, F.col("y"), n_buckets=8, engine="sql")
     w_ar, _ = nb_train(df, F.col("y"), n_buckets=8, engine="arrow")
     assert w_sql == w_ar
+
+
+def test_single_class_corpus_raises(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha", True), (1, "beta", True)], "doc_id long, text string, y boolean"
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        nb_train(df, F.col("y"), n_buckets=8)
+
+
+def test_oracle_matches_spark_on_degenerate_corpus(spark):
+    """The DuckDB oracle must mirror Spark on the edge cases the sf
+    fixtures never contain: zero-token docs (scored raw=bias by Spark,
+    formerly dropped by the oracle's inner join) and NULL labels
+    (neither class in Spark, formerly negatives in the oracle's CASE)."""
+    import duckdb
+    import pandas as pd
+
+    from sketch_spark.operators.classifier import nb_classifier_sql
+
+    rows = [
+        (0, "alpha beta alpha", "en"),
+        (1, "zeta eta zeta", "de"),
+        (2, "", "en"),            # zero tokens, positive label
+        (3, "   ", "de"),         # zero tokens, negative label
+        (4, "alpha zeta", None),  # NULL label: trains neither class
+        (5, "beta eta beta", "en"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    df = spark.createDataFrame(pdf)
+
+    w, b = nb_train(df, F.col("lang") == "en", n_buckets=16)
+    got = (
+        nb_score(df, w, b)
+        .select("doc_id", "score", "pred")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(nb_classifier_sql("lang = 'en'", n_buckets=16))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) == len(rows), "oracle must score EVERY doc incl. empty ones"
+    assert got["score"].tolist() == want["score"].tolist()
+    assert got["pred"].tolist() == want["pred"].tolist()

@@ -605,6 +605,27 @@ def test_incremental_semantic_dedup_finds_planted_twin(spark, emb, tmp_path):
         }, nprobe
 
 
+def test_topk_cells_matches_lexsort_reference():
+    """_topk_cells (O(K) boundary cut) must reproduce the full
+    deterministic lexsort (sim desc, cell asc) it replaced — including
+    rows with heavy ties at the n_probe boundary."""
+    import numpy as np
+
+    from sketch_spark.operators.similarity import _topk_cells
+
+    rng = np.random.default_rng(7)
+    for rows, k_cols in [(1, 1), (5, 8), (64, 33), (200, 128)]:
+        # quantized values force many exact ties, incl. at the boundary
+        sims = rng.integers(0, 5, size=(rows, k_cols)).astype(np.float64) / 4.0
+        for n_probe in {1, 2, k_cols // 2 or 1, k_cols - 1 or 1, k_cols, k_cols + 3}:
+            ref = np.lexsort(
+                (np.arange(k_cols)[None, :].repeat(rows, 0), -sims), axis=1
+            )[:, : min(n_probe, k_cols)]
+            got = _topk_cells(sims, n_probe)
+            assert got.shape == ref.shape, (rows, k_cols, n_probe)
+            assert (got == ref).all(), (rows, k_cols, n_probe)
+
+
 def test_incremental_semantic_dedup_empty_batch(spark, emb, tmp_path):
     from sketch_spark.operators.similarity import (
         build_ann_index,

@@ -183,6 +183,29 @@ def test_fold_replay_idempotent(spark, corpus, tmp_path):
     assert snapshot() == before
 
 
+def test_fresh_generation_over_stale_epochs_fails_fast(spark, corpus, tmp_path):
+    """Restarting with a FRESH checkpoint (epochs restart at 0) over a
+    root that still holds a previous generation's higher-epoch dirs must
+    refuse to run: partition discovery would silently union the stale
+    epochs into pair/doc reads.  Replaying epoch 0 under the SAME
+    generation (only epoch=1 dirs exist) must stay allowed."""
+    base, batches = corpus
+    root = str(tmp_path / "idx")
+    fold = _drive_folds(spark, corpus, root)  # wrote epochs 1..len(batches)
+
+    fresh = make_near_dedup_fold(root, THRESHOLD)
+    with pytest.raises(RuntimeError, match="previous stream generation"):
+        fresh(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
+
+    # crash-replay of batch 0 in a single-batch generation is legitimate
+    root2 = str(tmp_path / "idx2")
+    base_df = spark.createDataFrame(base, "doc_id long, text string")
+    init_near_dedup_index(base_df, root2)
+    fold2 = make_near_dedup_fold(root2, THRESHOLD)
+    fold2(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
+    fold2(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
+
+
 def test_streaming_end_to_end(spark, corpus, tmp_path):
     """The real readStream -> foreachBatch path (availableNow, one
     file per micro-batch).  File pickup order is not contractual, so
