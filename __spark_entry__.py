@@ -399,6 +399,111 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(docs, "bin", "doc_id", id_type="long")
 
 
+def _synth_images(spark: SparkSession, sf_dir: str, ppm_only: bool = False):
+    """Deterministic image blobs built PURELY in Catalyst from doc_id:
+    pixel bytes are unhex of the (repeated) md5 hex of 'img-<doc_id>',
+    so a SQL oracle can reproduce the decoded-pixel hash from the same
+    arithmetic without ever decoding.  Even doc_ids get P6 (RGB), odd
+    get P5 (gray, exercising the gray->RGB expansion) unless
+    ``ppm_only``."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    df = docs.withColumns(
+        {
+            "w": (F.lit(3) + F.col("doc_id") % 5).cast("int"),
+            "h": (F.lit(2) + F.col("doc_id") % 4).cast("int"),
+            "mh": F.md5(F.concat(F.lit("img-"), F.col("doc_id").cast("string"))),
+            "is_ppm": F.lit(True) if ppm_only else (F.col("doc_id") % 2 == 0),
+        }
+    )
+    df = df.withColumns(
+        {
+            "magic": F.when(F.col("is_ppm"), "P6").otherwise("P5"),
+            "hexlen": F.when(F.col("is_ppm"), F.lit(6)).otherwise(F.lit(2))
+            * F.col("w")
+            * F.col("h"),
+        }
+    )
+    return df.withColumn(
+        "image",
+        F.concat(
+            F.encode(
+                F.concat_ws(
+                    "",
+                    F.col("magic"),
+                    F.lit("\n"),
+                    F.col("w").cast("string"),
+                    F.lit(" "),
+                    F.col("h").cast("string"),
+                    F.lit("\n255\n"),
+                ),
+                "UTF-8",
+            ),
+            F.unhex(F.expr("substring(repeat(mh, 7), 1, hexlen)")),
+        ),
+    )
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (multimodal.py decode_images_df): parse
+    Catalyst-synthesized PPM/PGM blobs — header ints, gray->RGB
+    expansion — and hash the decoded RGB buffer.  The oracle recomputes
+    width/height/pixel_md5 from the same md5-hex arithmetic, so any
+    header-parse or pixel-extraction defect hash-mismatches."""
+    from sketch_spark.functions.multimodal import decode_images_df
+
+    imgs = _synth_images(spark, sf_dir).select("doc_id", "image")
+    return decode_images_df(imgs, "image", "doc_id")
+
+
+def q_image_decode_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode + nearest-neighbor resize to 2x2 before hashing (source
+    dims reported); the oracle picks the same 4 pixels by the floor
+    index map ((out_i*src)//out)."""
+    from sketch_spark.functions.multimodal import decode_images_df
+
+    imgs = _synth_images(spark, sf_dir, ppm_only=True).select("doc_id", "image")
+    return decode_images_df(imgs, "image", "doc_id", resize_to=(2, 2))
+
+
+def _wav_fmt_hex(channels: int, rate: int) -> str:
+    import struct as _s
+
+    return (
+        b"fmt "
+        + _s.pack("<IHHIIHH", 16, 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    ).hex()
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode (multimodal.py decode_wav): RIFF chunk walk
+    over Catalyst-synthesized wav blobs — mono 8kHz for even doc_ids,
+    stereo 44.1kHz for odd, 16..32 PCM bytes from the md5-hex stream.
+    The oracle recomputes every parsed field + the payload hash."""
+    from sketch_spark.functions.multimodal import decode_wavs_df
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    df = docs.withColumns(
+        {
+            "nb": (F.lit(16) + (F.col("doc_id") % 9) * 2).cast("int"),
+            "mh": F.md5(F.concat(F.lit("wav-"), F.col("doc_id").cast("string"))),
+            "stereo": F.col("doc_id") % 2 == 1,
+        }
+    )
+    blob_hex = F.concat(
+        F.lit("52494646"),  # RIFF
+        F.lpad(F.lower(F.hex(F.lit(36) + F.col("nb"))), 2, "0"),
+        F.lit("000000"),  # riff size fits one byte at this scale
+        F.lit("57415645"),  # WAVE
+        F.when(F.col("stereo"), _wav_fmt_hex(2, 44100)).otherwise(_wav_fmt_hex(1, 8000)),
+        F.lit("64617461"),  # data
+        F.lpad(F.lower(F.hex(F.col("nb"))), 2, "0"),
+        F.lit("000000"),
+        F.expr("substring(repeat(mh, 2), 1, nb * 2)"),
+    )
+    wavs = df.select("doc_id", F.unhex(blob_hex).alias("audio"))
+    return decode_wavs_df(wavs, "audio", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # events: windowed / stateful surface
 # ---------------------------------------------------------------------------
@@ -1605,6 +1710,124 @@ def q_keyed_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume kill-test (north_rule: "resumable from
+    checkpoint with per-partition lineage + metrics") as a contract
+    entry — rows-only: the multi-job kill/resume orchestration isn't
+    SQL-expressible.  Protocol (operators/checkpoint.py): run the same
+    bucketed sketch job (a) uninterrupted and (b) killed after wave 1
+    then resumed; per (bucket, spec) the resumed checkpoint must
+    byte-match the uninterrupted states + lineage fingerprints, and
+    buckets completed before the kill must be SKIPPED by the resume
+    (their checkpoint files untouched, pinned via completed_at_epoch).
+    """
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from sketch_spark.operators.aggregate import SketchSpec
+    from sketch_spark.operators.checkpoint import CheckpointedSketchJob, SimulatedFailure
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    specs = [
+        SketchSpec(
+            "cmcu", "cmcu", "text", mode="tokens",
+            params={"depth": 4, "log2_width": 12, "seed": 1},
+        ),
+        SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 12, "seed": 1}),
+    ]
+    n_buckets = 8
+    base = tempfile.mkdtemp(prefix="sketch_spark_ckpt_contract_")
+    try:
+        job_a = CheckpointedSketchJob(
+            docs, specs, os.path.join(base, "a"), key_col="doc_id",
+            n_buckets=n_buckets, wave_size=3,
+        )
+        job_a.run()
+        job_b = CheckpointedSketchJob(
+            docs, specs, os.path.join(base, "b"), key_col="doc_id",
+            n_buckets=n_buckets, wave_size=3,
+        )
+        try:
+            job_b.run(fail_after_waves=1)
+            raise RuntimeError("simulated kill did not fire")
+        except SimulatedFailure:
+            pass
+        survived = job_b.completed_buckets()
+        epochs_before = {
+            b: _pq.read_table(job_b._bucket_path(b)).to_pylist()[0]["completed_at_epoch"]
+            for b in survived
+        }
+        job_b.run()  # resume: must process ONLY the remainder
+        job_b.result(validate_lineage=True)  # lineage fingerprints all check out
+        rows = []
+        for bucket in range(n_buckets):
+            ta = sorted(
+                _pq.read_table(job_a._bucket_path(bucket)).to_pylist(),
+                key=lambda r: r["spec"],
+            )
+            tb = sorted(
+                _pq.read_table(job_b._bucket_path(bucket)).to_pylist(),
+                key=lambda r: r["spec"],
+            )
+            skipped = (
+                bucket in survived
+                and tb[0]["completed_at_epoch"] == epochs_before[bucket]
+            )
+            for ra, rb in zip(ta, tb):
+                rows.append(
+                    (
+                        bucket,
+                        ra["spec"],
+                        bucket in survived,
+                        bool(skipped) if bucket in survived else False,
+                        ra["state"] == rb["state"]
+                        and ra["input_fingerprint"] == rb["input_fingerprint"]
+                        and ra["n_rows"] == rb["n_rows"]
+                        and ra["n_values"] == rb["n_values"],
+                        int(ra["n_rows"]),
+                    )
+                )
+        out = spark.createDataFrame(
+            rows,
+            "bucket int, spec string, completed_before_kill boolean, "
+            "skipped_on_resume boolean, resumed_matches boolean, n_rows long",
+        )
+        bad = [r for r in rows if not r[4]] + [r for r in rows if r[2] and not r[3]]
+        if bad:
+            raise RuntimeError(f"checkpoint resume diverged: {bad[:4]}")
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_skewed_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew through the salted keyed path (north-star skew
+    clause): a synthetic mega-host holds HALF the corpus (~25x the
+    median host), yet keyed_sketch_aggregate's deterministic salt fans
+    it over S reducers and tree-merges per-salt states.  The exact
+    merged metadata proves no row was lost or double-fed by the
+    fan-out; the measured task-balance evidence (max/median post-
+    exchange rows, naive vs salted) is in BENCH.md via
+    bench_util/skew.py + tests/test_skew.py."""
+    from sketch_spark.operators.aggregate import SketchSpec, keyed_sketch_aggregate
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "host",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("mega.example.com")).otherwise(
+            F.concat(F.lit("host-"), (F.col("doc_id") % 25).cast("string"))
+        ),
+    )
+    spec = SketchSpec("hll", "hll", "text", mode="tokens", params={"p": 12, "seed": 1})
+    merged = keyed_sketch_aggregate(docs, ["host"], [spec], salt=8, row_id_col="doc_id")
+    return merged.select(
+        "host",
+        F.col("n_rows").alias("n_docs"),
+        F.col("n_values").alias("n_tokens"),
+    )
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated semi-join (exact mode): big-side rows are dropped by
     the broadcast Bloom prefilter BEFORE any shuffle; the surviving
@@ -1860,6 +2083,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     test_entry_contract.test_driver_window_covers_unchecked pins this.
     """
     return {
+        # --- new in round 4 (never driver-checked) ---
+        "image_decode": q_image_decode,
+        "image_decode_resized": q_image_decode_resized,
+        "wav_decode": q_wav_decode,
+        "skewed_host_stats": q_skewed_host_stats,
+        "checkpoint_resume": q_checkpoint_resume,
         # --- never driver-checked (missed the r3 50-row window) ---
         "semantic_dedup": q_semantic_dedup,
         "mixture_weights": q_mixture_weights,
@@ -2155,6 +2384,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_id
             FROM documents GROUP BY 1
         """,
+        # mirrors _synth_images' md5-hex construction: a PPM raster IS the
+        # unhexed stream, so its decoded-RGB hex == the hex stream itself;
+        # a PGM gray byte expands to RGB = each hex PAIR tripled
+        "image_decode": """
+            WITH src AS (
+                SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                       md5('img-' || CAST(doc_id AS VARCHAR)) AS mh,
+                       doc_id % 2 = 0 AS is_ppm
+                FROM documents
+            )
+            SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CASE WHEN is_ppm THEN 'ppm' ELSE 'pgm' END AS format,
+                   CASE WHEN is_ppm
+                        THEN md5(substr(repeat(mh, 7), 1, 6 * w * h))
+                        ELSE md5(list_aggregate(
+                            [repeat(substr(repeat(mh, 7), 2 * i - 1, 2), 3)
+                             FOR i IN generate_series(1, CAST(w * h AS INT))],
+                            'string_agg', ''))
+                   END AS pixel_md5
+            FROM src
+        """,
+        # 2x2 nearest-neighbor picks pixels (0,0) (0,w//2) (h//2,0)
+        # (h//2,w//2); each pixel is 6 hex chars at offset 6*(r*w+c)
+        "image_decode_resized": """
+            WITH src AS (
+                SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                       substr(repeat(md5('img-' || CAST(doc_id AS VARCHAR)), 7),
+                              1, CAST(6 * (3 + doc_id % 5) * (2 + doc_id % 4) AS INT)) AS ph
+                FROM documents
+            )
+            SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   'ppm' AS format,
+                   md5(substr(ph, 1, 6)
+                       || substr(ph, 6 * (w // 2) + 1, 6)
+                       || substr(ph, 6 * ((h // 2) * w) + 1, 6)
+                       || substr(ph, 6 * ((h // 2) * w + w // 2) + 1, 6)) AS pixel_md5
+            FROM src
+        """,
+        "wav_decode": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INT) AS channels,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 44100 ELSE 8000 END AS INT)
+                       AS sample_rate,
+                   CAST(2 AS INT) AS bytes_per_sample,
+                   CAST(16 + (doc_id % 9) * 2 AS INT) AS n_pcm_bytes,
+                   md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
+                       CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
+            FROM documents
+        """,
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5,
@@ -2299,7 +2577,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         """,
         # weights rounded to 6 BEFORE rates derive from them, so the
-        # doubles agree bit-for-bit across engines (CLAUDE.md rule)
+        # doubles agree bit-for-bit across engines (round-at-source rule)
         "mixture_weights": """
             WITH counts AS (
               SELECT source, CAST(count(*) AS BIGINT) AS n_docs
@@ -2545,6 +2823,15 @@ def oracle_sql() -> dict[str, str]:
         # probe of the same static even-half index (micro-batch
         # boundaries must not change the answer)
         "streaming_incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+        "skewed_host_stats": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'mega.example.com'
+                        ELSE 'host-' || CAST(doc_id % 25 AS VARCHAR) END AS host,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT
+                   ) AS n_tokens
+            FROM documents GROUP BY 1
+        """,
         "keyed_stats_by_source": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(len(list_filter(

@@ -54,6 +54,9 @@ def compact_line(detail: dict) -> str:
         },
         "detail": "bench_detail.json",
     }
+    sb = detail.get("skew_balance")
+    if sb:
+        out["skew_factor"] = {"naive": sb["naive"]["factor"], "salted": sb["salted"]["factor"], "salt": sb["salt"]}
     line = json.dumps(out, separators=(",", ":"))
     if len(line) >= MAX_LINE_CHARS:
         raise RuntimeError(
@@ -242,6 +245,11 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             detail["scaling_efficiency"] = json.load(f)
+    # same for the heavy-hitter skew-balance measurement (bench_util/skew.py)
+    skew_path = os.path.join(REPO, "bench_util", "skew_last.json")
+    if os.path.exists(skew_path):
+        with open(skew_path) as f:
+            detail["skew_balance"] = json.load(f)
     spark.stop()
     with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1)

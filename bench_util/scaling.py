@@ -2,15 +2,27 @@
 efficiency >= 0.8 from N to 4N executors).
 
 Sandbox proxy per the driver instruction: the same sketch-build job on
-the same input at local[8] vs local[32]; efficiency = (T_8 / T_32) / 4.
+the same input at two parallelism levels; efficiency =
+(T_N / T_4N) / 4.  Two modes:
+
+- ``--mode threads`` (the original proxy): one JVM, ``local[N]`` vs
+  ``local[4N]`` executor threads.
+- ``--mode process`` (VERDICT r3 next-round #6): REAL multi-executor
+  clusters via ``local-cluster[W,2,mem]`` — W separate executor JVMs x
+  2 cores each, every executor spawning its own python workers, the
+  package shipped by ``--py-files``-equivalent ``addPyFile``.  N=4
+  cores = 2 executors vs 4N=16 cores = 8 executors: literally "N and
+  4N executors" as the north rule words it, with no shared-JVM
+  confound (each executor has its own heap, GC, and python pool).
+
 The job is the library's core operator — a single fused pass building
-CMCU + HLL + Bloom over tokenized page text, then the salted tree
-merge.  The input is a deterministic Spark-generated pages table big
-enough that job-dispatch overhead is noise (~140M tokens).
+4 n-gram-order CMCU sketches over tokenized page text, then the salted
+tree merge.  The input is a deterministic Spark-generated pages table
+big enough that job-dispatch overhead is noise (~140M tokens).
 
 Writes results to stdout as JSON and appends a row to BENCH.md.
 
-Usage: python bench_util/scaling.py [--rows 500000] [--out BENCH.md]
+Usage: python bench_util/scaling.py [--rows 500000] [--mode process]
 """
 
 from __future__ import annotations
@@ -56,10 +68,54 @@ def build_job(spark, table_dir: str) -> dict:
     }
 
 
-def run_at(cores: int, table_dir: str, runs: int = 1) -> dict:
+CORES_PER_EXECUTOR = 2  # process mode: fixed per-executor size; vary the COUNT
+
+
+def _process_session(cores: int):
+    """A real multi-executor session: ``local-cluster[W,2,mem]`` with
+    W = cores/2 separate executor JVMs.  Mirrors get_spark's configs
+    (UTC, Arrow, AQE, malloc tuning inherited by worker JVMs) and ships
+    the package zip so executor python workers can import sketch_spark
+    regardless of cwd — the same mechanism as ``spark-submit
+    --py-files`` on a genuine cluster."""
+    import pyspark
+    from pyspark.sql import SparkSession
+
+    from sketch_spark.session import package_zip
+
+    os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
+    workers = max(1, cores // CORES_PER_EXECUTOR)
+    spark = (
+        SparkSession.builder.master(
+            f"local-cluster[{workers},{CORES_PER_EXECUTOR},4096]"
+        )
+        .appName(f"scaling-proc-{workers}x{CORES_PER_EXECUTOR}")
+        .config("spark.executor.memory", "3g")
+        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
+
+
+def run_at(cores: int, table_dir: str, runs: int = 1, mode: str = "threads") -> dict:
     from sketch_spark.session import get_spark
 
-    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=max(8, cores))
+    if mode == "process":
+        spark = _process_session(cores)
+    else:
+        spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=max(8, cores))
     # warm-up: JVM, page cache, AND the python workers (a tiny
     # mapInArrow job forces every executor thread to spawn+import its
     # worker process so the timed run measures the job, not numpy imports)
@@ -85,6 +141,9 @@ def run_at(cores: int, table_dir: str, runs: int = 1) -> dict:
             best = r
     spark.stop()
     best["cores"] = cores
+    best["mode"] = mode
+    if mode == "process":
+        best["executors"] = max(1, cores // CORES_PER_EXECUTOR)
     best["walls"] = walls
     best["wall_median"] = round(sorted(walls)[len(walls) // 2], 2)
     return best
@@ -96,6 +155,13 @@ def main() -> None:
     ap.add_argument("--table", default=None, help="pages table dir (default: per-rows path)")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--pairs", default="4:16,8:32", help="comma list of N:4N core pairs")
+    ap.add_argument(
+        "--mode",
+        choices=["threads", "process"],
+        default="threads",
+        help="threads = local[N] (one JVM); process = local-cluster "
+        "(cores/2 separate executor JVMs)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--single", type=int, default=None, help="internal: run one cores level, print json")
     args = ap.parse_args()
@@ -104,7 +170,7 @@ def main() -> None:
         args.table = f"/tmp/sketch_spark_scaling_pages_{args.rows}"
 
     if args.single is not None:
-        print(json.dumps(run_at(args.single, args.table, args.runs)))
+        print(json.dumps(run_at(args.single, args.table, args.runs, args.mode)))
         return
 
     marker = os.path.join(args.table, f".generated_{args.rows}")
@@ -130,6 +196,7 @@ def main() -> None:
                 "--single", str(cores),
                 "--table", args.table,
                 "--runs", str(args.runs),
+                "--mode", args.mode,
             ],
             capture_output=True,
             text=True,
@@ -149,6 +216,7 @@ def main() -> None:
     out = {
         "metric": "scaling_efficiency_N_to_4N",
         "unit": "ratio",
+        "mode": args.mode,
         "rows": args.rows,
         "state_identical_across_parallelism": True,
         "pairs": {},
@@ -187,9 +255,14 @@ def main() -> None:
             for n, n4 in pairs:
                 pr = out["pairs"][f"{n}->{n4}"]
                 lo, hi = pr["efficiency_spread"]
+                level = (
+                    f"{n}->{n4}"
+                    if args.mode == "threads"
+                    else f"{n // CORES_PER_EXECUTOR}->{n4 // CORES_PER_EXECUTOR} executors ({n}->{n4} cores)"
+                )
                 f.write(
-                    f"| {stamp} | {args.rows} docs / {list(tokens)[0]} tokens | "
-                    f"{n}->{n4} | {pr[f'T{n}']}s | {pr[f'T{n4}']}s | "
+                    f"| {stamp} | {args.rows} docs / {list(tokens)[0]} tokens ({args.mode}) | "
+                    f"{level} | {pr[f'T{n}']}s | {pr[f'T{n4}']}s | "
                     f"{pr[f'tokens_per_sec_{n}']:.0f} | {pr[f'tokens_per_sec_{n4}']:.0f} | "
                     f"**{pr['efficiency']:.2f}** (median of {args.runs}, spread {lo:.2f}-{hi:.2f}) |\n"
                 )

@@ -230,6 +230,31 @@ def cmd_stream_dedup(args) -> None:
     print(json.dumps({"pairs": pairs.count(), "index_root": args.index_root}))
 
 
+def cmd_submit(args) -> None:
+    """Build (and validate) the real-cluster spark-submit invocation for
+    any other subcommand; ``--dry-run`` prints it instead of exec()ing
+    (deploy.py has the profile rationale)."""
+    import json as _json
+
+    from .deploy import format_command, iceberg_conf, submit_command
+
+    extra = _json.loads(args.conf) if args.conf else None
+    ice = None
+    if args.iceberg_catalog:
+        ice = iceberg_conf(args.iceberg_catalog, args.iceberg_warehouse)
+    cmd = submit_command(
+        args.job_args,
+        master=args.master,
+        deploy_mode=args.deploy_mode,
+        iceberg=ice,
+        extra_conf=extra,
+    )
+    if args.dry_run:
+        print(format_command(cmd))
+        return
+    os.execvp(cmd[0], cmd)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="sketch_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -313,6 +338,20 @@ def main(argv: list[str] | None = None) -> None:
     sd.add_argument("--no-update-index", dest="update_index", action="store_false", default=True)
     sd.add_argument("--no-within-batch", dest="within_batch", action="store_false", default=True)
     sd.set_defaults(fn=cmd_stream_dedup)
+
+    sm = sub.add_parser(
+        "submit",
+        help="emit/exec the validated real-cluster spark-submit for a job "
+        "(sketch_spark submit --dry-run -- build --input ... --out ...)",
+    )
+    sm.add_argument("--master", default="yarn")
+    sm.add_argument("--deploy-mode", default="client")
+    sm.add_argument("--dry-run", action="store_true")
+    sm.add_argument("--conf", default=None, help='JSON {"spark.x": "y"} overrides')
+    sm.add_argument("--iceberg-catalog", default=None)
+    sm.add_argument("--iceberg-warehouse", default="s3://bucket/warehouse")
+    sm.add_argument("job_args", nargs=argparse.REMAINDER, help="subcommand + its args")
+    sm.set_defaults(fn=cmd_submit)
 
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
     args.fn(args)

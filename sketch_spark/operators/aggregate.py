@@ -53,6 +53,9 @@ __all__ = [
     "ensure_min_partitions",
     "state_estimate_col",
     "keyed_distinct_estimates",
+    "keyed_sketch_aggregate",
+    "salted_spread",
+    "partition_histogram",
 ]
 
 
@@ -460,6 +463,60 @@ def merge_partials(
     return lvl.repartition(1).mapInArrow(_fold_states(group_cols), schema_ddl)
 
 
+def salted_spread(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    salt: int = 8,
+    partitions: int | None = None,
+    row_id_col: str | None = None,
+) -> DataFrame:
+    """The skew-defusing exchange ``keyed_sketch_aggregate`` executes,
+    exposed on its own so the post-exchange balance can be measured
+    (bench_util/skew.py, tests/test_skew.py): select the needed
+    columns, attach a DETERMINISTIC content salt ``pmod(xxhash64(id,
+    values...), S)``, and ``repartition(P, key..., _salt)``.  See
+    :func:`keyed_sketch_aggregate` for why the salt must be a pure
+    function of row content (replay stability) and how to size ``salt``
+    / ``partitions``.  Returns the spread DataFrame with the salt and
+    any helper id column dropped — exactly the input the partial-build
+    stage consumes."""
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    salt_cols = ([row_id_col] if row_id_col else []) + value_cols
+    sel = list(dict.fromkeys(key_cols + value_cols + ([row_id_col] if row_id_col else [])))
+    salted = df.select(*sel).withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt)).cast("int"),
+    )
+    sc = df.sparkSession.sparkContext
+    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = partitions or max(sc.defaultParallelism, shuffle_parts, salt)
+    spread = salted.repartition(n_parts, *key_cols, F.col("_salt")).drop("_salt")
+    if row_id_col and row_id_col not in key_cols and row_id_col not in value_cols:
+        spread = spread.drop(row_id_col)
+    return spread
+
+
+def partition_histogram(
+    df: DataFrame, expected_partitions: int | None = None
+) -> dict[int, int]:
+    """Post-exchange per-task row counts: evaluate
+    ``spark_partition_id()`` on ``df``'s OWN partitioning (before the
+    counting aggregation adds its exchange) and count rows per task.
+    With ``expected_partitions``, zero-row tasks are reported as 0 so
+    balance factors account for idle executors.  This is the
+    measurement instrument for the skew evidence in BENCH.md."""
+    rows = (
+        df.select(F.spark_partition_id().alias("pid")).groupBy("pid").count().collect()
+    )
+    hist = {int(r["pid"]): int(r["count"]) for r in rows}
+    if expected_partitions:
+        for p in range(expected_partitions):
+            hist.setdefault(p, 0)
+    return hist
+
+
 def keyed_sketch_aggregate(
     df: DataFrame,
     key_cols: list[str],
@@ -490,8 +547,12 @@ def keyed_sketch_aggregate(
     the keyed tree merge.  Per-task state memory is (distinct keys in
     partition) x state size — bounded by the partition count, which is
     the lever to raise for wide sketches over many keys.  The S per-key
-    states tree-merge (KB-scale, exact homomorphism: the final state is
-    byte-identical to any other partitioning).
+    states tree-merge (KB-scale); for sketches with an exact merge
+    homomorphism (CM counter sum, HLL register max, Bloom bit OR) the
+    merged state is byte-identical to any other partitioning
+    (tests/test_skew.py pins this), while CMCU — conservative update is
+    grouping-dependent by construction — merges to a valid upper bound
+    whose exact bytes depend on the fan-out.
 
     Memory math (size ``partitions`` for it): a task holds ~
     total_keys x salt / partitions states concurrently, each
@@ -508,21 +569,9 @@ def keyed_sketch_aggregate(
     """
     key_cols = list(key_cols)
     value_cols = sorted({s.column for s in specs})
-    salt_cols = ([row_id_col] if row_id_col else []) + value_cols
-    sel = list(dict.fromkeys(key_cols + value_cols + ([row_id_col] if row_id_col else [])))
-    salted = df.select(*sel).withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in salt_cols]),
-            F.lit(salt),
-        ).cast("int"),
+    spread = salted_spread(
+        df, key_cols, value_cols, salt=salt, partitions=partitions, row_id_col=row_id_col
     )
-    sc = df.sparkSession.sparkContext
-    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    n_parts = partitions or max(sc.defaultParallelism, shuffle_parts, salt)
-    spread = salted.repartition(n_parts, *key_cols, F.col("_salt")).drop("_salt")
-    if row_id_col and row_id_col not in key_cols and row_id_col not in value_cols:
-        spread = spread.drop(row_id_col)
     # spread_small_inputs=False: the (key, salt) clustering above IS the
     # partitioning contract — a round-robin respread would scatter every
     # key across all tasks and blow up per-task state memory

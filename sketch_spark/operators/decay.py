@@ -5,7 +5,8 @@ history by a constant GROWTH once per phase; exponential decay applies
 the same geometric forgetting continuously), used for trending-item /
 freshness-weighted corpus accounting.
 
-Exactness design (the CLAUDE.md fixed-point rule, taken further):
+Exactness design (fixed-point integers instead of float sums, so
+Spark/DuckDB/numpy agree bit-for-bit — taken further here):
 decay weights are restricted to DYADIC values 2^e with an INTEGER
 exponent e = max_exp - age_units // half_life, so per-row weights are
 exact BIGINTs, group sums are exact integer arithmetic (associative,

@@ -800,8 +800,9 @@ def incremental_semantic_dedup(
 
     Plan shape: the batch side is batch-scale x nprobe rows; old
     vectors are read once each and joined by cell; cosine runs as one
-    numpy gemm per cell group (few/large groups — the applyInPandas
-    regime CLAUDE.md allows), values rounded at source to match the
+    numpy gemm per cell group (few/large groups — the only regime
+    where applyInPandas' ~1 ms/group overhead amortizes; BENCH.md),
+    values rounded at source to match the
     DuckDB ``list_cosine_similarity`` oracle.
     """
     import pandas as pd

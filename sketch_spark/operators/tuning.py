@@ -15,7 +15,7 @@ DuckDB value-hash gate.
 
 Cross-engine float note: every exposed double is a pure function of
 the (threshold, num_perm, grid) constants — NOT data-dependent — so
-the knife-edge rule for blended scores (CLAUDE.md) reduces to a
+the rounding-knife-edge hazard for blended scores reduces to a
 one-time margin check: tests/test_tuning.py asserts every rounded
 value clears its 0.5e-6 rounding boundary by >1e-10 and the argmin gap
 is >1e-7, while cross-engine pow/summation drift is ~1e-14.  The grid

@@ -239,7 +239,8 @@ def make_near_dedup_fold(
                 )
         # the batch is referenced by several downstream stages
         # (within-pairs, representatives, probe, survivors): cut the
-        # file-source lineage once (CLAUDE.md: 3+ references rule)
+        # file-source lineage once (an intermediate DF read 3+ times
+        # re-executes its plan per reference otherwise; BENCH.md)
         batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
 
         reps = batch

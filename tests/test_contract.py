@@ -34,6 +34,7 @@ def test_oracle_keys_subset_of_queries():
         "streaming_cmcu_snapshot",  # sketch estimates; fold==batch by pytest
         "bpe_train_encode",  # iterative merge state; fast==naive ref by pytest
         "hll_lang_overlap",  # estimates; error bound asserted in pytest
+        "checkpoint_resume",  # kill/resume orchestration; byte-equality asserted in-query + test_checkpoint
     }
     assert qs - oracles == allowed_rows_only
 
@@ -83,6 +84,11 @@ def test_bench_line_fits_driver_capture():
             "spread": [0.999, 99.999],
             "mode": "local-cluster-processes",
             "rows": 999999999,
+        },
+        "skew_balance": {
+            "naive": {"factor": 99999.99},
+            "salted": {"factor": 99999.99},
+            "salt": 999,
         },
     }
     line = bench.compact_line(detail)

@@ -235,7 +235,9 @@ def test_binary_metadata(spark, pages_dir):
         assert md5s[r.url] == hashlib.md5(bytes(r.html)).hexdigest()
 
 
-def test_decode_image_is_stub():
+def test_decode_image_compressed_formats_keep_pil_swap_point():
+    # PPM/PGM/BMP decode natively (tests/test_multimodal_decode.py);
+    # compressed formats still raise with the documented PIL swap point.
     from sketch_spark.functions.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
