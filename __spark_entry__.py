@@ -465,6 +465,43 @@ def q_image_decode_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images_df(imgs, "image", "doc_id", resize_to=(2, 2))
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end (multimodal.py _decode_png): blobs
+    are PNG-encoded executor-side (zlib deflate, per-row scanline
+    filter = doc_id % 5, so all five filters appear in every batch)
+    over the same md5-hex raster as image_decode — even doc_ids RGB,
+    odd grayscale (expanded 3x on decode) — then decoded back via
+    inflate + unfilter + color mapping.  The oracle predicts the
+    decoded dims and pixel hash from the md5 arithmetic ALONE (it
+    never sees the compressed bytes), so a defect anywhere in the
+    deflate/filter/inflate/unfilter pipeline hash-mismatches."""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from sketch_spark.functions.multimodal import decode_images_df, encode_png
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 5, 2 + did % 4
+                rgb = did % 2 == 0
+                mh = _hl.md5(f"img-{did}".encode()).hexdigest()
+                raster = bytes.fromhex((mh * 7)[: (6 if rgb else 2) * w * h])
+                blobs.append(
+                    encode_png(raster, w, h, filter_type=did % 5, gray=not rgb)
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = docs.mapInPandas(synth, "doc_id bigint, image binary")
+    return decode_images_df(imgs, "image", "doc_id")
+
+
 def _wav_fmt_hex(channels: int, rate: int) -> str:
     import struct as _s
 
@@ -2086,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (never driver-checked) ---
         "image_decode": q_image_decode,
         "image_decode_resized": q_image_decode_resized,
+        "png_decode": q_png_decode,
         "wav_decode": q_wav_decode,
         "skewed_host_stats": q_skewed_host_stats,
         "checkpoint_resume": q_checkpoint_resume,
@@ -2397,6 +2435,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                    CASE WHEN is_ppm THEN 'ppm' ELSE 'pgm' END AS format,
                    CASE WHEN is_ppm
+                        THEN md5(substr(repeat(mh, 7), 1, 6 * w * h))
+                        ELSE md5(list_aggregate(
+                            [repeat(substr(repeat(mh, 7), 2 * i - 1, 2), 3)
+                             FOR i IN generate_series(1, CAST(w * h AS INT))],
+                            'string_agg', ''))
+                   END AS pixel_md5
+            FROM src
+        """,
+        # the PNG pipeline (deflate + scanline filters) is invisible to
+        # the oracle: it predicts the DECODED raster straight from the
+        # md5-hex arithmetic, so the round trip itself is under test
+        "png_decode": """
+            WITH src AS (
+                SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                       md5('img-' || CAST(doc_id AS VARCHAR)) AS mh,
+                       doc_id % 2 = 0 AS is_rgb
+                FROM documents
+            )
+            SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   'png' AS format,
+                   CASE WHEN is_rgb
                         THEN md5(substr(repeat(mh, 7), 1, 6 * w * h))
                         ELSE md5(list_aggregate(
                             [repeat(substr(repeat(mh, 7), 2 * i - 1, 2), 3)

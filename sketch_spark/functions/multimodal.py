@@ -1,21 +1,22 @@
 """Multimodal column handling: image/audio/video as opaque binary
 columns with typed metadata.
 
-Decode is REAL for self-describing uncompressed formats — PPM/PGM
-(netpbm binary), 24-bit BMP, and PCM WAV — implemented in pure
-python/numpy (no image library in this container) and hash-oracle-able
-end-to-end (``pixel_md5`` is md5 over the RGB buffer's lowercase hex,
-reproducible in ANSI SQL from the same bytes).  Compressed formats
-(JPEG/PNG/GIF) keep a clearly-marked PIL/opencv swap point
-(``NotImplementedError``) for clusters that have the libraries; the
-deterministic fake feature extractor remains for plumbing tests over
-arbitrary blobs.
+Decode is REAL for PPM/PGM (netpbm binary), 24-bit BMP, PCM WAV, and
+8-bit non-interlaced PNG (stdlib ``zlib`` inflate + the five scanline
+filters, color types 0/2/3/4/6) — pure python/numpy, no image library
+needed — and hash-oracle-able end-to-end (``pixel_md5`` is md5 over
+the RGB buffer's lowercase hex, reproducible in ANSI SQL from the same
+bytes).  JPEG/GIF and the exotic PNG variants (Adam7, 16-bit) keep a
+clearly-marked PIL/opencv swap point (``NotImplementedError``) for
+clusters that have the libraries; the deterministic fake feature
+extractor remains for plumbing tests over arbitrary blobs.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -29,6 +30,7 @@ __all__ = [
     "decode_images_df",
     "decode_wav",
     "decode_wavs_df",
+    "encode_png",
     "resize_rgb",
     "fake_features",
     "extract_features_df",
@@ -118,13 +120,165 @@ def _decode_bmp(buf: bytes) -> tuple[str, int, int, bytes]:
     return "bmp", w, h, np.ascontiguousarray(px).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(arr: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (spec §9): Sub is a
+    per-channel cumsum, Up is vectorized against the prior row;
+    Average/Paeth carry an intra-row dependency so those rows scan
+    pixel-by-pixel (rare in practice — encoders favor 0-2 on
+    photographic data; correctness path, not the hot path)."""
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = arr[base]
+        line = arr[base + 1 : base + 1 + stride].astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            rec = (line.reshape(-1, bpp).cumsum(axis=0) & 255).reshape(-1)
+        elif f == 2:  # Up
+            rec = (line + prev) & 255
+        elif f == 3:  # Average
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pr) & 255
+        else:
+            raise ValueError(f"bad PNG filter byte {f} on row {y}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _decode_png(buf: bytes) -> tuple[str, int, int, bytes]:
+    """8-bit non-interlaced PNG via stdlib zlib: walk chunks, inflate
+    the concatenated IDAT stream, reverse the scanline filters, then
+    map color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA) to one packed-RGB layout (alpha dropped, gray expanded,
+    palette applied).  Adam7 and 16-bit raise ``NotImplementedError``
+    (the PIL swap point)."""
+    pos, w = 8, None
+    idat: list[bytes] = []
+    plte = None
+    while pos + 8 <= len(buf):
+        length, ctype = struct.unpack_from(">I4s", buf, pos)
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # 4 length + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            w, h, bitd, colort, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if interlace != 0:
+                raise NotImplementedError("Adam7-interlaced PNG: swap in PIL")
+            if bitd != 8:
+                raise NotImplementedError(f"{bitd}-bit PNG: swap in PIL (8-bit supported)")
+            if colort not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {colort}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    channels = _PNG_CHANNELS[colort]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG raster")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if colort == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif colort == 2:
+        rgb = px
+    elif colort == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        rgb = plte[px[:, :, 0]]
+    elif colort == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # 6: RGBA
+        rgb = px[:, :, :3]
+    return "png", w, h, np.ascontiguousarray(rgb).tobytes()
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb: bytes, w: int, h: int, filter_type: int = 0, gray: bool = False) -> bytes:
+    """Minimal PNG encoder (8-bit RGB or grayscale, one filter type for
+    every row, single IDAT) — the thumbnail/fixture sink dual of
+    :func:`_decode_png`, and the generator the contract oracle relies
+    on: pixels in, spec-compliant bytes out, byte-deterministic."""
+    ch = 1 if gray else 3
+    px = np.frombuffer(rgb, np.uint8).reshape(h, w, ch).astype(np.int64)
+    stride = w * ch
+    lines: list[bytes] = []
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        rec = px[y].reshape(-1)
+        if filter_type == 0:
+            filt = rec
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
+            filt = (rec - left) & 255
+        elif filter_type == 2:
+            filt = (rec - prev) & 255
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
+            filt = (rec - ((left + prev) >> 1)) & 255
+        elif filter_type == 4:
+            filt = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (rec[x] - pr) & 255
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = rec
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(buf: bytes) -> tuple[int, int, bytes]:
     """Decode an image blob to ``(width, height, rgb_bytes)`` — REAL
-    pure-python/numpy decode for PPM (P6), PGM (P5), and uncompressed
-    24-bit BMP.  JPEG/PNG/GIF are compressed formats whose decoders
-    aren't in this container: they raise ``NotImplementedError`` with
-    the documented PIL swap point (``PIL.Image.open(io.BytesIO(buf))``)
-    so a cluster with the libraries can drop one in."""
+    pure-python/numpy decode for PPM (P6), PGM (P5), uncompressed
+    24-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib).  JPEG/GIF
+    decoders aren't in this container: they raise
+    ``NotImplementedError`` with the documented PIL swap point
+    (``PIL.Image.open(io.BytesIO(buf))``) so a cluster with the
+    libraries can drop one in."""
     _, w, h, rgb = _decode_image_full(bytes(buf))
     return w, h, rgb
 
@@ -134,10 +288,12 @@ def _decode_image_full(buf: bytes) -> tuple[str, int, int, bytes]:
         return _decode_pnm(buf)
     if buf[:2] == b"BM":
         return _decode_bmp(buf)
-    if buf[:3] == b"\xff\xd8\xff" or buf[:4] == b"\x89PNG" or buf[:4] == b"GIF8":
+    if buf[:8] == _PNG_SIG:
+        return _decode_png(buf)
+    if buf[:3] == b"\xff\xd8\xff" or buf[:4] == b"GIF8":
         raise NotImplementedError(
-            "compressed image decode (jpeg/png/gif) requires PIL/opencv "
-            "(not in this container); PPM/PGM/BMP decode natively"
+            "jpeg/gif decode requires PIL/opencv (not in this "
+            "container); PPM/PGM/BMP/PNG decode natively"
         )
     raise ValueError(f"unrecognized image format (magic {buf[:4]!r})")
 

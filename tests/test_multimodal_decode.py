@@ -1,18 +1,22 @@
 """REAL multimodal decode paths (VERDICT r3 "What's missing" #2): pure
-python/numpy decoders for PPM/PGM/BMP images and PCM WAV audio — no
-external image library, hash-oracle-able end-to-end.  JPEG/PNG keep the
+python/numpy decoders for PPM/PGM/BMP/PNG images and PCM WAV audio — no
+external image library, hash-oracle-able end-to-end.  JPEG/GIF keep the
 documented PIL swap point (NotImplementedError)."""
 
+import base64
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pytest
 
 from sketch_spark.functions.multimodal import (
+    _png_chunk,
     decode_image,
     decode_images_df,
     decode_wav,
+    encode_png,
     resize_rgb,
 )
 
@@ -85,10 +89,114 @@ def test_bmp_unsupported_bpp_raises():
         decode_image(bytes(buf))
 
 
-def test_jpeg_png_keep_pil_swap_point():
-    for magic in (b"\xff\xd8\xfffake", b"\x89PNGfake"):
+def test_jpeg_gif_keep_pil_swap_point():
+    for magic in (b"\xff\xd8\xfffake", b"GIF89afake"):
         with pytest.raises(NotImplementedError, match="PIL"):
             decode_image(magic + b"\x00" * 16)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("dims", [(1, 1), (3, 2), (37, 5), (16, 16)])
+def test_png_roundtrip_every_filter(filter_type, dims):
+    w, h = dims
+    rng = np.random.default_rng(filter_type * 100 + w)
+    rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    got_w, got_h, got = decode_image(encode_png(rgb, w, h, filter_type=filter_type))
+    assert (got_w, got_h) == (w, h)
+    assert got == rgb
+
+
+def test_png_grayscale_expands_to_rgb():
+    g = bytes([0, 10, 255, 42, 7, 200])
+    got_w, got_h, got = decode_image(encode_png(g, 3, 2, filter_type=2, gray=True))
+    assert (got_w, got_h) == (3, 2)
+    assert got == np.repeat(np.frombuffer(g, np.uint8), 3).tobytes()
+
+
+def _raw_png(ihdr: bytes, scanlines: bytes, extra: bytes = b"") -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + extra
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_mixed_filters_multi_idat_rgba_and_palette():
+    # hand-built: rows alternate all five filters over RGBA (type 6)
+    rng = np.random.default_rng(9)
+    w, h = 5, 7
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    lines, prev = [], np.zeros(w * 4, np.int64)
+    for y in range(h):
+        rec = rgba[y].reshape(-1).astype(np.int64)
+        ft = y % 5
+        if ft == 0:
+            filt = rec
+        elif ft == 1:
+            left = np.concatenate([np.zeros(4, np.int64), rec[:-4]])
+            filt = (rec - left) & 255
+        elif ft == 2:
+            filt = (rec - prev) & 255
+        elif ft == 3:
+            left = np.concatenate([np.zeros(4, np.int64), rec[:-4]])
+            filt = (rec - ((left + prev) >> 1)) & 255
+        else:
+            filt = np.empty(w * 4, np.int64)
+            for x in range(w * 4):
+                a = rec[x - 4] if x >= 4 else 0
+                b = prev[x]
+                c = prev[x - 4] if x >= 4 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (rec[x] - pr) & 255
+        lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = rec
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    # split the compressed stream across two IDAT chunks
+    comp = zlib.compress(b"".join(lines))
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[: len(comp) // 2])
+        + _png_chunk(b"IDAT", comp[len(comp) // 2 :])
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, got = decode_image(blob)
+    assert (got_w, got_h) == (w, h)
+    assert got == rgba[:, :, :3].tobytes()  # alpha dropped
+
+    # palette (type 3): 3x2 indices over a 4-entry palette, filter-0 rows
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    ihdr3 = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    scan = bytes([0, 0, 1, 2]) + bytes([0, 2, 3, 3])
+    blob3 = _raw_png(ihdr3, scan, extra=_png_chunk(b"PLTE", plte))
+    got_w, got_h, got = decode_image(blob3)
+    pal = np.frombuffer(plte, np.uint8).reshape(4, 3)
+    want = pal[np.array([[0, 1, 2], [2, 3, 3]])].tobytes()
+    assert (got_w, got_h, got) == (3, 2, want)
+
+
+def test_png_external_fixture_and_unsupported_variants():
+    # the canonical 1x1 PNG (RGBA, published everywhere): decodes to blue
+    tiny = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+        "AAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    assert decode_image(tiny) == (1, 1, b"\x00\x00\xff")
+    # Adam7 / 16-bit keep the PIL swap point
+    for ihdr, msg in [
+        (struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1), "Adam7"),
+        (struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0), "16-bit"),
+    ]:
+        with pytest.raises(NotImplementedError, match=msg):
+            decode_image(_raw_png(ihdr, bytes(8)))
+    # truncated raster fails loudly
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(_raw_png(ihdr, bytes(10)))
 
 
 def test_wav_parse_walks_chunks():
