@@ -502,6 +502,44 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images_df(imgs, "image", "doc_id")
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end (multimodal.py _decode_gif): blobs
+    are GIF-encoded executor-side (real LZW; odd doc_ids interlaced so
+    the 4-pass deinterlace sits under the hash) with the identity-gray
+    256-entry palette (entry i = (i,i,i)) over md5-hex pixel indices,
+    then decoded back.  With that palette the decoded RGB is each index
+    byte tripled — the same arithmetic the oracle already uses for
+    grayscale — so the LZW compress/decompress + deinterlace round trip
+    is fully under the value hash while the oracle stays pure SQL.
+    (Non-trivial palettes and local color tables are pinned by pytest
+    with random palettes instead.)"""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from sketch_spark.functions.multimodal import decode_images_df, encode_gif
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    gray_palette = bytes(v for i in range(256) for v in (i, i, i))
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 5, 2 + did % 4
+                mh = _hl.md5(f"img-{did}".encode()).hexdigest()
+                idx = bytes.fromhex((mh * 7)[: 2 * w * h])
+                blobs.append(
+                    encode_gif(idx, w, h, gray_palette, interlace=did % 2 == 1)
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = docs.mapInPandas(synth, "doc_id bigint, image binary")
+    return decode_images_df(imgs, "image", "doc_id")
+
+
 def _wav_fmt_hex(channels: int, rate: int) -> str:
     import struct as _s
 
@@ -2124,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "image_decode_resized": q_image_decode_resized,
         "png_decode": q_png_decode,
+        "gif_decode": q_gif_decode,
         "wav_decode": q_wav_decode,
         "skewed_host_stats": q_skewed_host_stats,
         "checkpoint_resume": q_checkpoint_resume,
@@ -2462,6 +2501,23 @@ def oracle_sql() -> dict[str, str]:
                              FOR i IN generate_series(1, CAST(w * h AS INT))],
                             'string_agg', ''))
                    END AS pixel_md5
+            FROM src
+        """,
+        # identity-gray palette: decoded RGB = each md5-hex index byte
+        # tripled, so the LZW+deinterlace round trip hides behind the
+        # same gray-expansion SQL as pgm/png-gray
+        "gif_decode": """
+            WITH src AS (
+                SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                       md5('img-' || CAST(doc_id AS VARCHAR)) AS mh
+                FROM documents
+            )
+            SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   'gif' AS format,
+                   md5(list_aggregate(
+                       [repeat(substr(repeat(mh, 7), 2 * i - 1, 2), 3)
+                        FOR i IN generate_series(1, CAST(w * h AS INT))],
+                       'string_agg', '')) AS pixel_md5
             FROM src
         """,
         # 2x2 nearest-neighbor picks pixels (0,0) (0,w//2) (h//2,0)

@@ -1,12 +1,14 @@
 """Multimodal column handling: image/audio/video as opaque binary
 columns with typed metadata.
 
-Decode is REAL for PPM/PGM (netpbm binary), 24-bit BMP, PCM WAV, and
+Decode is REAL for PPM/PGM (netpbm binary), 24-bit BMP, PCM WAV,
 8-bit non-interlaced PNG (stdlib ``zlib`` inflate + the five scanline
-filters, color types 0/2/3/4/6) — pure python/numpy, no image library
+filters, color types 0/2/3/4/6), and GIF87a/89a first frame (full LZW
+with KwKwK and 4096-code dictionary handling, global/local palettes,
+Adam-style 4-pass deinterlace) — pure python/numpy, no image library
 needed — and hash-oracle-able end-to-end (``pixel_md5`` is md5 over
 the RGB buffer's lowercase hex, reproducible in ANSI SQL from the same
-bytes).  JPEG/GIF and the exotic PNG variants (Adam7, 16-bit) keep a
+bytes).  Only JPEG and the exotic PNG variants (Adam7, 16-bit) keep a
 clearly-marked PIL/opencv swap point (``NotImplementedError``) for
 clusters that have the libraries; the deterministic fake feature
 extractor remains for plumbing tests over arbitrary blobs.
@@ -30,6 +32,7 @@ __all__ = [
     "decode_images_df",
     "decode_wav",
     "decode_wavs_df",
+    "encode_gif",
     "encode_png",
     "resize_rgb",
     "fake_features",
@@ -271,12 +274,190 @@ def encode_png(rgb: bytes, w: int, h: int, filter_type: int = 0, gray: bool = Fa
     )
 
 
+def _lzw_decode(minsize: int, data: bytes, npix: int) -> bytes:
+    """GIF variable-width LZW (LSB-first): clear/end codes, dictionary
+    growth to 4096 with deferred-clear tolerance, and the KwKwK case
+    (code == next table slot)."""
+    clear, end = 1 << minsize, (1 << minsize) + 1
+    out = bytearray()
+    bitpos, total_bits = 0, len(data) * 8
+
+    def read(nbits: int) -> int:
+        nonlocal bitpos
+        if bitpos + nbits > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        byte_i, bit_i = bitpos >> 3, bitpos & 7
+        val = int.from_bytes(data[byte_i : byte_i + 4], "little") >> bit_i
+        bitpos += nbits
+        return val & ((1 << nbits) - 1)
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = minsize + 1
+    prev: bytes | None = None
+    while len(out) < npix:
+        code = read(width)
+        if code == clear:
+            table = table[: clear + 2]
+            width = minsize + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:npix])
+
+
+def _lzw_encode(minsize: int, pix: bytes) -> bytes:
+    """GIF LZW encoder (the dual of :func:`_lzw_decode`): real
+    dictionary compression with width growth and a clear code at the
+    4096 boundary — fixture/sink path, spec-compliant output."""
+    clear, end = 1 << minsize, (1 << minsize) + 1
+    out = bytearray()
+    cur = nbits = 0
+    width = minsize + 1
+    next_code = end + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 255)
+            cur >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in pix:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = minsize + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(cur & 255)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(buf: bytes) -> tuple[str, int, int, bytes]:
+    """GIF87a/89a first frame: skip extensions, inflate the LZW stream,
+    apply the (global or local) palette, deinterlace if flagged."""
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        block = buf[pos]
+        if block == 0x21:  # extension: introducer + label + sub-blocks
+            pos += 2
+            while pos < len(buf) and buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = np.frombuffer(buf[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            minsize = buf[pos]
+            pos += 1
+            chunks = []
+            while pos < len(buf) and buf[pos] != 0:
+                ln = buf[pos]
+                chunks.append(buf[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(_lzw_decode(minsize, b"".join(chunks), w * h), np.uint8)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF raster")
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:
+                out_rows = np.empty_like(rows)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        out_rows[y] = rows[src]
+                        src += 1
+                rows = out_rows
+            if int(rows.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index outside the color table")
+            return "gif", w, h, np.ascontiguousarray(pal[rows]).tobytes()
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(
+    indices: bytes, w: int, h: int, palette: bytes, interlace: bool = False
+) -> bytes:
+    """Minimal single-frame GIF89a encoder (global color table padded
+    to a power of two, real LZW, optional interlace) — the fixture/sink
+    dual of :func:`_decode_gif`."""
+    n = len(palette) // 3
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += palette + b"\x00" * (3 * (size - n))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    minsize = max(2, bits)
+    out.append(minsize)
+    rows = np.frombuffer(indices, np.uint8).reshape(h, w)
+    if interlace:
+        order = [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+        rows = rows[order]
+    lzw = _lzw_encode(minsize, rows.tobytes())
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(buf: bytes) -> tuple[int, int, bytes]:
     """Decode an image blob to ``(width, height, rgb_bytes)`` — REAL
     pure-python/numpy decode for PPM (P6), PGM (P5), uncompressed
-    24-bit BMP, and 8-bit non-interlaced PNG (stdlib zlib).  JPEG/GIF
-    decoders aren't in this container: they raise
-    ``NotImplementedError`` with the documented PIL swap point
+    24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib), and GIF first
+    frame (full LZW).  A JPEG decoder isn't in this container: it
+    raises ``NotImplementedError`` with the documented PIL swap point
     (``PIL.Image.open(io.BytesIO(buf))``) so a cluster with the
     libraries can drop one in."""
     _, w, h, rgb = _decode_image_full(bytes(buf))
@@ -290,10 +471,12 @@ def _decode_image_full(buf: bytes) -> tuple[str, int, int, bytes]:
         return _decode_bmp(buf)
     if buf[:8] == _PNG_SIG:
         return _decode_png(buf)
-    if buf[:3] == b"\xff\xd8\xff" or buf[:4] == b"GIF8":
+    if buf[:4] == b"GIF8":
+        return _decode_gif(buf)
+    if buf[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "jpeg/gif decode requires PIL/opencv (not in this "
-            "container); PPM/PGM/BMP/PNG decode natively"
+            "jpeg decode requires PIL/opencv (not in this container); "
+            "PPM/PGM/BMP/PNG/GIF decode natively"
         )
     raise ValueError(f"unrecognized image format (magic {buf[:4]!r})")
 

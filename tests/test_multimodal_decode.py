@@ -16,6 +16,7 @@ from sketch_spark.functions.multimodal import (
     decode_image,
     decode_images_df,
     decode_wav,
+    encode_gif,
     encode_png,
     resize_rgb,
 )
@@ -89,10 +90,9 @@ def test_bmp_unsupported_bpp_raises():
         decode_image(bytes(buf))
 
 
-def test_jpeg_gif_keep_pil_swap_point():
-    for magic in (b"\xff\xd8\xfffake", b"GIF89afake"):
-        with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image(magic + b"\x00" * 16)
+def test_jpeg_keeps_pil_swap_point():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xfffake" + b"\x00" * 16)
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
@@ -177,6 +177,47 @@ def test_png_mixed_filters_multi_idat_rgba_and_palette():
     pal = np.frombuffer(plte, np.uint8).reshape(4, 3)
     want = pal[np.array([[0, 1, 2], [2, 3, 3]])].tobytes()
     assert (got_w, got_h, got) == (3, 2, want)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("ncolors", [2, 5, 16, 256])
+def test_gif_roundtrip_palettes_and_interlace(ncolors, interlace):
+    rng = np.random.default_rng(ncolors + 100 * interlace)
+    w, h = 13, 9
+    pal = rng.integers(0, 256, size=ncolors * 3, dtype=np.uint8).tobytes()
+    idx = rng.integers(0, ncolors, size=w * h, dtype=np.uint8).tobytes()
+    got_w, got_h, rgb = decode_image(encode_gif(idx, w, h, pal, interlace=interlace))
+    p = np.frombuffer(pal, np.uint8).reshape(ncolors, 3)
+    assert (got_w, got_h) == (w, h)
+    assert rgb == p[np.frombuffer(idx, np.uint8)].tobytes()
+
+
+def test_gif_lzw_kwkwk_dictionary_overflow_and_extensions():
+    # long single-color runs force the KwKwK (code == next slot) case
+    pal = bytes([10, 20, 30, 40, 50, 60])
+    idx = bytes([0]) * 500 + bytes([1]) * 500
+    _, _, rgb = decode_image(encode_gif(idx, 50, 20, pal))
+    p = np.frombuffer(pal, np.uint8).reshape(2, 3)
+    assert rgb == p[np.frombuffer(idx, np.uint8)].tobytes()
+    # 120k random pixels walk the code width 3->12 and cross the
+    # 4096-entry dictionary boundary (clear + rebuild mid-stream)
+    rng = np.random.default_rng(2)
+    idx = rng.integers(0, 256, size=120_000, dtype=np.uint8).tobytes()
+    pal = rng.integers(0, 256, size=256 * 3, dtype=np.uint8).tobytes()
+    _, _, rgb = decode_image(encode_gif(idx, 400, 300, pal))
+    p = np.frombuffer(pal, np.uint8).reshape(256, 3)
+    assert rgb == p[np.frombuffer(idx, np.uint8)].tobytes()
+    # a graphic-control extension before the frame must be skipped
+    core = encode_gif(bytes([0, 1, 1, 0]), 2, 2, pal[:6])
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    hdr_end = 13 + 6  # header + LSD + padded 2-entry (->2) color table
+    _, _, rgb2 = decode_image(core[:hdr_end] + gce + core[hdr_end:])
+    p2 = np.frombuffer(pal[:6], np.uint8).reshape(2, 3)
+    assert rgb2 == p2[np.array([0, 1, 1, 0])].tobytes()
+    # truncated LZW stream fails loudly
+    trunc = core[: len(core) - 6] + b"\x00\x3b"
+    with pytest.raises(ValueError, match="truncated|no image"):
+        decode_image(trunc)
 
 
 def test_png_external_fixture_and_unsupported_variants():
