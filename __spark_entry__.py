@@ -549,13 +549,10 @@ def _wav_fmt_hex(channels: int, rate: int) -> str:
     ).hex()
 
 
-def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PCM WAV decode (multimodal.py decode_wav): RIFF chunk walk
-    over Catalyst-synthesized wav blobs — mono 8kHz for even doc_ids,
-    stereo 44.1kHz for odd, 16..32 PCM bytes from the md5-hex stream.
-    The oracle recomputes every parsed field + the payload hash."""
-    from sketch_spark.functions.multimodal import decode_wavs_df
-
+def _synth_wavs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-synthesized PCM wav blobs — mono 8kHz for even doc_ids,
+    stereo 44.1kHz for odd, 16..32 PCM bytes from the md5-hex stream —
+    so SQL oracles can reproduce every parsed field and the payload."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     df = docs.withColumns(
         {
@@ -575,8 +572,40 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("000000"),
         F.expr("substring(repeat(mh, 2), 1, nb * 2)"),
     )
-    wavs = df.select("doc_id", F.unhex(blob_hex).alias("audio"))
-    return decode_wavs_df(wavs, "audio", "doc_id")
+    return df.select("doc_id", F.unhex(blob_hex).alias("audio"))
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode (multimodal.py decode_wav): RIFF chunk walk
+    over Catalyst-synthesized wav blobs (see _synth_wavs).  The oracle
+    recomputes every parsed field + the payload hash."""
+    from sketch_spark.functions.multimodal import decode_wavs_df
+
+    return decode_wavs_df(_synth_wavs(spark, sf_dir), "audio", "doc_id")
+
+
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PCM clip features (multimodal.py wav_features_df):
+    sum of squared int16 samples (BIGINT), peak |sample|, and
+    sign-flip count over the same synthesized blobs — the
+    silence/clipping gate for audio corpora.  The oracle rebuilds the
+    little-endian signed samples from the md5-hex stream and sums the
+    identical integers, so there is no float anywhere."""
+    from sketch_spark.functions.multimodal import wav_features_df
+
+    return wav_features_df(_synth_wavs(spark, sf_dir), "audio", "doc_id")
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact per-image channel stats (multimodal.py
+    image_stats_df) over the mixed PPM/PGM blobs: per-channel BIGINT
+    sums and min/max integer luma (r+g+b) from the DECODED buffer —
+    the brightness/blank-thumbnail gate.  The oracle recomputes every
+    sum from the md5-hex raster arithmetic."""
+    from sketch_spark.functions.multimodal import image_stats_df
+
+    imgs = _synth_images(spark, sf_dir).select("doc_id", "image")
+    return image_stats_df(imgs, "image", "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2164,6 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "gif_decode": q_gif_decode,
         "wav_decode": q_wav_decode,
+        "image_stats": q_image_stats,
+        "wav_features": q_wav_features,
         "skewed_host_stats": q_skewed_host_stats,
         "checkpoint_resume": q_checkpoint_resume,
         # --- never driver-checked (missed the r3 50-row window) ---
@@ -2547,6 +2578,63 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
                        CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
             FROM documents
+        """,
+        # every value integer-exact: hex pairs -> INTs summed as
+        # BIGINT, min/max luma over (r+g+b); PGM rows triple the gray
+        "image_stats": """
+            WITH src AS (
+                SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                       repeat(md5('img-' || CAST(doc_id AS VARCHAR)), 7) AS ph,
+                       doc_id % 2 = 0 AS is_ppm
+                FROM documents
+            ), px AS (
+                SELECT doc_id, w, h,
+                    CASE WHEN is_ppm THEN
+                        [[CAST(concat('0x', substr(ph, 6*(i-1)+1, 2)) AS INT),
+                          CAST(concat('0x', substr(ph, 6*(i-1)+3, 2)) AS INT),
+                          CAST(concat('0x', substr(ph, 6*(i-1)+5, 2)) AS INT)]
+                         FOR i IN generate_series(1, CAST(w*h AS INT))]
+                    ELSE
+                        [[CAST(concat('0x', substr(ph, 2*i-1, 2)) AS INT),
+                          CAST(concat('0x', substr(ph, 2*i-1, 2)) AS INT),
+                          CAST(concat('0x', substr(ph, 2*i-1, 2)) AS INT)]
+                         FOR i IN generate_series(1, CAST(w*h AS INT))]
+                    END AS pxl
+                FROM src
+            )
+            SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(w*h AS INT) AS n_px,
+                   CAST(list_sum([p[1] FOR p IN pxl]) AS BIGINT) AS sum_r,
+                   CAST(list_sum([p[2] FOR p IN pxl]) AS BIGINT) AS sum_g,
+                   CAST(list_sum([p[3] FOR p IN pxl]) AS BIGINT) AS sum_b,
+                   CAST(list_min([p[1]+p[2]+p[3] FOR p IN pxl]) AS INT) AS min_lum,
+                   CAST(list_max([p[1]+p[2]+p[3] FOR p IN pxl]) AS INT) AS max_lum
+            FROM px
+        """,
+        # little-endian signed 16-bit reconstruction: v = lo + 256*hi,
+        # minus 65536 when the high byte's sign bit is set
+        "wav_features": """
+            WITH src AS (
+                SELECT doc_id, CAST(16 + (doc_id % 9) * 2 AS INT) AS nb,
+                       repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2) AS ph
+                FROM documents
+            ), vs AS (
+                SELECT doc_id, nb,
+                    [CASE WHEN CAST(concat('0x', substr(ph, 4*(j-1)+3, 2)) AS INT) >= 128
+                          THEN CAST(concat('0x', substr(ph, 4*(j-1)+1, 2)) AS INT)
+                               + 256 * CAST(concat('0x', substr(ph, 4*(j-1)+3, 2)) AS INT)
+                               - 65536
+                          ELSE CAST(concat('0x', substr(ph, 4*(j-1)+1, 2)) AS INT)
+                               + 256 * CAST(concat('0x', substr(ph, 4*(j-1)+3, 2)) AS INT)
+                     END FOR j IN generate_series(1, nb // 2)] AS v
+                FROM src
+            )
+            SELECT doc_id, CAST(nb // 2 AS INT) AS n_samples,
+                   CAST(list_sum([x*x FOR x IN v]) AS BIGINT) AS sumsq,
+                   CAST(list_max([abs(x) FOR x IN v]) AS INT) AS peak,
+                   CAST(len([1 FOR j IN generate_series(2, nb // 2)
+                             IF (v[j] < 0) != (v[j-1] < 0)]) AS INT) AS zero_crossings
+            FROM vs
         """,
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -36,6 +36,8 @@ __all__ = [
     "encode_png",
     "resize_rgb",
     "fake_features",
+    "image_stats_df",
+    "wav_features_df",
     "extract_features_df",
     "resize_images_df",
     "sample_video_frames_df",
@@ -606,6 +608,112 @@ def decode_wavs_df(
         run,
         f"{id_col} {id_ddl}, channels int, sample_rate int, "
         "bytes_per_sample int, n_pcm_bytes int, pcm_md5 string",
+    )
+
+
+def image_stats_df(
+    df: DataFrame, bin_col: str = "image", id_col: str = "url", on_error: str = "raise"
+) -> DataFrame:
+    """Per-image channel statistics over the DECODED RGB buffer —
+    integer-exact ``(width, height, n_px, sum_r, sum_g, sum_b,
+    min_lum, max_lum)`` where lum is the integer luma proxy
+    ``(r+g+b)``, so every value is a BIGINT/INT an ANSI-SQL oracle can
+    recompute from the same source bytes with no float drift.  This is
+    the multimodal quality gate (drop black/blank/overexposed
+    thumbnails before training) — map-only, no shuffle, decode cost
+    scales with partitions."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("id", "w", "h", "npx", "r", "g", "b", "lo", "hi")}
+            for rid, buf in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    _, w, h, rgb = _decode_image_full(bytes(buf))
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                px = np.frombuffer(rgb, np.uint8).reshape(-1, 3).astype(np.int64)
+                lum = px.sum(axis=1)
+                out["id"].append(rid)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["npx"].append(w * h)
+                sums = px.sum(axis=0)
+                out["r"].append(int(sums[0]))
+                out["g"].append(int(sums[1]))
+                out["b"].append(int(sums[2]))
+                out["lo"].append(int(lum.min()))
+                out["hi"].append(int(lum.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "width": out["w"],
+                    "height": out["h"],
+                    "n_px": out["npx"],
+                    "sum_r": out["r"],
+                    "sum_g": out["g"],
+                    "sum_b": out["b"],
+                    "min_lum": out["lo"],
+                    "max_lum": out["hi"],
+                }
+            )
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, bin_col).mapInPandas(
+        run,
+        f"{id_col} {id_ddl}, width int, height int, n_px int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, min_lum int, max_lum int",
+    )
+
+
+def wav_features_df(
+    df: DataFrame, bin_col: str = "audio", id_col: str = "url", on_error: str = "raise"
+) -> DataFrame:
+    """Per-clip PCM features over the decoded int16 sample stream —
+    integer-exact ``(n_samples, sumsq, peak, zero_crossings)`` (sumsq =
+    sum of squared samples as BIGINT, peak = max |sample|, crossings =
+    sign flips between consecutive samples of the interleaved stream).
+    RMS/silence/clipping gates for audio training corpora derive from
+    these without any float leaving the executor.  Map-only."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("id", "n", "ss", "pk", "zc")}
+            for rid, buf in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    _ch, _rate, width, data = decode_wav(bytes(buf))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
+                if width != 2:
+                    raise NotImplementedError("wav_features_df supports 16-bit PCM")
+                s = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.int64)
+                neg = s < 0
+                out["id"].append(rid)
+                out["n"].append(len(s))
+                out["ss"].append(int((s * s).sum()))
+                out["pk"].append(int(np.abs(s).max()) if len(s) else 0)
+                out["zc"].append(int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "n_samples": out["n"],
+                    "sumsq": out["ss"],
+                    "peak": out["pk"],
+                    "zero_crossings": out["zc"],
+                }
+            )
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, bin_col).mapInPandas(
+        run,
+        f"{id_col} {id_ddl}, n_samples int, sumsq bigint, peak int, zero_crossings int",
     )
 
 

@@ -264,6 +264,49 @@ def test_resize_rgb_matches_numpy_reference():
     assert resize_rgb(src.tobytes(), 7, 6, 7, 6) == src.tobytes()
 
 
+def test_image_stats_df_integer_sums(spark):
+    from sketch_spark.functions.multimodal import image_stats_df
+
+    px = np.array(
+        [[[0, 0, 0], [255, 255, 255]], [[10, 20, 30], [200, 100, 50]]], dtype=np.uint8
+    )
+    buf = b"P6\n2 2\n255\n" + px.tobytes()
+    df = spark.createDataFrame([("a", bytearray(buf))], "url string, image binary")
+    r = image_stats_df(df, "image", "url").toPandas().iloc[0]
+    flat = px.reshape(-1, 3).astype(int)
+    lum = flat.sum(axis=1)
+    assert (r.width, r.height, r.n_px) == (2, 2, 4)
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(flat.sum(axis=0))
+    assert (r.min_lum, r.max_lum) == (0, 765)
+    assert lum.min() == 0 and lum.max() == 765
+
+
+def test_wav_features_df_extremes_and_skip(spark):
+    from sketch_spark.functions.multimodal import wav_features_df
+
+    # include int16 min (-32768): peak must report 32768, sumsq exact
+    s = np.array([-32768, 32767, 0, -1, 1, 0], dtype=np.int16)
+    good = make_wav(s.tobytes())
+    df = spark.createDataFrame(
+        [("a", bytearray(good)), ("bad", bytearray(b"nope" * 4))],
+        "url string, audio binary",
+    )
+    out = wav_features_df(df, "audio", "url", on_error="skip").toPandas()
+    assert list(out.url) == ["a"]
+    r = out.iloc[0]
+    v = s.astype(np.int64)
+    neg = v < 0
+    assert r.n_samples == 6
+    assert r.sumsq == int((v * v).sum())
+    assert r.peak == 32768
+    assert r.zero_crossings == int((neg[1:] != neg[:-1]).sum())
+    # zero-sample clip: all-zero features, no crash
+    empty = make_wav(b"")
+    df2 = spark.createDataFrame([("e", bytearray(empty))], "url string, audio binary")
+    r2 = wav_features_df(df2, "audio", "url").toPandas().iloc[0]
+    assert (r2.n_samples, r2.sumsq, r2.peak, r2.zero_crossings) == (0, 0, 0, 0)
+
+
 def test_decode_images_df_real_path(spark):
     """The Spark operator over mixed PPM/PGM/BMP blobs: dimensions come
     from real header parsing, pixel_md5 from the decoded RGB buffer."""
