@@ -1,0 +1,129 @@
+"""Organic-scale throughput for the REAL multimodal decode paths.
+
+The contract fixtures prove correctness on 500 tiny blobs; this script
+measures the thing that matters at 100 TB — decoded blobs/sec through
+the mapInPandas python stage — on a corpus of realistic thumbnails
+(64x64 PNG/GIF/BMP/PPM mix, zlib/LZW actually exercised) big enough
+that task dispatch is noise.  Blobs are generated executor-side and
+written to parquet once (cached across runs), so the timed pass reads
+binary columns exactly the way a production scan would.
+
+Appends a row to BENCH.md.  Usage:
+python bench_util/decode_bench.py [--rows 20000] [--cores 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_blobs(spark, rows: int, out_dir: str) -> None:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sketch_spark.functions.multimodal import encode_gif, encode_png
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        gray_palette = bytes(v for i in range(256) for v in (i, i, i))
+        for pdf in it:
+            blobs = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(i)
+                w = h = 64
+                kind = i % 4
+                if kind == 0:  # PNG RGB, filter varies
+                    rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+                    blobs.append(encode_png(rgb, w, h, filter_type=i % 5))
+                elif kind == 1:  # GIF (LZW), interlace half the time
+                    idx = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+                    blobs.append(encode_gif(idx, w, h, gray_palette, interlace=i % 2 == 0))
+                elif kind == 2:  # BMP bottom-up
+                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    stride = (w * 3 + 3) & ~3
+                    body = b"".join(
+                        px[::-1][r][:, ::-1].tobytes().ljust(stride, b"\x00")
+                        for r in range(h)
+                    )
+                    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                    dib = struct.pack(
+                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+                    )
+                    blobs.append(hdr + dib + body)
+                else:  # PPM
+                    rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+                    blobs.append(f"P6\n{w} {h}\n255\n".encode() + rgb)
+            yield pd.DataFrame({"id": pdf["id"], "image": blobs})
+
+    (
+        spark.range(rows)
+        .withColumnRenamed("id", "id")
+        .repartition(32)
+        .mapInPandas(synth, "id bigint, image binary")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    args = ap.parse_args()
+
+    from sketch_spark.functions.multimodal import decode_images_df, image_stats_df
+    from sketch_spark.session import get_spark
+
+    spark = get_spark("decode-bench", cores=args.cores, shuffle_partitions=args.cores)
+    table = f"/tmp/sketch_spark_decode_blobs_{args.rows}"
+    marker = os.path.join(table, "_SUCCESS")
+    if not os.path.exists(marker):
+        make_blobs(spark, args.rows, table)
+    df = spark.read.parquet(table)
+    # warm python workers so the timed pass measures decode, not imports
+    decode_images_df(df.limit(256), "image", "id").count()
+
+    t0 = time.time()
+    n = decode_images_df(df, "image", "id").count()
+    t_decode = time.time() - t0
+    t0 = time.time()
+    n2 = image_stats_df(df, "image", "id").count()
+    t_stats = time.time() - t0
+    assert n == n2 == args.rows, (n, n2)
+
+    res = {
+        "metric": "decode_throughput_blobs_per_sec",
+        "rows": args.rows,
+        "cores": args.cores,
+        "decode_s": round(t_decode, 2),
+        "decode_per_sec": round(args.rows / t_decode),
+        "stats_s": round(t_stats, 2),
+        "stats_per_sec": round(args.rows / t_stats),
+    }
+    print(json.dumps(res))
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    with open(args.out, "a") as f:
+        f.write(
+            f"\nMultimodal decode throughput ({stamp}): {args.rows} 64x64 blobs "
+            f"(PNG/GIF/BMP/PPM mix, zlib+LZW real), {args.cores} cores: "
+            f"decode_images_df {res['decode_per_sec']}/s ({res['decode_s']}s), "
+            f"image_stats_df {res['stats_per_sec']}/s ({res['stats_s']}s).\n"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

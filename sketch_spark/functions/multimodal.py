@@ -61,6 +61,16 @@ def _sniff(buf: bytes) -> str:
     return "unknown"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Decode/feature passes are CPU-bound python stages: spread an
+    underpartitioned (e.g. single-split) input first so they
+    parallelize; a well-partitioned big input passes through untouched
+    (see operators.aggregate.ensure_min_partitions)."""
+    from sketch_spark.operators.aggregate import ensure_min_partitions
+
+    return ensure_min_partitions(df)
+
+
 _PNM_WS = b" \t\r\n\x0b\x0c"
 
 
@@ -560,7 +570,7 @@ def decode_images_df(
             )
 
     id_ddl = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bin_col).mapInPandas(
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
         run, f"{id_col} {id_ddl}, width int, height int, format string, pixel_md5 string"
     )
 
@@ -604,7 +614,7 @@ def decode_wavs_df(
             )
 
     id_ddl = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bin_col).mapInPandas(
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
         run,
         f"{id_col} {id_ddl}, channels int, sample_rate int, "
         "bytes_per_sample int, n_pcm_bytes int, pcm_md5 string",
@@ -662,7 +672,7 @@ def image_stats_df(
             )
 
     id_ddl = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bin_col).mapInPandas(
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
         run,
         f"{id_col} {id_ddl}, width int, height int, n_px int, "
         "sum_r bigint, sum_g bigint, sum_b bigint, min_lum int, max_lum int",
@@ -711,7 +721,7 @@ def wav_features_df(
             )
 
     id_ddl = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bin_col).mapInPandas(
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
         run,
         f"{id_col} {id_ddl}, n_samples int, sumsq bigint, peak int, zero_crossings int",
     )
@@ -763,7 +773,7 @@ def extract_features_df(
             feats = [fake_features(bytes(b), dim).tolist() for b in pdf[bin_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.select(id_col, bin_col).mapInPandas(
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
         run, f"{id_col} string, features array<double>"
     )
 
@@ -806,7 +816,7 @@ def resize_images_df(
             )
 
     id_ddl = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bin_col).mapInPandas(
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
         run, f"{id_col} {id_ddl}, width int, height int, pixels binary"
     )
 
@@ -839,6 +849,6 @@ def sample_video_frames_df(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     id_ddl = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, bin_col).mapInPandas(
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
         run, f"{id_col} {id_ddl}, frame_idx int, frame binary"
     )
