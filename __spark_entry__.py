@@ -540,6 +540,42 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images_df(imgs, "image", "doc_id")
 
 
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction (multimodal.py decode_avi_frames):
+    uncompressed-DIB AVI containers are built executor-side (RIFF
+    hdrl/movi structure, bottom-up BGR stride-padded frames) with
+    1 + doc_id % 3 frames of md5-hex pixels, then parsed back — the
+    container walk, header parse, stride strip, and BGR/row-order
+    undo all sit under the hash.  The oracle predicts every frame's
+    RGB hash from the md5 arithmetic alone, one row per frame."""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from sketch_spark.functions.multimodal import decode_avi_frames_df, encode_avi
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 5, 2 + did % 4
+                frames = [
+                    bytes.fromhex(
+                        (_hl.md5(f"img-{did}-{k}".encode()).hexdigest() * 7)[: 6 * w * h]
+                    )
+                    for k in range(1 + did % 3)
+                ]
+                blobs.append(encode_avi(frames, w, h))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "video": blobs})
+
+    vids = docs.mapInPandas(synth, "doc_id bigint, video binary")
+    return decode_avi_frames_df(vids, "video", "doc_id")
+
+
 def _wav_fmt_hex(channels: int, rate: int) -> str:
     import struct as _s
 
@@ -2195,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "image_stats": q_image_stats,
         "wav_features": q_wav_features,
+        "avi_frames": q_avi_frames,
         "skewed_host_stats": q_skewed_host_stats,
         "checkpoint_resume": q_checkpoint_resume,
         # --- never driver-checked (missed the r3 50-row window) ---
@@ -2578,6 +2615,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
                        CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
             FROM documents
+        """,
+        # one row per (doc, frame): the oracle never sees the RIFF
+        # container — it predicts each frame's RGB hash directly
+        "avi_frames": """
+            WITH src AS (
+                SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                       unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS frame_idx
+                FROM documents
+            )
+            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   md5(substr(repeat(md5('img-' || CAST(doc_id AS VARCHAR) || '-'
+                                         || CAST(frame_idx AS VARCHAR)), 7),
+                              1, CAST(6 * w * h AS INT))) AS frame_md5
+            FROM src
         """,
         # every value integer-exact: hex pairs -> INTs summed as
         # BIGINT, min/max luma over (r+g+b); PGM rows triple the gray

@@ -30,8 +30,11 @@ __all__ = [
     "binary_metadata",
     "decode_image",
     "decode_images_df",
+    "decode_avi_frames",
+    "decode_avi_frames_df",
     "decode_wav",
     "decode_wavs_df",
+    "encode_avi",
     "encode_gif",
     "encode_png",
     "resize_rgb",
@@ -462,6 +465,128 @@ def encode_gif(
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def decode_avi_frames(buf: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL AVI container parse (RIFF walk): read width/height from the
+    ``avih`` main header, require uncompressed 24-bit DIB streams from
+    ``strf``, and return every ``00db``/``00dc`` frame in the ``movi``
+    list as packed top-down RGB — the same layout every image decoder
+    here yields.  Compressed codecs raise ``NotImplementedError`` (the
+    ffmpeg/PyAV swap point for real clusters)."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI buffer")
+    w = h = None
+    bpp, compression = 24, 0
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, bpp, compression
+        pos = start
+        while pos + 8 <= end:
+            cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)  # skip the 4-byte list type
+            elif cid == b"avih":
+                w, h = struct.unpack_from("<II", buf, body + 32)
+            elif cid == b"strf" and size >= 40:
+                bpp = struct.unpack_from("<H", buf, body + 14)[0]
+                compression = struct.unpack_from("<I", buf, body + 16)[0]
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames.append(buf[body : body + size])
+            pos = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(buf))
+    if w is None:
+        raise ValueError("AVI missing avih header")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB AVI supported (got {bpp}-bit, "
+            f"compression={compression}); swap in PyAV/ffmpeg for codecs"
+        )
+    stride = (w * 3 + 3) & ~3
+    out = []
+    for fb in frames:
+        if len(fb) < stride * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(fb[: stride * h], np.uint8).reshape(h, stride)[:, : w * 3]
+        px = rows.reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+        out.append(np.ascontiguousarray(px).tobytes())
+    return w, h, out
+
+
+def encode_avi(frames_rgb: list[bytes], w: int, h: int, fps: int = 25) -> bytes:
+    """Minimal uncompressed-DIB AVI writer (single 24-bit video stream)
+    — the fixture/sink dual of :func:`decode_avi_frames`."""
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    dib_frames = []
+    for rgb in frames_rgb:
+        px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        rows = px[::-1, :, ::-1].reshape(h, w * 3)  # top-down RGB -> bottom-up BGR
+        body = b"".join(rows[r].tobytes().ljust(stride, b"\x00") for r in range(h))
+        dib_frames.append(chunk(b"00db", body))
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, stride * h * fps, 0, 0x10, len(frames_rgb), 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsDIB "
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0, len(frames_rgb), stride * h, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(dib_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames_df(
+    df: DataFrame, bin_col: str = "video", id_col: str = "url", on_error: str = "raise"
+) -> DataFrame:
+    """REAL video frame extraction over an opaque AVI column: N output
+    rows per clip — ``(id, frame_idx, width, height, frame_md5)`` with
+    frame_md5 = md5 over the frame's RGB hex (the decode_images_df
+    convention, ANSI-SQL reproducible).  Map-only, shuffle-free row
+    multiplication; at 100 TB the cost is scan + python parse, scaling
+    with partitions."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ws, hs, md5s = [], [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    w, h, frames = decode_avi_frames(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                for i, rgb in enumerate(frames):
+                    ids.append(rid)
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    md5s.append(hashlib.md5(rgb.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "width": ws, "height": hs, "frame_md5": md5s}
+            )
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
+        run, f"{id_col} {id_ddl}, frame_idx int, width int, height int, frame_md5 string"
+    )
 
 
 def decode_image(buf: bytes) -> tuple[int, int, bytes]:

@@ -307,6 +307,45 @@ def test_wav_features_df_extremes_and_skip(spark):
     assert (r2.n_samples, r2.sumsq, r2.peak, r2.zero_crossings) == (0, 0, 0, 0)
 
 
+def test_avi_decode_roundtrip_and_error_paths():
+    from sketch_spark.functions.multimodal import decode_avi_frames, encode_avi
+
+    rng = np.random.default_rng(4)
+    # widths 3/7 exercise the 4-byte stride padding, 4 the no-pad path
+    for w, h, n in [(3, 2, 1), (4, 4, 3), (7, 5, 4)]:
+        frames = [rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes() for _ in range(n)]
+        dw, dh, got = decode_avi_frames(encode_avi(frames, w, h))
+        assert (dw, dh) == (w, h)
+        assert got == frames
+    # compressed codec keeps the PyAV/ffmpeg swap point
+    blob = bytearray(encode_avi([bytes(12)], 2, 2))
+    off = blob.find(b"strf") + 8 + 16  # biCompression inside BITMAPINFOHEADER
+    blob[off : off + 4] = struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_avi_frames(bytes(blob))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_frames(b"nope" * 8)
+
+
+def test_decode_avi_frames_df(spark):
+    from sketch_spark.functions.multimodal import decode_avi_frames_df, encode_avi
+
+    rng = np.random.default_rng(6)
+    frames = [rng.integers(0, 256, size=5 * 3 * 3, dtype=np.uint8).tobytes() for _ in range(3)]
+    rows = [("v", bytearray(encode_avi(frames, 5, 3))), ("bad", bytearray(b"junk" * 8))]
+    df = spark.createDataFrame(rows, "url string, video binary")
+    out = (
+        decode_avi_frames_df(df, "video", "url", on_error="skip")
+        .toPandas()
+        .sort_values("frame_idx")
+    )
+    assert list(out.url) == ["v"] * 3
+    assert list(out.frame_idx) == [0, 1, 2]
+    assert list(out.width) == [5] * 3 and list(out.height) == [3] * 3
+    want = [hashlib.md5(f.hex().encode()).hexdigest() for f in frames]
+    assert list(out.frame_md5) == want
+
+
 def test_decode_images_df_real_path(spark):
     """The Spark operator over mixed PPM/PGM/BMP blobs: dimensions come
     from real header parsing, pixel_md5 from the decoded RGB buffer."""
