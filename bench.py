@@ -161,6 +161,13 @@ def main() -> None:
         "incremental_semantic_dedup",
         "rrf_topk",
         "decayed_topk",
+        # round-4 additions: real multimodal decode + skew evidence
+        "png_decode",
+        "gif_decode",
+        "avi_frames",
+        "image_stats",
+        "wav_features",
+        "skewed_host_stats",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}
