@@ -29,6 +29,24 @@ def test_binary_metadata_plan_pure_codegen(spark, sf001):
         assert marker not in plan, marker
 
 
+def test_decode_plan_single_python_stage(spark, sf001):
+    """The real decode operators must stay map-only: exactly ONE python
+    stage (mapInPandas), no aggregation/join exchanges — the only
+    allowed Exchange is the ensure_min_partitions spread of an
+    underpartitioned input.  At 100 TB the decode cost is the scan plus
+    the python stage, nothing else."""
+    import __spark_entry__ as em
+
+    for q in (em.q_image_decode, em.q_image_stats, em.q_wav_features):
+        plan = _plan(q(spark, sf001))
+        assert plan.count("MapInPandas") <= 2, plan  # synth + decode stages
+        assert "SortMergeJoin" not in plan and "HashAggregate" not in plan, plan
+        # every Exchange must be a plain round-robin spread, never a key shuffle
+        for line in plan.splitlines():
+            if "Exchange" in line and "REPARTITION" not in line:
+                raise AssertionError(f"unexpected keyed exchange in decode plan: {line}")
+
+
 def test_lsh_pairs_no_pandas_groups(spark, sf001):
     from sketch_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
 

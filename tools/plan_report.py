@@ -100,6 +100,27 @@ def main() -> None:
         f"- n_bytes/content_md5/format are pure Catalyst expressions — zero Python stages in the plan: {no_py} (mapInPandas is reserved for real decoders).",
     ))
 
+    # 5b. real decode: map-only — one spread Exchange at most, one
+    # python stage, no keyed shuffle anywhere
+    from sketch_spark.functions.multimodal import image_stats_df
+
+    df = image_stats_df(docs, "bin", "doc_id")
+    plan = explain_str(df)
+    py_stages = sorted(set(re.findall(r"\((\d+)\) MapInPandas", plan)))
+    lower = plan.lower()
+    keyed = lower.count("hashpartitioning") + lower.count("rangepartitioning")
+    spreads = lower.count("roundrobinpartitioning")
+    sections.append((
+        "Real multimodal decode (image_stats_df; same shape for decode_images/wavs/avi)",
+        plan,
+        f"- exactly one python stage (MapInPandas nodes: {len(py_stages)}), "
+        f"no aggregate/join in the plan: {'HashAggregate' not in plan and 'Join' not in plan}.\n"
+        f"- keyed (hash/range) exchanges: {keyed}; round-robin spreads: {spreads} — "
+        "the only Exchange is the ensure_min_partitions spread of an "
+        "underpartitioned input; a well-split 100 TB scan passes through "
+        "with zero shuffle.",
+    ))
+
     # 6. LSH candidate pairs: the only Python stage is the vectorized
     # signature build; pair generation is a capped-bucket JVM self-join
     from sketch_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
