@@ -152,6 +152,29 @@ def cmd_dedup(args) -> None:
     print(json.dumps({"survivors": spark.read.parquet(args.out).count()}))
 
 
+def cmd_decode(args) -> None:
+    from .functions.multimodal import (
+        decode_avi_frames_df,
+        decode_images_df,
+        decode_wavs_df,
+        image_stats_df,
+        wav_features_df,
+    )
+
+    fn = {
+        "images": decode_images_df,
+        "image-stats": image_stats_df,
+        "wavs": decode_wavs_df,
+        "wav-features": wav_features_df,
+        "avi-frames": decode_avi_frames_df,
+    }[args.kind]
+    spark = _spark("multimodal-decode")
+    df = spark.read.parquet(args.input)
+    out = fn(df, args.bin_col, args.id_col, on_error=args.on_error)
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+
+
 def cmd_warc_ingest(args) -> None:
     from pyspark.sql import functions as F
 
@@ -296,6 +319,17 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--seed", type=int, default=1)
     d.set_defaults(fn=cmd_dedup)
+
+    dc = sub.add_parser("decode", help="real multimodal decode / feature extraction")
+    dc.add_argument(
+        "kind", choices=["images", "image-stats", "wavs", "wav-features", "avi-frames"]
+    )
+    dc.add_argument("--input", required=True, help="parquet with a binary column")
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--bin-col", default="image")
+    dc.add_argument("--id-col", default="url")
+    dc.add_argument("--on-error", choices=["raise", "skip"], default="skip")
+    dc.set_defaults(fn=cmd_decode)
 
     w = sub.add_parser("warc-ingest")
     w.add_argument("--input", required=True, help=".warc/.warc.gz path or glob")

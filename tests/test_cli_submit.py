@@ -173,3 +173,32 @@ def test_cli_index_build_probe_stream(spark, sf001, tmp_path, capsys):
     ])
     streamed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert streamed["pairs"] == probed["pairs"]
+
+
+def test_cli_decode(spark, tmp_path, capsys):
+    """The decode subcommand over a mixed image table: real PNG/PPM
+    decode through the CLI surface, corrupt blob skipped."""
+    import hashlib
+
+    import numpy as np
+
+    from sketch_spark import cli
+    from sketch_spark.functions.multimodal import encode_png
+
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, size=4 * 3 * 3, dtype=np.uint8).tobytes()
+    rows = [
+        ("png", bytearray(encode_png(rgb, 4, 3, filter_type=2))),
+        ("ppm", bytearray(b"P6\n4 3\n255\n" + rgb)),
+        ("bad", bytearray(b"corrupt!")),
+    ]
+    src = str(tmp_path / "blobs")
+    spark.createDataFrame(rows, "url string, image binary").write.parquet(src)
+    out = str(tmp_path / "decoded")
+    cli.main(["decode", "images", "--input", src, "--out", out])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got == {"rows": 2}
+    pdf = spark.read.parquet(out).toPandas().set_index("url")
+    want = hashlib.md5(rgb.hex().encode()).hexdigest()
+    assert pdf.loc["png"].pixel_md5 == want and pdf.loc["ppm"].pixel_md5 == want
+    assert set(pdf.format) == {"png", "ppm"}
