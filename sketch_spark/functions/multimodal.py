@@ -498,7 +498,10 @@ def decode_avi_frames(buf: bytes) -> tuple[int, int, list[bytes]]:
                 frames.append(buf[body : body + size])
             pos = body + size + (size & 1)  # chunks are word-aligned
 
-    walk(12, len(buf))
+    try:
+        walk(12, len(buf))
+    except struct.error as e:  # truncated header fields -> skippable
+        raise ValueError(f"corrupt AVI container: {e}") from e
     if w is None:
         raise ValueError("AVI missing avih header")
     if bpp != 24 or compression != 0:
@@ -602,14 +605,20 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
 
 
 def _decode_image_full(buf: bytes) -> tuple[str, int, int, bytes]:
-    if buf[:2] in (b"P6", b"P5"):
-        return _decode_pnm(buf)
-    if buf[:2] == b"BM":
-        return _decode_bmp(buf)
-    if buf[:8] == _PNG_SIG:
-        return _decode_png(buf)
-    if buf[:4] == b"GIF8":
-        return _decode_gif(buf)
+    # struct/zlib errors from truncated or bit-flipped blobs normalize
+    # to ValueError so ``on_error='skip'`` can filter corrupt web data
+    # instead of crashing the job (pinned by the decode fuzz tests)
+    try:
+        if buf[:2] in (b"P6", b"P5"):
+            return _decode_pnm(buf)
+        if buf[:2] == b"BM":
+            return _decode_bmp(buf)
+        if buf[:8] == _PNG_SIG:
+            return _decode_png(buf)
+        if buf[:4] == b"GIF8":
+            return _decode_gif(buf)
+    except (struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt image blob: {e}") from e
     if buf[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
             "jpeg decode requires PIL/opencv (not in this container); "
@@ -628,13 +637,16 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
     channels = rate = bits = None
     data = None
     pos = 12
-    while pos + 8 <= len(buf):
-        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
-        if cid == b"fmt ":
-            _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, pos + 8)
-        elif cid == b"data":
-            data = buf[pos + 8 : pos + 8 + size]
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    try:
+        while pos + 8 <= len(buf):
+            cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+            if cid == b"fmt ":
+                _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, pos + 8)
+            elif cid == b"data":
+                data = buf[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+    except struct.error as e:  # truncated fmt chunk -> skippable
+        raise ValueError(f"corrupt WAVE buffer: {e}") from e
     if channels is None or data is None:
         raise ValueError("missing fmt/data chunk in WAVE buffer")
     return channels, rate, bits // 8, data

@@ -1,0 +1,137 @@
+"""Property tests for the real multimodal decoders (hypothesis).
+
+Two invariants a web-corpus decode stage must hold:
+1. Round trip: encode(pixels) -> decode == pixels, for every format,
+   filter, palette size, and dimension the encoders can produce.
+2. Robustness: a truncated or bit-flipped blob NEVER crashes with a
+   raw IndexError/struct.error or returns silently-wrong dimensions —
+   it either decodes (flip landed in pixel data, dims intact) or
+   raises the clean ValueError/NotImplementedError that
+   ``on_error='skip'`` filters at scale.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from sketch_spark.functions.multimodal import (
+    decode_avi_frames,
+    decode_image,
+    encode_avi,
+    encode_gif,
+    encode_png,
+)
+
+CLEAN = (ValueError, NotImplementedError, zlib.error)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    ft=st.integers(0, 4),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ft, gray, seed):
+    rng = np.random.default_rng(seed)
+    ch = 1 if gray else 3
+    raw = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    got_w, got_h, rgb = decode_image(encode_png(raw, w, h, filter_type=ft, gray=gray))
+    want = np.repeat(np.frombuffer(raw, np.uint8), 3).tobytes() if gray else raw
+    assert (got_w, got_h) == (w, h)
+    assert rgb == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    ncolors=st.integers(1, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, ncolors, interlace, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=ncolors * 3, dtype=np.uint8).tobytes()
+    idx = rng.integers(0, ncolors, size=w * h, dtype=np.uint8).tobytes()
+    got_w, got_h, rgb = decode_image(encode_gif(idx, w, h, pal, interlace=interlace))
+    p = np.frombuffer(pal, np.uint8).reshape(ncolors, 3)
+    assert (got_w, got_h) == (w, h)
+    assert rgb == p[np.frombuffer(idx, np.uint8)].tobytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    n=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(w, h, n, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes() for _ in range(n)]
+    got_w, got_h, got = decode_avi_frames(encode_avi(frames, w, h))
+    assert (got_w, got_h) == (w, h)
+    assert got == frames
+
+
+def _blobs():
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, size=6 * 4 * 3, dtype=np.uint8).tobytes()
+    idx = rng.integers(0, 16, size=6 * 4, dtype=np.uint8).tobytes()
+    pal = rng.integers(0, 256, size=16 * 3, dtype=np.uint8).tobytes()
+    return {
+        "png": encode_png(rgb, 6, 4, filter_type=4),
+        "gif": encode_gif(idx, 6, 4, pal),
+        "ppm": b"P6\n6 4\n255\n" + rgb,
+        "avi": encode_avi([rgb, rgb], 6, 4),
+    }
+
+
+BLOBS = _blobs()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    kind=st.sampled_from(sorted(BLOBS)),
+    cut=st.integers(1, 10_000),
+)
+def test_truncation_raises_cleanly(kind, cut):
+    """Any prefix of a valid blob either still decodes (cut inside
+    trailing padding) or raises a clean, catchable error."""
+    blob = BLOBS[kind]
+    prefix = blob[: max(0, len(blob) - (cut % len(blob)) - 1)]
+    try:
+        if kind == "avi":
+            decode_avi_frames(prefix)
+        else:
+            decode_image(prefix)
+    except CLEAN:
+        pass  # the contract: clean error, on_error='skip' handles it
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    kind=st.sampled_from(sorted(BLOBS)),
+    pos=st.integers(0, 10_000),
+    bit=st.integers(0, 7),
+)
+def test_bitflip_never_crashes_raw(kind, pos, bit):
+    """A single flipped bit anywhere in the blob must never escape as
+    IndexError/struct.error/reshape garbage — decode returns or raises
+    one of the clean error types; when it returns, the dimensions stay
+    parseable ints (flip landed in pixel data or an ignored field)."""
+    blob = bytearray(BLOBS[kind])
+    blob[pos % len(blob)] ^= 1 << bit
+    try:
+        if kind == "avi":
+            w, h, frames = decode_avi_frames(bytes(blob))
+            assert w >= 0 and h >= 0
+        else:
+            w, h, rgb = decode_image(bytes(blob))
+            assert w >= 0 and h >= 0 and len(rgb) == w * h * 3
+    except CLEAN:
+        pass
