@@ -69,7 +69,6 @@ def make_blobs(spark, rows: int, out_dir: str) -> None:
 
     (
         spark.range(rows)
-        .withColumnRenamed("id", "id")
         .repartition(32)
         .mapInPandas(synth, "id bigint, image binary")
         .write.mode("overwrite")

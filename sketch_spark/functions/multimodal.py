@@ -215,9 +215,15 @@ def _decode_png(buf: bytes) -> tuple[str, int, int, bytes]:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     channels = _PNG_CHANNELS[colort]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     stride = w * channels
-    if len(raw) < (stride + 1) * h:
+    need = (stride + 1) * h
+    # cap inflation at the expected raster size: a crafted ~1KB blob can
+    # otherwise inflate to gigabytes before the length check (zlib bombs
+    # are a real hazard in untrusted web corpora)
+    raw = np.frombuffer(
+        zlib.decompressobj().decompress(b"".join(idat), need), np.uint8
+    )
+    if len(raw) < need:
         raise ValueError("truncated PNG raster")
     px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if colort == 0:
@@ -227,6 +233,8 @@ def _decode_png(buf: bytes) -> tuple[str, int, int, bytes]:
     elif colort == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("PNG pixel index outside the palette")
         rgb = plte[px[:, :, 0]]
     elif colort == 4:
         rgb = np.repeat(px[:, :, :1], 3, axis=2)
@@ -293,6 +301,8 @@ def _lzw_decode(minsize: int, data: bytes, npix: int) -> bytes:
     """GIF variable-width LZW (LSB-first): clear/end codes, dictionary
     growth to 4096 with deferred-clear tolerance, and the KwKwK case
     (code == next table slot)."""
+    if not (1 <= minsize <= 11):  # spec: max code width is 12 bits
+        raise ValueError(f"bad GIF LZW minimum code size {minsize}")
     clear, end = 1 << minsize, (1 << minsize) + 1
     out = bytearray()
     bitpos, total_bits = 0, len(data) * 8
@@ -319,6 +329,8 @@ def _lzw_decode(minsize: int, data: bytes, npix: int) -> bytes:
         if code == end:
             break
         if prev is None:
+            if code >= len(table):  # first code after a clear must exist
+                raise ValueError(f"bad LZW code {code}")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -410,6 +422,8 @@ def _decode_gif(buf: bytes) -> tuple[str, int, int, bytes]:
                 pos += 3 * n
             if pal is None:
                 raise ValueError("GIF frame without a color table")
+            if pos >= len(buf):
+                raise ValueError("truncated GIF: missing LZW code size")
             minsize = buf[pos]
             pos += 1
             chunks = []
@@ -481,14 +495,16 @@ def decode_avi_frames(buf: bytes) -> tuple[int, int, list[bytes]]:
     bpp, compression = 24, 0
     frames: list[bytes] = []
 
-    def walk(start: int, end: int) -> None:
+    def walk(start: int, end: int, depth: int = 0) -> None:
         nonlocal w, h, bpp, compression
+        if depth > 16:  # real AVIs nest 2-3 LISTs; a bomb nests thousands
+            raise ValueError("corrupt AVI: LIST nesting too deep")
         pos = start
         while pos + 8 <= end:
             cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
             body = pos + 8
             if cid == b"LIST":
-                walk(body + 4, body + size)  # skip the 4-byte list type
+                walk(body + 4, body + size, depth + 1)  # skip the 4-byte list type
             elif cid == b"avih":
                 w, h = struct.unpack_from("<II", buf, body + 32)
             elif cid == b"strf" and size >= 40:
@@ -834,12 +850,15 @@ def wav_features_df(
             for rid, buf in zip(pdf[id_col], pdf[bin_col]):
                 try:
                     _ch, _rate, width, data = decode_wav(bytes(buf))
-                except ValueError:
+                    if width != 2:
+                        raise NotImplementedError(
+                            "wav_features_df supports 16-bit PCM "
+                            f"(got {width * 8}-bit)"
+                        )
+                except (ValueError, NotImplementedError):
                     if on_error == "raise":
                         raise
                     continue
-                if width != 2:
-                    raise NotImplementedError("wav_features_df supports 16-bit PCM")
                 s = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.int64)
                 neg = s < 0
                 out["id"].append(rid)

@@ -78,6 +78,23 @@ def test_avi_roundtrip_property(w, h, n, seed):
     assert got == frames
 
 
+def _palette_png(idx: bytes, w: int, h: int, plte: bytes) -> bytes:
+    import struct
+
+    from sketch_spark.functions.multimodal import _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    rows = np.frombuffer(idx, np.uint8).reshape(h, w)
+    scan = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _blobs():
     rng = np.random.default_rng(0)
     rgb = rng.integers(0, 256, size=6 * 4 * 3, dtype=np.uint8).tobytes()
@@ -85,6 +102,7 @@ def _blobs():
     pal = rng.integers(0, 256, size=16 * 3, dtype=np.uint8).tobytes()
     return {
         "png": encode_png(rgb, 6, 4, filter_type=4),
+        "png_pal": _palette_png(idx, 6, 4, pal),
         "gif": encode_gif(idx, 6, 4, pal),
         "ppm": b"P6\n6 4\n255\n" + rgb,
         "avi": encode_avi([rgb, rgb], 6, 4),
@@ -135,3 +153,84 @@ def test_bitflip_never_crashes_raw(kind, pos, bit):
             assert w >= 0 and h >= 0 and len(rgb) == w * h * 3
     except CLEAN:
         pass
+
+
+def test_review_regressions_raise_cleanly():
+    """Pin the exact corrupt-blob shapes a review pass found escaping as
+    raw IndexError/RecursionError/struct.error (all must now surface as
+    the clean error types on_error='skip' filters)."""
+    import struct
+
+    from sketch_spark.functions.multimodal import _png_chunk
+
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, size=16 * 3, dtype=np.uint8).tobytes()
+    idx = rng.integers(0, 16, size=24, dtype=np.uint8).tobytes()
+    gif = encode_gif(idx, 6, 4, pal)
+
+    # 1. GIF truncated right where the LZW minimum-code-size byte goes
+    desc_end = gif.find(b"\x2c") + 10  # image descriptor is 10 bytes
+    with pytest.raises(CLEAN):
+        decode_image(gif[:desc_end])
+    # 2. bit-flipped first LZW code after the initial clear
+    for bit in range(8):
+        flipped = bytearray(gif)
+        flipped[desc_end + 1 + 1] ^= 1 << bit  # first data byte of first sub-block
+        try:
+            decode_image(bytes(flipped))
+        except CLEAN:
+            pass
+    # 3. palette PNG whose pixel index exceeds the PLTE
+    bad_idx = bytes([5] * 4)  # 2-entry palette, index 5
+    blob = _palette_png(bad_idx, 2, 2, bytes(6))
+    with pytest.raises(ValueError, match="palette"):
+        decode_image(blob)
+    # 4. AVI LIST-nesting bomb must not hit the recursion limit
+    bomb = b"LIST" + struct.pack("<I", 60_000) + b"bomb"
+    blob = b"RIFF" + struct.pack("<I", 60_012) + b"AVI " + bomb * 5000
+    with pytest.raises(ValueError, match="nesting"):
+        decode_avi_frames(blob)
+    # 5. PNG decompression bomb: tiny blob, IDAT inflates to ~64 MB —
+    # the inflate is capped at the declared raster size, so this must
+    # fail fast on the length check, never materialize the 64 MB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb_idat = zlib.compress(bytes(64 * 1024 * 1024), 9)  # ~64 KB compressed
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb_idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, rgb = decode_image(blob)  # inflates only (2*3+1)*2 bytes of it
+    assert (w, h) == (2, 2) and rgb == bytes(12)
+    # 6. LZW minimum code size out of spec range
+    bad = bytearray(gif)
+    bad[desc_end] = 200
+    with pytest.raises(ValueError, match="code size"):
+        decode_image(bytes(bad))
+
+
+def test_wav_features_skip_covers_unsupported_bit_depths(spark):
+    """on_error='skip' (the CLI default) must skip 8-bit PCM clips, not
+    crash the job on NotImplementedError."""
+    import struct
+
+    from sketch_spark.functions.multimodal import wav_features_df
+
+    def wav(bits: int, payload: bytes) -> bytes:
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        hdr += b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, 8000, 8000 * bits // 8, bits // 8, bits
+        )
+        return hdr + b"data" + struct.pack("<I", len(payload)) + payload
+
+    rows = [
+        ("ok", bytearray(wav(16, struct.pack("<4h", 1, -2, 3, -4)))),
+        ("eightbit", bytearray(wav(8, bytes([1, 2, 3, 4])))),
+    ]
+    df = spark.createDataFrame(rows, "url string, audio binary")
+    out = wav_features_df(df, "audio", "url", on_error="skip").toPandas()
+    assert list(out.url) == ["ok"]
+    # raise mode surfaces it (Spark wraps executor errors, so match text)
+    with pytest.raises(Exception, match="16-bit"):
+        wav_features_df(df, "audio", "url", on_error="raise").toPandas()
