@@ -1915,6 +1915,11 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bucket in survived
                 and tb[0]["completed_at_epoch"] == epochs_before[bucket]
             )
+            if len(ta) != len(tb):  # zip would silently drop a lost spec
+                raise RuntimeError(
+                    f"checkpoint resume lost state: bucket {bucket} has "
+                    f"{len(ta)} specs uninterrupted vs {len(tb)} resumed"
+                )
             for ra, rb in zip(ta, tb):
                 rows.append(
                     (

@@ -73,40 +73,25 @@ CORES_PER_EXECUTOR = 2  # process mode: fixed per-executor size; vary the COUNT
 
 def _process_session(cores: int):
     """A real multi-executor session: ``local-cluster[W,2,mem]`` with
-    W = cores/2 separate executor JVMs.  Mirrors get_spark's configs
-    (UTC, Arrow, AQE, malloc tuning inherited by worker JVMs) and ships
-    the package zip so executor python workers can import sketch_spark
-    regardless of cwd — the same mechanism as ``spark-submit
-    --py-files`` on a genuine cluster."""
+    W = cores/2 separate executor JVMs.  Built through get_spark's
+    ``master`` override so every other session config (UTC, Arrow, AQE,
+    the load-bearing malloc tuning) is byte-identical to the threads
+    mode — the efficiency comparison measures executor topology, never
+    config drift.  The package zip ships via addPyFile exactly as
+    ``spark-submit --py-files`` would on a genuine cluster."""
     import pyspark
-    from pyspark.sql import SparkSession
 
-    from sketch_spark.session import package_zip
+    from sketch_spark.session import get_spark
 
     os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
-    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 * 1024 * 1024))
-    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 * 1024 * 1024))
-    os.environ.setdefault("MALLOC_ARENA_MAX", "2")
     workers = max(1, cores // CORES_PER_EXECUTOR)
-    spark = (
-        SparkSession.builder.master(
-            f"local-cluster[{workers},{CORES_PER_EXECUTOR},4096]"
-        )
-        .appName(f"scaling-proc-{workers}x{CORES_PER_EXECUTOR}")
-        .config("spark.executor.memory", "3g")
-        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .getOrCreate()
+    return get_spark(
+        f"scaling-proc-{workers}x{CORES_PER_EXECUTOR}",
+        cores=cores,
+        shuffle_partitions=max(8, cores),
+        master=f"local-cluster[{workers},{CORES_PER_EXECUTOR},4096]",
+        extra_conf={"spark.executor.memory": "3g"},
     )
-    spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.addPyFile(package_zip())
-    return spark
 
 
 def run_at(cores: int, table_dir: str, runs: int = 1, mode: str = "threads") -> dict:

@@ -37,8 +37,12 @@ sys.path.insert(0, REPO)
 
 
 def skewed_pages(spark, rows: int, n_hosts: int):
-    """Deterministic skewed corpus: doc i goes to the mega-host when
-    ``i % 2 == 0`` (half the corpus), else to host ``i % n_hosts``."""
+    """Deterministic skewed corpus: a doc goes to the mega-host when
+    ``xxhash64(url) % 2 == 0`` — approximately half the corpus by
+    content-hash parity (Spark's signed ``%`` sends negative odd hashes
+    to -1, so slightly over half lands on mega) — else to
+    ``host-(xxhash64(url) mod n_hosts)``.  Same input rows -> same
+    split on every run."""
     from sketch_spark.sources.pages import write_pages_spark
 
     table = f"/tmp/sketch_spark_skew_pages_{rows}"
@@ -64,7 +68,9 @@ def balance(hist: dict[int, int]) -> dict:
         "tasks": len(sizes),
         "max": max(sizes) if sizes else 0,
         "median": med,
-        "factor": round(max(sizes) / med, 2) if med else float("inf"),
+        # None, never float('inf'): the value flows into skew_last.json
+        # and then bench.py's one-line JSON, and Infinity is not RFC-8259
+        "factor": round(max(sizes) / med, 2) if med else None,
     }
 
 

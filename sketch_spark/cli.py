@@ -265,8 +265,11 @@ def cmd_submit(args) -> None:
     ice = None
     if args.iceberg_catalog:
         ice = iceberg_conf(args.iceberg_catalog, args.iceberg_warehouse)
+    # argparse REMAINDER keeps the documented "--" separator in the
+    # list; passing it through would die at the job's own argparse
+    job_args = args.job_args[1:] if args.job_args[:1] == ["--"] else args.job_args
     cmd = submit_command(
-        args.job_args,
+        job_args,
         master=args.master,
         deploy_mode=args.deploy_mode,
         iceberg=ice,

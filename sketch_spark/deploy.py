@@ -139,6 +139,8 @@ def validate_profile(conf: dict[str, str]) -> list[str]:
     overhead = _size_bytes(get("spark.executor.memoryOverhead", "0"))
     if mem is None:
         problems.append(f"unparseable spark.executor.memory={get('spark.executor.memory')!r}")
+    elif cores < 1:
+        pass  # per-slot math is meaningless; the cores problem above covers it
     else:
         if mem // cores < 2 * 2**30:
             problems.append(

@@ -101,6 +101,8 @@ def _pnm_tokens(buf: bytes, pos: int, n: int) -> tuple[list[int], int]:
 def _decode_pnm(buf: bytes) -> tuple[str, int, int, bytes]:
     kind = "ppm" if buf[:2] == b"P6" else "pgm"
     (w, h, maxval), pos = _pnm_tokens(buf, 2, 3)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad {kind} dimensions {w}x{h}")
     if not (0 < maxval <= 255):
         raise ValueError(f"netpbm maxval {maxval} out of supported range (1-255)")
     pos += 1  # exactly ONE whitespace byte separates header from raster
@@ -126,6 +128,8 @@ def _decode_bmp(buf: bytes) -> tuple[str, int, int, bytes]:
             f"compression={compression}); swap in PIL for other variants"
         )
     top_down, h = h_raw < 0, abs(h_raw)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
     stride = (w * 3 + 3) & ~3
     need = stride * h
     body = buf[data_off : data_off + need]
@@ -200,6 +204,8 @@ def _decode_png(buf: bytes) -> tuple[str, int, int, bytes]:
         pos += 12 + length  # 4 length + 4 type + data + 4 crc
         if ctype == b"IHDR":
             w, h, bitd, colort, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad PNG dimensions {w}x{h}")
             if interlace != 0:
                 raise NotImplementedError("Adam7-interlaced PNG: swap in PIL")
             if bitd != 8:
@@ -414,6 +420,8 @@ def _decode_gif(buf: bytes) -> tuple[str, int, int, bytes]:
             pos += 1
         elif block == 0x2C:  # image descriptor
             _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad GIF frame dimensions {w}x{h}")
             pos += 10
             pal = gct
             if ipacked & 0x80:
@@ -520,6 +528,8 @@ def decode_avi_frames(buf: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(f"corrupt AVI container: {e}") from e
     if w is None:
         raise ValueError("AVI missing avih header")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad AVI dimensions {w}x{h}")
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
             f"only uncompressed 24-bit DIB AVI supported (got {bpp}-bit, "
@@ -707,12 +717,12 @@ def decode_images_df(
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 try:
                     fmt, w, h, rgb = _decode_image_full(bytes(b))
+                    if resize_to is not None:
+                        rgb = resize_rgb(rgb, w, h, *resize_to)
                 except (ValueError, NotImplementedError):
                     if on_error == "raise":
                         raise
                     continue
-                if resize_to is not None:
-                    rgb = resize_rgb(rgb, w, h, *resize_to)
                 ids.append(rid)
                 ws.append(w)
                 hs.append(h)

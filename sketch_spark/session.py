@@ -45,7 +45,13 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — e.g.
+    ``local-cluster[W,C,mem]`` for real multi-executor-JVM runs
+    (bench_util/scaling.py --mode process) — while keeping every other
+    session config (UTC, Arrow, AQE, malloc tuning) identical, so
+    topology comparisons never measure config drift."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     if shuffle_partitions is None:
@@ -58,7 +64,7 @@ def get_spark(
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 * 1024 * 1024))
     os.environ.setdefault("MALLOC_ARENA_MAX", "2")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
