@@ -960,24 +960,33 @@ def resize_images_df(
     width: int = 64,
     height: int = 64,
 ) -> DataFrame:
-    """Decode+resize plumbing over an opaque image column: one output
-    row per image with typed (width, height, pixels:binary) — exactly
-    the schema a PIL/opencv decoder would fill.  The decode itself is
-    the clearly-marked ``_fake_pixels`` stub (swap for
+    """Decode + resize to fixed thumbnail pixels over an opaque image
+    column: one output row per image with typed (width, height,
+    pixels:binary).  Blobs in a natively-decodable format
+    (PPM/PGM/BMP/PNG/GIF) go through the REAL decode + nearest-neighbor
+    :func:`resize_rgb`; anything else (JPEG, unknown magic, corrupt)
+    falls back to the clearly-marked deterministic ``_fake_pixels``
+    stub so the plumbing stays total (swap the fallback for
     ``PIL.Image.open(io.BytesIO(buf)).resize((w, h)).tobytes()`` on a
-    cluster with the libraries); everything Spark-side — column
-    pruning, Arrow batching, fixed-size binary output — is real and
-    tested, and the operator is embarrassingly parallel (mapInPandas,
-    no shuffle)."""
+    cluster with the libraries).  Embarrassingly parallel mapInPandas,
+    no shuffle."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pixels = []
+            for b in pdf[bin_col]:
+                b = bytes(b)
+                try:
+                    _, sw, sh, rgb = _decode_image_full(b)
+                    pixels.append(resize_rgb(rgb, sw, sh, width, height))
+                except (ValueError, NotImplementedError):
+                    pixels.append(_fake_pixels(b, width, height))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "width": width,
                     "height": height,
-                    "pixels": [_fake_pixels(bytes(b), width, height) for b in pdf[bin_col]],
+                    "pixels": pixels,
                 }
             )
 
@@ -995,12 +1004,15 @@ def sample_video_frames_df(
     width: int = 32,
     height: int = 32,
 ) -> DataFrame:
-    """Frame-sampling plumbing over an opaque video column: N output
-    rows per input row, (id, frame_idx, frame:binary) — the row
-    multiplication a real ffmpeg/av sampler produces, with the decode
-    stubbed deterministically (frame i = digest-derived pixels of
-    (buf, i)).  Partition behavior matters here: output is N x input
-    rows but still shuffle-free; downstream per-frame feature
+    """Frame sampling over an opaque video column: N output rows per
+    input row, (id, frame_idx, frame:binary) with every frame resized
+    to (width, height) RGB.  Uncompressed-DIB AVI containers go through
+    the REAL :func:`decode_avi_frames` parse, sampling N frames evenly
+    by the floor index map (frame ``(i * total) // n_frames``) and
+    nearest-neighbor resizing each; other containers (mp4/webm/corrupt)
+    fall back to the deterministic ``_fake_pixels`` stub (the
+    ffmpeg/PyAV swap point) so the plumbing stays total.  Output is
+    N x input rows but still shuffle-free; downstream per-frame feature
     extraction parallelizes over the same partitions."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1008,10 +1020,26 @@ def sample_video_frames_df(
             ids, idxs, frames = [], [], []
             for rid, buf in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(buf)
+                real: list[bytes] | None = None
+                try:
+                    sw, sh, decoded = decode_avi_frames(b)
+                    if decoded:
+                        real = [
+                            resize_rgb(
+                                decoded[(i * len(decoded)) // n_frames], sw, sh, width, height
+                            )
+                            for i in range(n_frames)
+                        ]
+                except (ValueError, NotImplementedError):
+                    pass
                 for i in range(n_frames):
                     ids.append(rid)
                     idxs.append(i)
-                    frames.append(_fake_pixels(b + i.to_bytes(4, "little"), width, height))
+                    frames.append(
+                        real[i]
+                        if real is not None
+                        else _fake_pixels(b + i.to_bytes(4, "little"), width, height)
+                    )
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     id_ddl = df.schema[id_col].dataType.simpleString()

@@ -346,6 +346,44 @@ def test_decode_avi_frames_df(spark):
     assert list(out.frame_md5) == want
 
 
+def test_resize_images_df_uses_real_decode(spark):
+    """Decodable blobs must resize their REAL pixels (fallback stub is
+    only for undecodable formats)."""
+    from sketch_spark.functions.multimodal import resize_images_df, resize_rgb
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    ppm = b"P6\n6 4\n255\n" + px.tobytes()
+    rows = [("real", bytearray(ppm)), ("junk", bytearray(b"not-an-image"))]
+    df = spark.createDataFrame(rows, "url string, image binary")
+    out = resize_images_df(df, "image", "url", width=3, height=2).toPandas().set_index("url")
+    want = resize_rgb(px.tobytes(), 6, 4, 3, 2)
+    assert bytes(out.loc["real"].pixels) == want
+    assert len(bytes(out.loc["junk"].pixels)) == 3 * 2 * 3  # stub fallback, right size
+
+
+def test_sample_video_frames_df_uses_real_avi_frames(spark):
+    """AVI blobs must sample their REAL frames (even spacing by the
+    floor index map) and resize each; other blobs keep the stub."""
+    from sketch_spark.functions.multimodal import (
+        encode_avi,
+        resize_rgb,
+        sample_video_frames_df,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, size=4 * 3 * 3, dtype=np.uint8).tobytes() for _ in range(5)]
+    rows = [("vid", bytearray(encode_avi(frames, 4, 3))), ("junk", bytearray(b"webm?" * 4))]
+    df = spark.createDataFrame(rows, "url string, video binary")
+    out = sample_video_frames_df(df, "video", "url", n_frames=2, width=2, height=2).toPandas()
+    vid = out[out.url == "vid"].sort_values("frame_idx")
+    # floor map picks source frames (0*5)//2=0 and (1*5)//2=2
+    want = [resize_rgb(frames[0], 4, 3, 2, 2), resize_rgb(frames[2], 4, 3, 2, 2)]
+    assert [bytes(f) for f in vid.frame] == want
+    junk = out[out.url == "junk"]
+    assert len(junk) == 2 and all(len(bytes(f)) == 2 * 2 * 3 for f in junk.frame)
+
+
 def test_decode_images_df_real_path(spark):
     """The Spark operator over mixed PPM/PGM/BMP blobs: dimensions come
     from real header parsing, pixel_md5 from the decoded RGB buffer."""
