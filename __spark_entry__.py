@@ -540,6 +540,19 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images_df(imgs, "image", "doc_id")
 
 
+def q_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus brightness distribution (multimodal.py
+    corpus_luma_histogram) over the mixed PPM/PGM blobs — the first
+    multimodal query WITH aggregation: per-batch numpy partial
+    histograms, then an 8-key shuffle, exact BIGINT counts.  The
+    oracle unnests the same md5-hex pixel stream and groups by the
+    identical integer bin arithmetic."""
+    from sketch_spark.functions.multimodal import corpus_luma_histogram
+
+    imgs = _synth_images(spark, sf_dir).select("doc_id", "image")
+    return corpus_luma_histogram(imgs, "image", "doc_id", bins=8).orderBy("bin")
+
+
 def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame extraction (multimodal.py decode_avi_frames):
     uncompressed-DIB AVI containers are built executor-side (RIFF
@@ -2237,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "wav_features": q_wav_features,
         "avi_frames": q_avi_frames,
+        "luma_histogram": q_luma_histogram,
         "skewed_host_stats": q_skewed_host_stats,
         "checkpoint_resume": q_checkpoint_resume,
         # --- never driver-checked (missed the r3 50-row window) ---
@@ -2620,6 +2634,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
                        CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
             FROM documents
+        """,
+        # corpus-level aggregate over decoded pixels: unnest the same
+        # md5-hex luma stream and group by the identical bin arithmetic
+        "luma_histogram": """
+            WITH src AS (
+                SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                       repeat(md5('img-' || CAST(doc_id AS VARCHAR)), 7) AS ph,
+                       doc_id % 2 = 0 AS is_ppm
+                FROM documents
+            ), lum AS (
+                SELECT unnest(CASE WHEN is_ppm THEN
+                    [CAST(concat('0x', substr(ph, 6*(i-1)+1, 2)) AS INT)
+                     + CAST(concat('0x', substr(ph, 6*(i-1)+3, 2)) AS INT)
+                     + CAST(concat('0x', substr(ph, 6*(i-1)+5, 2)) AS INT)
+                     FOR i IN generate_series(1, CAST(w*h AS INT))]
+                ELSE
+                    [3 * CAST(concat('0x', substr(ph, 2*i-1, 2)) AS INT)
+                     FOR i IN generate_series(1, CAST(w*h AS INT))]
+                END) AS v
+                FROM src
+            )
+            SELECT CAST(v * 8 // 766 AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_pixels
+            FROM lum GROUP BY 1 ORDER BY 1
         """,
         # one row per (doc, frame): the oracle never sees the RIFF
         # container — it predicts each frame's RGB hash directly

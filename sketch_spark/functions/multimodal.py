@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "binary_metadata",
+    "corpus_luma_histogram",
     "decode_image",
     "decode_images_df",
     "decode_avi_frames",
@@ -891,6 +892,42 @@ def wav_features_df(
         run,
         f"{id_col} {id_ddl}, n_samples int, sumsq bigint, peak int, zero_crossings int",
     )
+
+
+def corpus_luma_histogram(
+    df: DataFrame,
+    bin_col: str = "image",
+    id_col: str = "url",
+    bins: int = 8,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Corpus-level brightness distribution over decoded images: one
+    row per luma bin with the exact BIGINT pixel count, where luma is
+    the integer proxy ``r+g+b`` (0..765) and ``bin = luma * bins //
+    766``.  The scale shape is the partial-aggregate pattern: each
+    Arrow batch emits at most ``bins`` partial rows (map-side combine
+    in numpy), so the shuffle carries bins x partitions rows no matter
+    how many petabytes of images went in."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            counts = np.zeros(bins, np.int64)
+            for b in pdf[bin_col]:
+                try:
+                    _, _w, _h, rgb = _decode_image_full(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                lum = np.frombuffer(rgb, np.uint8).reshape(-1, 3).astype(np.int64).sum(axis=1)
+                counts += np.bincount(lum * bins // 766, minlength=bins)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame({"bin": nz.astype("int32"), "partial": counts[nz]})
+
+    partials = _spread(df.select(id_col, bin_col)).mapInPandas(run, "bin int, partial bigint")
+    return partials.groupBy("bin").agg(F.sum("partial").alias("n_pixels"))
 
 
 def fake_features(buf: bytes, dim: int = 16) -> np.ndarray:
