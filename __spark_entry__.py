@@ -540,6 +540,42 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images_df(imgs, "image", "doc_id")
 
 
+def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-invariant image dedup (multimodal.py
+    image_exact_duplicates): every doc's pixels derive from seed =
+    doc_id % 260 (260 = lcm(4,5) x 13 keeps the w/h arithmetic aligned
+    across copies), but even doc_ids store them as PPM and odd as PNG
+    (zlib round trip in the middle) — blob md5 sees distinct bytes,
+    decoded-pixel md5 groups them.  The oracle groups by the seed
+    arithmetic directly."""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from sketch_spark.functions.multimodal import encode_png, image_exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = did % 260
+                w, h = 3 + seed % 5, 2 + seed % 4
+                mh = _hl.md5(f"img-{seed}".encode()).hexdigest()
+                raster = bytes.fromhex((mh * 7)[: 6 * w * h])
+                if did % 2 == 0:
+                    blobs.append(f"P6\n{w} {h}\n255\n".encode() + raster)
+                else:
+                    blobs.append(encode_png(raster, w, h, filter_type=did % 5))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = docs.mapInPandas(synth, "doc_id bigint, image binary")
+    return image_exact_duplicates(imgs, "image", "doc_id")
+
+
 def q_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus brightness distribution (multimodal.py
     corpus_luma_histogram) over the mixed PPM/PGM blobs — the first
@@ -2251,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_features": q_wav_features,
         "avi_frames": q_avi_frames,
         "luma_histogram": q_luma_histogram,
+        "image_dups": q_image_dups,
         "skewed_host_stats": q_skewed_host_stats,
         "checkpoint_resume": q_checkpoint_resume,
         # --- never driver-checked (missed the r3 50-row window) ---
@@ -2634,6 +2671,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
                        CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
             FROM documents
+        """,
+        # pixel-content groups come straight from the seed arithmetic;
+        # the PPM/PNG container split is invisible to the oracle
+        "image_dups": """
+            WITH src AS (
+                SELECT doc_id, doc_id % 260 AS seed FROM documents
+            ), grp AS (
+                SELECT seed, CAST(count(*) AS BIGINT) AS n_copies,
+                       CAST(min(doc_id) AS BIGINT) AS survivor
+                FROM src GROUP BY seed HAVING count(*) > 1
+            )
+            SELECT md5(substr(repeat(md5('img-' || CAST(seed AS VARCHAR)), 7), 1,
+                       CAST(6 * (3 + seed % 5) * (2 + seed % 4) AS INT))) AS pixel_md5,
+                   n_copies, survivor
+            FROM grp
         """,
         # corpus-level aggregate over decoded pixels: unnest the same
         # md5-hex luma stream and group by the identical bin arithmetic

@@ -40,6 +40,7 @@ __all__ = [
     "encode_png",
     "resize_rgb",
     "fake_features",
+    "image_exact_duplicates",
     "image_stats_df",
     "wav_features_df",
     "extract_features_df",
@@ -891,6 +892,25 @@ def wav_features_df(
     return _spread(df.select(id_col, bin_col)).mapInPandas(
         run,
         f"{id_col} {id_ddl}, n_samples int, sumsq bigint, peak int, zero_crossings int",
+    )
+
+
+def image_exact_duplicates(
+    df: DataFrame, bin_col: str = "image", id_col: str = "url", on_error: str = "skip"
+) -> DataFrame:
+    """Format-invariant exact image dedup: group by the DECODED pixel
+    hash rather than the blob hash, so the same pixels stored as PPM,
+    PNG, GIF, or BMP all dedup together — a crawl serves the same
+    thumbnail through many containers and re-encodes, and blob-level
+    md5 misses every one of them.  One row per duplicated pixel buffer
+    with the copy count and min-id survivor.  Scale shape: map-only
+    decode, then one (pixel_md5) shuffle of hash+id pairs — pixels
+    never ride the exchange."""
+    d = decode_images_df(df, bin_col, id_col, on_error=on_error)
+    return (
+        d.groupBy("pixel_md5")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("survivor"))
+        .filter(F.col("n_copies") > 1)
     )
 
 
