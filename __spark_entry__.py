@@ -589,6 +589,63 @@ def q_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_luma_histogram(imgs, "image", "doc_id", bins=8).orderBy("bin")
 
 
+def q_streaming_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal x Structured Streaming: documents arrive as a file
+    stream, each micro-batch synthesizes and REALLY decodes its image
+    blobs (mapInPandas runs unchanged on streams), and the integer
+    luma-bin counts aggregate in complete mode across epochs.  The
+    final snapshot must hash-match the BATCH luma_histogram oracle —
+    integer partial histograms merge associatively, so streaming ==
+    batch exactly, under the driver's value-hash gate."""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from sketch_spark.functions.multimodal import corpus_luma_histogram
+
+    base, in_dir, schema = _stream_input(spark, sf_dir, "luma")
+    out_dir = os.path.join(base, "out")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(in_dir)
+    ).select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 5, 2 + did % 4
+                mh = _hl.md5(f"img-{did}".encode()).hexdigest()
+                if did % 2 == 0:
+                    blobs.append(
+                        f"P6\n{w} {h}\n255\n".encode()
+                        + bytes.fromhex((mh * 7)[: 6 * w * h])
+                    )
+                else:
+                    blobs.append(
+                        f"P5\n{w} {h}\n255\n".encode()
+                        + bytes.fromhex((mh * 7)[: 2 * w * h])
+                    )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = stream.mapInPandas(synth, "doc_id bigint, image binary")
+    agg = corpus_luma_histogram(imgs, "image", "doc_id", bins=8)
+
+    def snap(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(snap)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("bin")
+
+
 def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame extraction (multimodal.py decode_avi_frames):
     uncompressed-DIB AVI containers are built executor-side (RIFF
@@ -2288,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_frames": q_avi_frames,
         "luma_histogram": q_luma_histogram,
         "image_dups": q_image_dups,
+        "streaming_luma_histogram": q_streaming_luma_histogram,
         "skewed_host_stats": q_skewed_host_stats,
         "checkpoint_resume": q_checkpoint_resume,
         # --- never driver-checked (missed the r3 50-row window) ---
@@ -2686,6 +2744,30 @@ def oracle_sql() -> dict[str, str]:
                        CAST(6 * (3 + seed % 5) * (2 + seed % 4) AS INT))) AS pixel_md5,
                    n_copies, survivor
             FROM grp
+        """,
+        # streaming==batch exactly: same blobs, same arithmetic as
+        # luma_histogram — the fold is associative integer addition
+        "streaming_luma_histogram": """
+            WITH src AS (
+                SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                       repeat(md5('img-' || CAST(doc_id AS VARCHAR)), 7) AS ph,
+                       doc_id % 2 = 0 AS is_ppm
+                FROM documents
+            ), lum AS (
+                SELECT unnest(CASE WHEN is_ppm THEN
+                    [CAST(concat('0x', substr(ph, 6*(i-1)+1, 2)) AS INT)
+                     + CAST(concat('0x', substr(ph, 6*(i-1)+3, 2)) AS INT)
+                     + CAST(concat('0x', substr(ph, 6*(i-1)+5, 2)) AS INT)
+                     FOR i IN generate_series(1, CAST(w*h AS INT))]
+                ELSE
+                    [3 * CAST(concat('0x', substr(ph, 2*i-1, 2)) AS INT)
+                     FOR i IN generate_series(1, CAST(w*h AS INT))]
+                END) AS v
+                FROM src
+            )
+            SELECT CAST(v * 8 // 766 AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_pixels
+            FROM lum GROUP BY 1 ORDER BY 1
         """,
         # corpus-level aggregate over decoded pixels: unnest the same
         # md5-hex luma stream and group by the identical bin arithmetic

@@ -70,7 +70,11 @@ def _spread(df: DataFrame) -> DataFrame:
     """Decode/feature passes are CPU-bound python stages: spread an
     underpartitioned (e.g. single-split) input first so they
     parallelize; a well-partitioned big input passes through untouched
-    (see operators.aggregate.ensure_min_partitions)."""
+    (see operators.aggregate.ensure_min_partitions).  Streaming inputs
+    pass through as-is: partition inspection needs ``df.rdd`` (illegal
+    on a stream), and micro-batch parallelism is the trigger's job."""
+    if df.isStreaming:
+        return df
     from sketch_spark.operators.aggregate import ensure_min_partitions
 
     return ensure_min_partitions(df)
