@@ -2740,7 +2740,9 @@ def oracle_sql() -> dict[str, str]:
                        CAST(min(doc_id) AS BIGINT) AS survivor
                 FROM src GROUP BY seed HAVING count(*) > 1
             )
-            SELECT md5(substr(repeat(md5('img-' || CAST(seed AS VARCHAR)), 7), 1,
+            SELECT CAST(3 + seed % 5 AS INT) AS width,
+                   CAST(2 + seed % 4 AS INT) AS height,
+                   md5(substr(repeat(md5('img-' || CAST(seed AS VARCHAR)), 7), 1,
                        CAST(6 * (3 + seed % 5) * (2 + seed % 4) AS INT))) AS pixel_md5,
                    n_copies, survivor
             FROM grp

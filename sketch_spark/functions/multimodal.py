@@ -83,6 +83,14 @@ def _spread(df: DataFrame) -> DataFrame:
 _PNM_WS = b" \t\r\n\x0b\x0c"
 
 
+def _blob_bytes(b) -> bytes:
+    """Coerce a parquet binary cell to bytes; a NULL blob (routine in
+    web-corpus joins) raises the skippable ValueError, never TypeError."""
+    if b is None:
+        raise ValueError("null blob")
+    return bytes(b)
+
+
 def _pnm_tokens(buf: bytes, pos: int, n: int) -> tuple[list[int], int]:
     """Read ``n`` whitespace-separated integer tokens from a netpbm
     header starting at ``pos``; ``#`` comments run to end-of-line and
@@ -495,19 +503,26 @@ def encode_gif(
     return bytes(out)
 
 
-def decode_avi_frames(buf: bytes) -> tuple[int, int, list[bytes]]:
+def decode_avi_frames(
+    buf: bytes, frame_indices: list[int] | None = None
+) -> tuple[int, int, list[bytes]]:
     """REAL AVI container parse (RIFF walk): read width/height from the
     ``avih`` main header, require uncompressed 24-bit DIB streams from
     ``strf``, and return every ``00db``/``00dc`` frame in the ``movi``
     list as packed top-down RGB — the same layout every image decoder
-    here yields.  Compressed codecs raise ``NotImplementedError`` (the
-    ffmpeg/PyAV swap point for real clusters)."""
+    here yields.  ``frame_indices`` converts ONLY those frames (the
+    walk records byte offsets, so sampling 4 frames of a 10k-frame
+    clip never materializes the other 9,996 RGB buffers); a CALLABLE
+    receives the total frame count and returns the indices (how the
+    frame sampler picks an even spread without a second parse); None
+    converts all.  Compressed codecs raise ``NotImplementedError``
+    (the ffmpeg/PyAV swap point for real clusters)."""
     buf = bytes(buf)
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI buffer")
     w = h = None
     bpp, compression = 24, 0
-    frames: list[bytes] = []
+    spans: list[tuple[int, int]] = []  # (offset, size) per frame chunk
 
     def walk(start: int, end: int, depth: int = 0) -> None:
         nonlocal w, h, bpp, compression
@@ -525,7 +540,7 @@ def decode_avi_frames(buf: bytes) -> tuple[int, int, list[bytes]]:
                 bpp = struct.unpack_from("<H", buf, body + 14)[0]
                 compression = struct.unpack_from("<I", buf, body + 16)[0]
             elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
-                frames.append(buf[body : body + size])
+                spans.append((body, size))
             pos = body + size + (size & 1)  # chunks are word-aligned
 
     try:
@@ -542,11 +557,22 @@ def decode_avi_frames(buf: bytes) -> tuple[int, int, list[bytes]]:
             f"compression={compression}); swap in PyAV/ffmpeg for codecs"
         )
     stride = (w * 3 + 3) & ~3
+    if frame_indices is None:
+        selected = list(range(len(spans)))
+    elif callable(frame_indices):
+        selected = list(frame_indices(len(spans)))
+    else:
+        selected = [i for i in frame_indices]
+        if any(i < 0 or i >= len(spans) for i in selected):
+            raise ValueError(
+                f"frame index out of range (clip has {len(spans)} frames)"
+            )
     out = []
-    for fb in frames:
-        if len(fb) < stride * h:
+    for i in selected:
+        off, size = spans[i]
+        if min(size, len(buf) - off) < stride * h:
             raise ValueError("truncated AVI frame")
-        rows = np.frombuffer(fb[: stride * h], np.uint8).reshape(h, stride)[:, : w * 3]
+        rows = np.frombuffer(buf, np.uint8, stride * h, off).reshape(h, stride)[:, : w * 3]
         px = rows.reshape(h, w, 3)[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
         out.append(np.ascontiguousarray(px).tobytes())
     return w, h, out
@@ -603,7 +629,7 @@ def decode_avi_frames_df(
             ids, idxs, ws, hs, md5s = [], [], [], [], []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 try:
-                    w, h, frames = decode_avi_frames(bytes(b))
+                    w, h, frames = decode_avi_frames(_blob_bytes(b))
                 except (ValueError, NotImplementedError):
                     if on_error == "raise":
                         raise
@@ -632,7 +658,7 @@ def decode_image(buf: bytes) -> tuple[int, int, bytes]:
     raises ``NotImplementedError`` with the documented PIL swap point
     (``PIL.Image.open(io.BytesIO(buf))``) so a cluster with the
     libraries can drop one in."""
-    _, w, h, rgb = _decode_image_full(bytes(buf))
+    _, w, h, rgb = _decode_image_full(_blob_bytes(buf))
     return w, h, rgb
 
 
@@ -722,7 +748,7 @@ def decode_images_df(
             ids, ws, hs, fmts, md5s = [], [], [], [], []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 try:
-                    fmt, w, h, rgb = _decode_image_full(bytes(b))
+                    fmt, w, h, rgb = _decode_image_full(_blob_bytes(b))
                     if resize_to is not None:
                         rgb = resize_rgb(rgb, w, h, *resize_to)
                 except (ValueError, NotImplementedError):
@@ -760,7 +786,7 @@ def decode_wavs_df(
             ids, chs, rates, widths, nbytes, md5s = [], [], [], [], [], []
             for rid, b in zip(pdf[id_col], pdf[bin_col]):
                 try:
-                    ch, rate, width, data = decode_wav(bytes(b))
+                    ch, rate, width, data = decode_wav(_blob_bytes(b))
                 except ValueError:
                     if on_error == "raise":
                         raise
@@ -809,7 +835,7 @@ def image_stats_df(
             out = {k: [] for k in ("id", "w", "h", "npx", "r", "g", "b", "lo", "hi")}
             for rid, buf in zip(pdf[id_col], pdf[bin_col]):
                 try:
-                    _, w, h, rgb = _decode_image_full(bytes(buf))
+                    _, w, h, rgb = _decode_image_full(_blob_bytes(buf))
                 except (ValueError, NotImplementedError):
                     if on_error == "raise":
                         raise
@@ -865,7 +891,7 @@ def wav_features_df(
             out = {k: [] for k in ("id", "n", "ss", "pk", "zc")}
             for rid, buf in zip(pdf[id_col], pdf[bin_col]):
                 try:
-                    _ch, _rate, width, data = decode_wav(bytes(buf))
+                    _ch, _rate, width, data = decode_wav(_blob_bytes(buf))
                     if width != 2:
                         raise NotImplementedError(
                             "wav_features_df supports 16-bit PCM "
@@ -912,7 +938,9 @@ def image_exact_duplicates(
     never ride the exchange."""
     d = decode_images_df(df, bin_col, id_col, on_error=on_error)
     return (
-        d.groupBy("pixel_md5")
+        # width/height join the key: two solid-color images of different
+        # shapes share raster BYTES, and bytes alone would merge them
+        d.groupBy("width", "height", "pixel_md5")
         .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("survivor"))
         .filter(F.col("n_copies") > 1)
     )
@@ -934,21 +962,25 @@ def corpus_luma_histogram(
     how many petabytes of images went in."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one partial frame per PARTITION, not per Arrow batch: the
+        # shuffle carries bins x partitions rows no matter the input
+        counts = np.zeros(bins, np.int64)
         for pdf in it:
-            counts = np.zeros(bins, np.int64)
             for b in pdf[bin_col]:
                 try:
-                    _, _w, _h, rgb = _decode_image_full(bytes(b))
+                    _, _w, _h, rgb = _decode_image_full(_blob_bytes(b))
                 except (ValueError, NotImplementedError):
                     if on_error == "raise":
                         raise
                     continue
                 lum = np.frombuffer(rgb, np.uint8).reshape(-1, 3).astype(np.int64).sum(axis=1)
                 counts += np.bincount(lum * bins // 766, minlength=bins)
-            nz = np.nonzero(counts)[0]
-            yield pd.DataFrame({"bin": nz.astype("int32"), "partial": counts[nz]})
+        nz = np.nonzero(counts)[0]
+        yield pd.DataFrame({"bin": nz.astype("int32"), "partial": counts[nz]})
 
     partials = _spread(df.select(id_col, bin_col)).mapInPandas(run, "bin int, partial bigint")
     return partials.groupBy("bin").agg(F.sum("partial").alias("n_pixels"))
@@ -997,7 +1029,10 @@ def extract_features_df(
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [fake_features(bytes(b), dim).tolist() for b in pdf[bin_col]]
+            feats = [
+                fake_features(b"" if b is None else bytes(b), dim).tolist()
+                for b in pdf[bin_col]
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return _spread(df.select(id_col, bin_col)).mapInPandas(
@@ -1036,7 +1071,7 @@ def resize_images_df(
         for pdf in it:
             pixels = []
             for b in pdf[bin_col]:
-                b = bytes(b)
+                b = b"" if b is None else bytes(b)
                 try:
                     _, sw, sh, rgb = _decode_image_full(b)
                     pixels.append(resize_rgb(rgb, sw, sh, width, height))
@@ -1080,17 +1115,19 @@ def sample_video_frames_df(
         for pdf in it:
             ids, idxs, frames = [], [], []
             for rid, buf in zip(pdf[id_col], pdf[bin_col]):
-                b = bytes(buf)
+                b = b"" if buf is None else bytes(buf)
                 real: list[bytes] | None = None
                 try:
-                    sw, sh, decoded = decode_avi_frames(b)
-                    if decoded:
-                        real = [
-                            resize_rgb(
-                                decoded[(i * len(decoded)) // n_frames], sw, sh, width, height
-                            )
-                            for i in range(n_frames)
+                    sw, sh, decoded = decode_avi_frames(
+                        b,
+                        frame_indices=lambda total: [
+                            (i * total) // n_frames for i in range(n_frames)
                         ]
+                        if total
+                        else [],
+                    )
+                    if decoded:
+                        real = [resize_rgb(f, sw, sh, width, height) for f in decoded]
                 except (ValueError, NotImplementedError):
                     pass
                 for i in range(n_frames):

