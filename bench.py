@@ -168,6 +168,8 @@ def main() -> None:
         "image_stats",
         "wav_features",
         "skewed_host_stats",
+        "image_dups",
+        "luma_histogram",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}
