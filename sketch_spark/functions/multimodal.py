@@ -91,6 +91,13 @@ def _blob_bytes(b) -> bytes:
     return bytes(b)
 
 
+def _blob_or_empty(b) -> bytes:
+    """Null policy for TOTAL operators (resize / frame-sample / fake
+    features): a NULL blob decodes as an empty buffer, which routes to
+    the deterministic fallback instead of raising."""
+    return b"" if b is None else bytes(b)
+
+
 def _pnm_tokens(buf: bytes, pos: int, n: int) -> tuple[list[int], int]:
     """Read ``n`` whitespace-separated integer tokens from a netpbm
     header starting at ``pos``; ``#`` comments run to end-of-line and
@@ -563,10 +570,10 @@ def decode_avi_frames(
         selected = list(frame_indices(len(spans)))
     else:
         selected = [i for i in frame_indices]
-        if any(i < 0 or i >= len(spans) for i in selected):
-            raise ValueError(
-                f"frame index out of range (clip has {len(spans)} frames)"
-            )
+    if any(i < 0 or i >= len(spans) for i in selected):
+        raise ValueError(
+            f"frame index out of range (clip has {len(spans)} frames)"
+        )
     out = []
     for i in selected:
         off, size = spans[i]
@@ -934,8 +941,8 @@ def image_exact_duplicates(
     thumbnail through many containers and re-encodes, and blob-level
     md5 misses every one of them.  One row per duplicated pixel buffer
     with the copy count and min-id survivor.  Scale shape: map-only
-    decode, then one (pixel_md5) shuffle of hash+id pairs — pixels
-    never ride the exchange."""
+    decode, then one (width, height, pixel_md5) shuffle of key+id
+    tuples — pixels never ride the exchange."""
     d = decode_images_df(df, bin_col, id_col, on_error=on_error)
     return (
         # width/height join the key: two solid-color images of different
@@ -957,9 +964,10 @@ def corpus_luma_histogram(
     row per luma bin with the exact BIGINT pixel count, where luma is
     the integer proxy ``r+g+b`` (0..765) and ``bin = luma * bins //
     766``.  The scale shape is the partial-aggregate pattern: each
-    Arrow batch emits at most ``bins`` partial rows (map-side combine
-    in numpy), so the shuffle carries bins x partitions rows no matter
-    how many petabytes of images went in."""
+    PARTITION emits at most ``bins`` partial rows (one numpy
+    accumulator across its whole Arrow iterator), so the shuffle
+    carries bins x partitions rows no matter how many petabytes of
+    images went in."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
     if bins < 1:
@@ -1030,8 +1038,7 @@ def extract_features_df(
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                fake_features(b"" if b is None else bytes(b), dim).tolist()
-                for b in pdf[bin_col]
+                fake_features(_blob_or_empty(b), dim).tolist() for b in pdf[bin_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
@@ -1071,7 +1078,7 @@ def resize_images_df(
         for pdf in it:
             pixels = []
             for b in pdf[bin_col]:
-                b = b"" if b is None else bytes(b)
+                b = _blob_or_empty(b)
                 try:
                     _, sw, sh, rgb = _decode_image_full(b)
                     pixels.append(resize_rgb(rgb, sw, sh, width, height))
@@ -1115,7 +1122,7 @@ def sample_video_frames_df(
         for pdf in it:
             ids, idxs, frames = [], [], []
             for rid, buf in zip(pdf[id_col], pdf[bin_col]):
-                b = b"" if buf is None else bytes(buf)
+                b = _blob_or_empty(buf)
                 real: list[bytes] | None = None
                 try:
                     sw, sh, decoded = decode_avi_frames(

@@ -259,7 +259,9 @@ def test_null_blobs_are_skippable_everywhere(spark):
         "url string, blob binary",
     )
     assert list(decode_images_df(df, "blob", "url", on_error="skip").toPandas().url) == ["ok"]
-    assert list(corpus_luma_histogram(df, "blob", "url", on_error="skip").toPandas().n_pixels) == [4] or True
+    # the ok image has 4 pixels; the null row contributes none
+    luma = corpus_luma_histogram(df, "blob", "url", on_error="skip").toPandas()
+    assert int(luma.n_pixels.sum()) == 4
     # audio/video operators: the ok row is undecodable audio too -> both skip
     assert len(decode_wavs_df(df, "blob", "url", on_error="skip").toPandas()) == 0
     assert len(wav_features_df(df, "blob", "url", on_error="skip").toPandas()) == 0
@@ -302,6 +304,11 @@ def test_avi_frame_indices_lazy_selection():
     assert got == [frames[5]]
     with pytest.raises(ValueError, match="out of range"):
         decode_avi_frames(blob, frame_indices=[6])
+    # the callable path validates identically (no silent negative wrap)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_avi_frames(blob, frame_indices=lambda n: [n])
+    with pytest.raises(ValueError, match="out of range"):
+        decode_avi_frames(blob, frame_indices=lambda n: [-1])
 
 
 def test_luma_histogram_partials_per_partition_and_bins_validation(spark):
