@@ -2326,14 +2326,45 @@ def _text_normalize_oracle_sql() -> str:
     """
 
 
+def _last_driver_checked() -> dict[str, int]:
+    """Newest round in which the driver recorded a CORRECTNESS row for each
+    query, read from the repo's CORRECTNESS_r*.json files.  Queries absent
+    from every file have never been driver-checked (mapped to -1 by the
+    caller).  Tolerant of unreadable/partial files — the rotation is a
+    scheduling hint, never a correctness dependency."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, rnd), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract battery.  ORDER MATTERS: the driver's CORRECTNESS capture
-    keeps only the first ~50 entries, so never-driver-checked queries come
-    FIRST (new this round, then round-3 additions that missed the r3
-    window), then queries last checked in r1/r2, then the r3-checked tail.
-    test_entry_contract.test_driver_window_covers_unchecked pins this.
+    keeps only the first ~50 entries, so the dict is sorted
+    least-recently-driver-checked FIRST — key (newest CORRECTNESS_r*.json
+    round containing the query, -1 if never checked; then name) — so every
+    round re-verifies the 50 stalest driver rows against current code
+    instead of freezing on one window (VERDICT r4 #1).
+    tests/test_contract.py::test_driver_window_is_lru pins this.
     """
-    return {
+    base = {
         # --- new in round 4 (never driver-checked) ---
         "image_decode": q_image_decode,
         "image_decode_resized": q_image_decode_resized,
@@ -2444,6 +2475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_lang_similarity": q_kmv_lang_similarity,
         "hll_lang_overlap": q_hll_lang_overlap,
     }
+    last = _last_driver_checked()
+    return dict(sorted(base.items(), key=lambda kv: (last.get(kv[0], -1), kv[0])))
 
 
 # exact cosine top-5: the oracle for ann_cosine_topk (brute force) AND

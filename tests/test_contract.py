@@ -39,27 +39,26 @@ def test_oracle_keys_subset_of_queries():
     assert qs - oracles == allowed_rows_only
 
 
-def test_driver_window_covers_unchecked():
-    """The driver's CORRECTNESS capture keeps only the first ~50 entries
-    of queries() (VERDICT r3 "What's wrong" #2): every query with no
-    driver-checked row in ANY prior round must sit inside that window."""
-    import glob
-    import json
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        with open(path) as f:
-            checked |= set(json.load(f))
+def test_driver_window_is_lru():
+    """The driver's CORRECTNESS capture keeps only the first ~50 entries of
+    queries() (VERDICT r3 #2), so queries() must be ordered
+    least-recently-driver-checked first (VERDICT r4 #1): never-checked
+    queries lead, then ascending newest-CORRECTNESS-round, names breaking
+    ties — every round the 50 stalest driver rows get re-verified."""
+    last = entrymod._last_driver_checked()
     names = list(entrymod.queries())
-    unchecked = [n for n in names if n not in checked]
+    keys = [(last.get(n, -1), n) for n in names]
+    out_of_order = [names[i] for i in range(1, len(keys)) if keys[i] < keys[i - 1]]
+    assert not out_of_order, (
+        "queries() is not in LRU (last-driver-checked round, name) order; "
+        f"first offenders: {out_of_order[:5]}"
+    )
+    # never-driver-checked queries (if any) must all sit inside the window
+    unchecked = [n for n in names if n not in last]
     window = set(names[:50])
     if len(unchecked) <= 50:
         missing = set(unchecked) - window
         assert not missing, f"never-driver-checked queries outside window: {missing}"
-    else:
-        extra = window - set(unchecked)
-        assert not extra, f"window wastes slots on already-checked queries: {extra}"
 
 
 def test_bench_line_fits_driver_capture():
