@@ -682,33 +682,46 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_avi_frames_df(vids, "video", "doc_id")
 
 
-def _wav_fmt_hex(channels: int, rate: int) -> str:
+def _wav_fmt_hex(channels: int, rate: int, width: int = 2) -> str:
     import struct as _s
 
     return (
         b"fmt "
-        + _s.pack("<IHHIIHH", 16, 1, channels, rate, rate * channels * 2, channels * 2, 16)
+        + _s.pack(
+            "<IHHIIHH",
+            16, 1, channels, rate,
+            rate * channels * width, channels * width, width * 8,
+        )
     ).hex()
 
 
 def _synth_wavs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalyst-synthesized PCM wav blobs — mono 8kHz for even doc_ids,
-    stereo 44.1kHz for odd, 16..32 PCM bytes from the md5-hex stream —
-    so SQL oracles can reproduce every parsed field and the payload."""
+    stereo 44.1kHz for odd, sample width 1 + doc_id % 4 bytes (so all
+    of 8/16/24/32-bit PCM appear in every batch, and the 24-bit clips
+    carry orphan trailing bytes since the 16..32-byte payload isn't a
+    multiple of 3), payload from the md5-hex stream — so SQL oracles
+    can reproduce every parsed field and the payload."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     df = docs.withColumns(
         {
             "nb": (F.lit(16) + (F.col("doc_id") % 9) * 2).cast("int"),
             "mh": F.md5(F.concat(F.lit("wav-"), F.col("doc_id").cast("string"))),
-            "stereo": F.col("doc_id") % 2 == 1,
+            "wmod": F.col("doc_id") % 4,
         }
+    )
+    fmt_hex = (
+        F.when(F.col("wmod") == 0, _wav_fmt_hex(1, 8000, 1))
+        .when(F.col("wmod") == 1, _wav_fmt_hex(2, 44100, 2))
+        .when(F.col("wmod") == 2, _wav_fmt_hex(1, 8000, 3))
+        .otherwise(F.lit(_wav_fmt_hex(2, 44100, 4)))
     )
     blob_hex = F.concat(
         F.lit("52494646"),  # RIFF
         F.lpad(F.lower(F.hex(F.lit(36) + F.col("nb"))), 2, "0"),
         F.lit("000000"),  # riff size fits one byte at this scale
         F.lit("57415645"),  # WAVE
-        F.when(F.col("stereo"), _wav_fmt_hex(2, 44100)).otherwise(_wav_fmt_hex(1, 8000)),
+        fmt_hex,
         F.lit("64617461"),  # data
         F.lpad(F.lower(F.hex(F.col("nb"))), 2, "0"),
         F.lit("000000"),
@@ -727,12 +740,14 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact PCM clip features (multimodal.py wav_features_df):
-    sum of squared int16 samples (BIGINT), peak |sample|, and
-    sign-flip count over the same synthesized blobs — the
-    silence/clipping gate for audio corpora.  The oracle rebuilds the
-    little-endian signed samples from the md5-hex stream and sums the
-    identical integers, so there is no float anywhere."""
+    """Integer-exact PCM clip features (multimodal.py wav_features_df)
+    over mixed 8/16/24/32-bit clips, every width normalized to the
+    common 16-bit scale: sum of squared samples (BIGINT), peak
+    |sample|, and sign-flip count — the silence/clipping gate for
+    audio corpora.  The oracle rebuilds the little-endian signed
+    samples from the md5-hex stream per width (floor-division by a
+    power of two is exact in doubles, so even the 24/32-bit shifts
+    carry no float drift) and sums the identical integers."""
     from sketch_spark.functions.multimodal import wav_features_df
 
     return wav_features_df(_synth_wavs(spark, sf_dir), "audio", "doc_id")
@@ -2757,7 +2772,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INT) AS channels,
                    CAST(CASE WHEN doc_id % 2 = 1 THEN 44100 ELSE 8000 END AS INT)
                        AS sample_rate,
-                   CAST(2 AS INT) AS bytes_per_sample,
+                   CAST(1 + doc_id % 4 AS INT) AS bytes_per_sample,
                    CAST(16 + (doc_id % 9) * 2 AS INT) AS n_pcm_bytes,
                    md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
                        CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
@@ -2875,28 +2890,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max([p[1]+p[2]+p[3] FOR p IN pxl]) AS INT) AS max_lum
             FROM px
         """,
-        # little-endian signed 16-bit reconstruction: v = lo + 256*hi,
-        # minus 65536 when the high byte's sign bit is set
+        # little-endian signed PCM reconstruction per width (1 + doc_id
+        # % 4 bytes/sample), normalized to the common 16-bit scale the
+        # engine uses: 8-bit recenters ((b-128)*256), 16-bit is lo +
+        # 256*hi sign-corrected, 24/32-bit sign-correct then
+        # arithmetic-shift down via floor(x / 2^k) — exact in doubles
+        # because |x| < 2^32 and the divisor is a power of two
         "wav_features": """
             WITH src AS (
                 SELECT doc_id, CAST(16 + (doc_id % 9) * 2 AS INT) AS nb,
+                       CAST(1 + doc_id % 4 AS INT) AS sw,
                        repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2) AS ph
                 FROM documents
             ), vs AS (
-                SELECT doc_id, nb,
-                    [CASE WHEN CAST(concat('0x', substr(ph, 4*(j-1)+3, 2)) AS INT) >= 128
-                          THEN CAST(concat('0x', substr(ph, 4*(j-1)+1, 2)) AS INT)
-                               + 256 * CAST(concat('0x', substr(ph, 4*(j-1)+3, 2)) AS INT)
-                               - 65536
-                          ELSE CAST(concat('0x', substr(ph, 4*(j-1)+1, 2)) AS INT)
-                               + 256 * CAST(concat('0x', substr(ph, 4*(j-1)+3, 2)) AS INT)
-                     END FOR j IN generate_series(1, nb // 2)] AS v
+                SELECT doc_id, nb, sw,
+                    CASE sw
+                    WHEN 1 THEN
+                        [(CAST(concat('0x', substr(ph, 2*j-1, 2)) AS INT) - 128) * 256
+                         FOR j IN generate_series(1, nb)]
+                    WHEN 2 THEN
+                        [CAST(concat('0x', substr(ph, 4*(j-1)+1, 2)) AS INT)
+                         + 256 * CAST(concat('0x', substr(ph, 4*(j-1)+3, 2)) AS INT)
+                         - CASE WHEN CAST(concat('0x', substr(ph, 4*(j-1)+3, 2)) AS INT)
+                                     >= 128 THEN 65536 ELSE 0 END
+                         FOR j IN generate_series(1, nb // 2)]
+                    WHEN 3 THEN
+                        [CAST(floor((CAST(concat('0x', substr(ph, 6*(j-1)+1, 2)) AS INT)
+                            + 256 * CAST(concat('0x', substr(ph, 6*(j-1)+3, 2)) AS INT)
+                            + 65536 * CAST(concat('0x', substr(ph, 6*(j-1)+5, 2)) AS INT)
+                            - CASE WHEN CAST(concat('0x', substr(ph, 6*(j-1)+5, 2)) AS INT)
+                                        >= 128 THEN 16777216 ELSE 0 END) / 256.0) AS INT)
+                         FOR j IN generate_series(1, nb // 3)]
+                    ELSE
+                        [CAST(floor((CAST(concat('0x', substr(ph, 8*(j-1)+1, 2)) AS INT)
+                            + 256 * CAST(concat('0x', substr(ph, 8*(j-1)+3, 2)) AS INT)
+                            + 65536 * CAST(concat('0x', substr(ph, 8*(j-1)+5, 2)) AS INT)
+                            + 16777216 * CAST(concat('0x', substr(ph, 8*(j-1)+7, 2)) AS BIGINT)
+                            - CASE WHEN CAST(concat('0x', substr(ph, 8*(j-1)+7, 2)) AS INT)
+                                        >= 128 THEN 4294967296 ELSE 0 END) / 65536.0) AS INT)
+                         FOR j IN generate_series(1, nb // 4)]
+                    END AS v
                 FROM src
             )
-            SELECT doc_id, CAST(nb // 2 AS INT) AS n_samples,
+            SELECT doc_id, CAST(len(v) AS INT) AS n_samples,
                    CAST(list_sum([x*x FOR x IN v]) AS BIGINT) AS sumsq,
                    CAST(list_max([abs(x) FOR x IN v]) AS INT) AS peak,
-                   CAST(len([1 FOR j IN generate_series(2, nb // 2)
+                   CAST(len([1 FOR j IN generate_series(2, len(v))
                              IF (v[j] < 0) != (v[j-1] < 0)]) AS INT) AS zero_crossings
             FROM vs
         """,

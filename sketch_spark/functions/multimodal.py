@@ -881,13 +881,43 @@ def image_stats_df(
     )
 
 
+def _pcm_to_i16(data: bytes, width: int) -> np.ndarray:
+    """Decode an interleaved PCM byte stream of 8/16/24/32-bit samples
+    to the COMMON 16-bit scale (int64 values in [-32768, 32767]):
+    unsigned 8-bit recenters then shifts up (``(u8-128) << 8``), wider
+    widths arithmetic-shift down (``>> 8`` / ``>> 16``).  Arithmetic
+    shift preserves sign (negative stays negative, non-negative stays
+    non-negative), so zero-crossings computed on the normalized stream
+    equal those on the raw samples; sumsq/peak become width-comparable
+    — the whole point of gating a mixed-provenance audio corpus on one
+    RMS threshold.  Trailing bytes short of one sample are dropped
+    (truncated final sample, routine in crawled media)."""
+    if width not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported PCM sample width {width * 8}-bit")
+    data = data[: len(data) - len(data) % width]
+    if width == 1:
+        return (np.frombuffer(data, np.uint8).astype(np.int64) - 128) << 8
+    if width == 2:
+        return np.frombuffer(data, "<i2").astype(np.int64)
+    if width == 4:
+        return np.frombuffer(data, "<i4").astype(np.int64) >> 16
+    # 3-byte little-endian: assemble, sign-extend via the 2^23 bit
+    b = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.int64)
+    v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+    return (v - ((v & 0x800000) << 1)) >> 8
+
+
 def wav_features_df(
     df: DataFrame, bin_col: str = "audio", id_col: str = "url", on_error: str = "raise"
 ) -> DataFrame:
-    """Per-clip PCM features over the decoded int16 sample stream —
-    integer-exact ``(n_samples, sumsq, peak, zero_crossings)`` (sumsq =
-    sum of squared samples as BIGINT, peak = max |sample|, crossings =
-    sign flips between consecutive samples of the interleaved stream).
+    """Per-clip PCM features over the decoded sample stream, any of
+    8/16/24/32-bit PCM (mixed widths are the norm in a crawl; see
+    :func:`_pcm_to_i16` for the common 16-bit normalization that makes
+    one RMS/clipping threshold apply across widths) — integer-exact
+    ``(n_samples, sumsq, peak, zero_crossings)`` (sumsq = sum of
+    squared normalized samples as BIGINT, peak = max |sample|,
+    crossings = sign flips between consecutive samples of the
+    interleaved stream; sign is invariant under the normalization).
     RMS/silence/clipping gates for audio training corpora derive from
     these without any float leaving the executor.  Map-only."""
     if on_error not in ("raise", "skip"):
@@ -899,16 +929,11 @@ def wav_features_df(
             for rid, buf in zip(pdf[id_col], pdf[bin_col]):
                 try:
                     _ch, _rate, width, data = decode_wav(_blob_bytes(buf))
-                    if width != 2:
-                        raise NotImplementedError(
-                            "wav_features_df supports 16-bit PCM "
-                            f"(got {width * 8}-bit)"
-                        )
+                    s = _pcm_to_i16(data, width)
                 except (ValueError, NotImplementedError):
                     if on_error == "raise":
                         raise
                     continue
-                s = np.frombuffer(data[: len(data) & ~1], "<i2").astype(np.int64)
                 neg = s < 0
                 out["id"].append(rid)
                 out["n"].append(len(s))

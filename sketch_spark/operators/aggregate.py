@@ -56,7 +56,52 @@ __all__ = [
     "keyed_sketch_aggregate",
     "salted_spread",
     "partition_histogram",
+    "bounded_rank",
 ]
+
+
+def bounded_rank(
+    df: DataFrame, by: list[tuple[str, bool]], rank_col: str = "rank"
+) -> DataFrame:
+    """Dense 1..n ``row_number`` for inputs already PROVEN
+    candidate-bounded (≤ n_candidates rows after a
+    TakeOrderedAndProject / a fixed parameter lattice — never
+    data-scale), without an unpartitioned Window.  ``by`` is
+    ``[(column_name, ascending), ...]`` and must reach a unique total
+    order (include an id tiebreaker).
+
+    Why not ``Window.orderBy``: a global window is correct here (the
+    input is tiny by construction) but fires WindowExec's "No
+    Partition Defined" WARN — the exact message reserved for flagging
+    REAL data-scale single-task windows — and dozens of benign copies
+    in the bench tail would hide a genuine scale-killer (VERDICT r4
+    #3).  ``partitionBy(lit(0))`` doesn't help: Spark 4 constant-folds
+    the foldable partition key away and warns anyway.  So the bounded
+    list is ranked as ONE applyInPandas group (constant grouping key):
+    a single python task over ≤ a few hundred rows, deterministic
+    stable sort, silent plan.  Callers must never hand this a
+    data-scale frame; rank those via sampling.rank_buckets instead."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cols = [c for c, _ in by]
+    asc = [a for _, a in by]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"bounded_rank order columns not in frame: {missing}")
+    # fresh StructType: .add on df.schema would mutate the frame's
+    # cached schema object and desync it from the underlying plan
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(rank_col, IntegerType(), False)]
+    )
+
+    def rank(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(cols, ascending=asc, kind="mergesort")
+        pdf[rank_col] = np.arange(1, len(pdf) + 1, dtype=np.int32)
+        return pdf[[f.name for f in out_schema.fields]]
+
+    # a string literal key: an INTEGER literal in groupBy would parse
+    # as a GROUP BY ordinal and fail analysis
+    return df.groupBy(F.lit("all")).applyInPandas(rank, out_schema)
 
 
 def ensure_min_partitions(df: DataFrame) -> DataFrame:

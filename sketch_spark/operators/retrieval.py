@@ -328,15 +328,18 @@ def rrf_topk(
     TakeOrderedAndProject); fusion is a candidate x candidate full
     outer join — nothing data-scale shuffles.
     """
-    from pyspark.sql import Window
-
+    from .aggregate import bounded_rank
     from .similarity import cosine_sim_col
 
     cand = bm25_topk(docs, terms, n_candidates, text_col=text_col, id_col=id_col)
-    wb = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    b_ranked = cand.select(
-        F.col(id_col).alias("_id"), F.row_number().over(wb).alias("bm25_rank")
-    )
+    # both ranked lists are ≤ n_candidates rows: bounded_rank orders
+    # them in one single-group task without the unpartitioned-window
+    # WARN (VERDICT r4 #3)
+    b_ranked = bounded_rank(
+        cand.select(F.col(id_col).alias("_id"), "score"),
+        [("score", False), ("_id", True)],
+        "bm25_rank",
+    ).select("_id", "bm25_rank")
     qv = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
     cos_top = (
         emb.select(
@@ -346,8 +349,9 @@ def rrf_topk(
         .orderBy(F.col("_cos").desc(), F.col("_id").asc())
         .limit(n_candidates)
     )
-    wc = Window.orderBy(F.col("_cos").desc(), F.col("_id").asc())
-    c_ranked = cos_top.select("_id", F.row_number().over(wc).alias("cos_rank"))
+    c_ranked = bounded_rank(
+        cos_top, [("_cos", False), ("_id", True)], "cos_rank"
+    ).select("_id", "cos_rank")
     fused = b_ranked.join(c_ranked, "_id", "full_outer")
     rrf = F.round(
         F.coalesce(1.0 / (F.lit(float(c)) + F.col("bm25_rank")), F.lit(0.0))

@@ -93,9 +93,11 @@ def lsh_tuning_table(
     both integrals are ``F.aggregate`` folds over a
     ``sequence(1, grid)`` midpoint lattice (deterministic in-order
     summation, mirrored exactly by the DuckDB oracle's list
-    comprehension + list_sum).  The tiny global window for ``chosen``
-    ranks num_perm rows — not a data-scale sort."""
-    from pyspark.sql import Window
+    comprehension + list_sum).  ``chosen`` ranks a fixed num_perm-row
+    parameter lattice — not a data-scale sort — so it runs through
+    bounded_rank (one applyInPandas group, no unpartitioned-window
+    WARN)."""
+    from .aggregate import bounded_rank
 
     params = spark.createDataFrame(
         lsh_param_grid(num_perm), "b INT, r INT"
@@ -137,7 +139,5 @@ def lsh_tuning_table(
             F.lit(float(fp_weight)) * fp_raw + F.lit(float(fn_weight)) * fn_raw, 6
         ).alias("err"),
     )
-    w = Window.orderBy("err", "b", "r")
-    return scored.withColumn(
-        "chosen", F.row_number().over(w) == F.lit(1)
-    )
+    ranked = bounded_rank(scored, [("err", True), ("b", True), ("r", True)])
+    return ranked.withColumn("chosen", F.col("rank") == F.lit(1)).drop("rank")
