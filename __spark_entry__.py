@@ -576,6 +576,101 @@ def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_exact_duplicates(imgs, "image", "doc_id")
 
 
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image near-dup pairs (multimodal.py
+    image_near_duplicates): every doc renders pixels from seed =
+    doc_id % 151 in one of three forms — the original PPM (form 0), a
+    2x nearest-neighbor-upscaled PNG twin (form 1: floor maps nest, so
+    its 8x8 aHash is IDENTICAL — the resized-thumbnail crawl case
+    exact pixel dedup misses), or a posterized re-quantization
+    (form 2: v -> v//4*4, flipping only knife-edge bits).  The engine
+    really decodes PPM/PNG, signs, bands, bucket-joins, and
+    Hamming-verifies; the oracle recomputes every signature from the
+    md5-hex arithmetic and mirrors the banded join (bucket cap
+    included) and the bit_count verify in pure SQL."""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from sketch_spark.functions.multimodal import (
+        encode_png,
+        image_near_duplicates,
+        resize_rgb,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, form = did % 151, did % 3
+                w, h = 8 + seed % 5, 8 + seed % 3
+                mh = _hl.md5(f"nd-{seed}".encode()).hexdigest()
+                raster = bytes.fromhex((mh * 23)[: 6 * w * h])
+                if form == 0:
+                    blobs.append(f"P6\n{w} {h}\n255\n".encode() + raster)
+                elif form == 1:
+                    up = resize_rgb(raster, w, h, 2 * w, 2 * h)
+                    blobs.append(encode_png(up, 2 * w, 2 * h, filter_type=seed % 5))
+                else:
+                    post = (
+                        ((_np.frombuffer(raster, _np.uint8) // 4) * 4)
+                        .astype(_np.uint8)
+                        .tobytes()
+                    )
+                    blobs.append(f"P6\n{w} {h}\n255\n".encode() + post)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = docs.mapInPandas(synth, "doc_id bigint, image binary")
+    return image_near_duplicates(imgs, "image", "doc_id", max_hamming=6)
+
+
+def q_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level video dedup from SAMPLED frames (multimodal.py
+    video_duplicates): clip content derives from seed = doc_id % 97
+    (2 + seed % 3 frames of md5-hex pixels) but each doc muxes it at
+    its own frame rate (fps = 10 + 5 * (doc_id % 4)) — container bytes
+    differ per copy, the sampled-frame signature groups them.  With
+    sample_frames=2 the even-spread rule (idx_j = j*n//2) actually
+    bites on 3- and 4-frame clips, and the RIFF walk converts ONLY the
+    sampled frames (lazy byte offsets).  The oracle predicts each
+    sampled frame's hash from the md5 arithmetic and rebuilds the same
+    clip signature in SQL."""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from sketch_spark.functions.multimodal import encode_avi, video_duplicates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = did % 97
+                w, h = 3 + seed % 5, 2 + seed % 4
+                frames = [
+                    bytes.fromhex(
+                        (_hl.md5(f"vid-{seed}-{k}".encode()).hexdigest() * 7)[
+                            : 6 * w * h
+                        ]
+                    )
+                    for k in range(2 + seed % 3)
+                ]
+                blobs.append(encode_avi(frames, w, h, fps=10 + 5 * (did % 4)))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "video": blobs})
+
+    vids = docs.mapInPandas(synth, "doc_id bigint, video binary")
+    return video_duplicates(vids, "video", "doc_id", sample_frames=2)
+
+
 def q_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus brightness distribution (multimodal.py
     corpus_luma_histogram) over the mixed PPM/PGM blobs — the first
@@ -2380,6 +2475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_contract.py::test_driver_window_is_lru pins this.
     """
     base = {
+        # --- new in round 5 (never driver-checked) ---
+        "image_near_dups": q_image_near_dups,
+        "video_dups": q_video_dups,
         # --- new in round 4 (never driver-checked) ---
         "image_decode": q_image_decode,
         "image_decode_resized": q_image_decode_resized,
@@ -2777,6 +2875,91 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
                        CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
             FROM documents
+        """,
+        # full perceptual pipeline mirrored in SQL: 8x8 floor-map sample
+        # (form 1 composes the twin's 2x upscale map — identical by the
+        # nested-floor identity), division-free mean-threshold bits,
+        # 16-bit LSB-first bands, capped-bucket band join, bit_count
+        # Hamming verify — byte-for-byte the engine's rule
+        "image_near_dups": """
+            WITH src AS (
+              SELECT doc_id, doc_id % 151 AS seed, doc_id % 3 AS form FROM documents
+            ), dims AS (
+              SELECT doc_id, seed, form,
+                     8 + seed % 5 AS w, 8 + seed % 3 AS h,
+                     repeat(md5('nd-' || CAST(seed AS VARCHAR)), 23) AS ph
+              FROM src
+            ), lum AS (
+              SELECT doc_id,
+                [ CASE WHEN form = 1 THEN
+                    CAST(concat('0x', substr(ph, 6*(((((m//8)*2*h)//8)//2)*w + ((((m%8)*2*w)//8)//2)) + 1, 2)) AS INT)
+                  + CAST(concat('0x', substr(ph, 6*(((((m//8)*2*h)//8)//2)*w + ((((m%8)*2*w)//8)//2)) + 3, 2)) AS INT)
+                  + CAST(concat('0x', substr(ph, 6*(((((m//8)*2*h)//8)//2)*w + ((((m%8)*2*w)//8)//2)) + 5, 2)) AS INT)
+                  WHEN form = 2 THEN
+                    (CAST(concat('0x', substr(ph, 6*((((m//8)*h)//8)*w + (((m%8)*w)//8)) + 1, 2)) AS INT) // 4) * 4
+                  + (CAST(concat('0x', substr(ph, 6*((((m//8)*h)//8)*w + (((m%8)*w)//8)) + 3, 2)) AS INT) // 4) * 4
+                  + (CAST(concat('0x', substr(ph, 6*((((m//8)*h)//8)*w + (((m%8)*w)//8)) + 5, 2)) AS INT) // 4) * 4
+                  ELSE
+                    CAST(concat('0x', substr(ph, 6*((((m//8)*h)//8)*w + (((m%8)*w)//8)) + 1, 2)) AS INT)
+                  + CAST(concat('0x', substr(ph, 6*((((m//8)*h)//8)*w + (((m%8)*w)//8)) + 3, 2)) AS INT)
+                  + CAST(concat('0x', substr(ph, 6*((((m//8)*h)//8)*w + (((m%8)*w)//8)) + 5, 2)) AS INT)
+                  END
+                  FOR m IN generate_series(0, 63) ] AS lums
+              FROM dims
+            ), sig AS (
+              SELECT doc_id, lums, list_sum(lums) AS total FROM lum
+            ), bands AS (
+              SELECT doc_id,
+                [ CAST(list_sum([CASE WHEN 64 * lums[16*k + t + 1] > total
+                                      THEN (1 << t) ELSE 0 END
+                                 FOR t IN generate_series(0, 15)]) AS INT)
+                  FOR k IN generate_series(0, 3) ] AS bl
+              FROM sig
+            ), b AS (
+              SELECT doc_id, unnest([0,1,2,3]) AS band_idx, unnest(bl) AS band_val FROM bands
+            ), ok AS (
+              SELECT band_idx, band_val FROM b GROUP BY 1, 2 HAVING count(*) <= 256
+            ), cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM b x
+              JOIN ok o ON x.band_idx = o.band_idx AND x.band_val = o.band_val
+              JOIN b y ON y.band_idx = o.band_idx AND y.band_val = o.band_val
+              WHERE x.doc_id < y.doc_id
+            ), ham AS (
+              SELECT id_a, id_b,
+                     CAST(bit_count(xor(ba.bl[1], bb.bl[1])) + bit_count(xor(ba.bl[2], bb.bl[2]))
+                        + bit_count(xor(ba.bl[3], bb.bl[3])) + bit_count(xor(ba.bl[4], bb.bl[4])) AS INT) AS hamming
+              FROM cand
+              JOIN bands ba ON ba.doc_id = id_a
+              JOIN bands bb ON bb.doc_id = id_b
+            )
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+        """,
+        # the oracle never sees the RIFF container or the fps metadata:
+        # it predicts each SAMPLED frame's hash (idx_j = j*n//2 when
+        # n > 2, all frames otherwise) and rebuilds the clip signature
+        "video_dups": """
+            WITH src AS (
+              SELECT doc_id, doc_id % 97 AS seed FROM documents
+            ), dims AS (
+              SELECT doc_id, seed, 3 + seed % 5 AS w, 2 + seed % 4 AS h,
+                     2 + seed % 3 AS n
+              FROM src
+            ), sig AS (
+              SELECT doc_id, w, h, n,
+                md5(list_aggregate(
+                  [ md5(substr(repeat(md5('vid-' || CAST(seed AS VARCHAR) || '-' ||
+                         CAST(CASE WHEN n <= 2 THEN j ELSE (j*n)//2 END AS VARCHAR)), 7),
+                         1, CAST(6*w*h AS INT)))
+                    FOR j IN generate_series(0, CAST(least(n, 2) - 1 AS INT)) ],
+                  'string_agg', '')) AS clip_md5
+              FROM dims
+            )
+            SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(n AS INT) AS n_frames, clip_md5,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(min(doc_id) AS BIGINT) AS survivor
+            FROM sig GROUP BY 1, 2, 3, 4 HAVING count(*) > 1
         """,
         # pixel-content groups come straight from the seed arithmetic;
         # the PPM/PNG container split is invisible to the oracle

@@ -26,9 +26,15 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from sketch_spark.core import native as _native
+
 __all__ = [
+    "ahash_bands",
     "binary_metadata",
     "corpus_luma_histogram",
+    "image_near_duplicates",
+    "video_clip_signatures",
+    "video_duplicates",
     "decode_image",
     "decode_images_df",
     "decode_avi_frames",
@@ -168,11 +174,19 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_unfilter(arr: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Reverse the five PNG scanline filters (spec §9): Sub is a
-    per-channel cumsum, Up is vectorized against the prior row;
-    Average/Paeth carry an intra-row dependency so those rows scan
-    pixel-by-pixel (rare in practice — encoders favor 0-2 on
-    photographic data; correctness path, not the hot path)."""
+    """Reverse the five PNG scanline filters (spec §9).  Average/Paeth
+    decode is a TRUE intra-row recurrence (recon[x] needs
+    recon[x-bpp]) — and organic PNGs are Paeth-heavy (libpng's
+    adaptive default) — so the whole image routes through the compiled
+    row kernel (core.native: ~40 lines of C via cc+ctypes, one pass,
+    cached per machine) when a system compiler exists.  The python
+    fallback vectorizes Sub (per-channel cumsum) and Up (prior-row
+    add) in numpy and scans Average/Paeth rows over plain int lists
+    (~20x the numpy-scalar loop this replaces); both paths are
+    property-tested byte-equal across all filters."""
+    nat = _native.png_unfilter(arr, h, stride, bpp)
+    if nat is not None:
+        return nat
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
     for y in range(h):
@@ -186,20 +200,22 @@ def _png_unfilter(arr: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
         elif f == 2:  # Up
             rec = (line + prev) & 255
         elif f == 3:  # Average
-            rec = np.empty(stride, np.int64)
+            rl, pl = line.tolist(), prev.tolist()
             for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (line[x] + ((left + prev[x]) >> 1)) & 255
+                left = rl[x - bpp] if x >= bpp else 0
+                rl[x] = (rl[x] + ((left + pl[x]) >> 1)) & 255
+            rec = np.array(rl, np.int64)
         elif f == 4:  # Paeth
-            rec = np.empty(stride, np.int64)
+            rl, pl = line.tolist(), prev.tolist()
             for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+                a = rl[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (line[x] + pr) & 255
+                rl[x] = (rl[x] + pr) & 255
+            rec = np.array(rl, np.int64)
         else:
             raise ValueError(f"bad PNG filter byte {f} on row {y}")
         out[y] = rec
@@ -302,15 +318,15 @@ def encode_png(rgb: bytes, w: int, h: int, filter_type: int = 0, gray: bool = Fa
             left = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
             filt = (rec - ((left + prev) >> 1)) & 255
         elif filter_type == 4:
-            filt = np.empty(stride, np.int64)
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                filt[x] = (rec[x] - pr) & 255
+            # Paeth on the ENCODE side is non-recursive (a/b/c all come
+            # from known raw rows), so it vectorizes fully — unlike the
+            # decode recurrence (see _png_unfilter / core.native)
+            a = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
+            b, c = prev, np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pr = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            filt = (rec - pr) & 255
         else:
             raise ValueError(f"bad filter type {filter_type}")
         lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
@@ -973,6 +989,221 @@ def image_exact_duplicates(
         # width/height join the key: two solid-color images of different
         # shapes share raster BYTES, and bytes alone would merge them
         d.groupBy("width", "height", "pixel_md5")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("survivor"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def ahash_bands(
+    rgb: bytes, w: int, h: int, grid: int = 8, band_bits: int = 16
+) -> list[int]:
+    """Perceptual average-hash signature of a decoded RGB buffer,
+    integer-exact so two engines (and an ANSI-SQL oracle) agree bit for
+    bit: nearest-neighbor ``grid x grid`` resample (:func:`resize_rgb`'s
+    floor index map), luma proxy ``r+g+b`` per sample (0..765), bit
+    ``m`` set iff ``grid^2 * luma_m > sum(luma)`` (a division-free
+    strict mean compare), packed LSB-first into ``band_bits``-wide
+    unsigned ints.  Because floor division nests
+    (``(a//b)//c == a//(b*c)``), an exact k-times integer upscale
+    samples the IDENTICAL source pixels and yields the identical
+    signature, and mild re-quantization flips only knife-edge bits —
+    which is what the Hamming-banded join in
+    :func:`image_near_duplicates` recovers.  This is the multimodal
+    twin of the reference's near-duplicate frequency structure
+    (sketch.cpp:144-162): a compact fingerprint whose collisions mark
+    the heavy (repeated) content."""
+    if grid < 1 or (grid * grid) % band_bits != 0:
+        raise ValueError(f"grid^2 ({grid * grid}) must be a multiple of band_bits")
+    sampled = np.frombuffer(resize_rgb(rgb, w, h, grid, grid), np.uint8)
+    lum = sampled.reshape(-1, 3).astype(np.int64).sum(axis=1)
+    total = int(lum.sum())
+    bits = (lum * (grid * grid) > total).astype(np.int64)
+    weights = np.int64(1) << np.arange(band_bits, dtype=np.int64)
+    return [
+        int((bits[k * band_bits : (k + 1) * band_bits] * weights).sum())
+        for k in range((grid * grid) // band_bits)
+    ]
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    bin_col: str = "image",
+    id_col: str = "url",
+    grid: int = 8,
+    band_bits: int = 16,
+    max_hamming: int = 6,
+    bucket_cap: int = 256,
+    on_error: str = "skip",
+) -> DataFrame:
+    """PERCEPTUAL image near-dup pairs: a resized or re-quantized copy
+    of the same picture (the common crawl case exact pixel dedup
+    misses) pairs with its original.  One row per matched pair
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and Hamming distance
+    over the 64-bit :func:`ahash_bands` signature ``<= max_hamming``.
+
+    Scale shape (the 100-TB discipline of dedup.py's MinHash path —
+    never all-pairs): the decode + signature pass is map-only python;
+    after it only ``grid^2/band_bits`` small ints per image exist.
+    Candidates come from a banded self-join — images sharing ANY exact
+    ``band_bits``-bit band of the signature land in one bucket, so two
+    signatures within Hamming distance ``bands - 1`` are guaranteed a
+    shared band (pigeonhole) — with degenerate buckets (> bucket_cap
+    members, e.g. solid-color boilerplate) dropped from candidate
+    generation exactly like the LSH bucket cap.  The Hamming verify is
+    JVM-side (``bit_count`` over xor'd bands), no second python stage,
+    and pixels never ride any exchange."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bands_out = [], []
+            for rid, b in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    _, w, h, rgb = _decode_image_full(_blob_bytes(b))
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(rid)
+                bands_out.append(ahash_bands(rgb, w, h, grid, band_bits))
+            # an all-skipped batch yields nothing: an EMPTY pandas frame
+            # defaults its columns to float64, which Arrow cannot cast
+            # to the list<int> bands type
+            if ids:
+                yield pd.DataFrame({id_col: ids, "bands": bands_out})
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    sigs = _spread(df.select(id_col, bin_col)).mapInPandas(
+        run, f"{id_col} {id_ddl}, bands array<int>"
+    )
+    # referenced 3x below (band explode + both pair sides): checkpoint
+    # once so the decode pass runs once (CLAUDE.md persist discipline)
+    sigs = sigs.localCheckpoint(eager=True)
+    b = sigs.select(id_col, F.posexplode("bands").alias("band_idx", "band_val"))
+    ok = (
+        b.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") <= bucket_cap)
+        .drop("n_members")
+    )
+    inb = b.join(ok, ["band_idx", "band_val"])
+    pairs = (
+        inb.alias("x")
+        .join(inb.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, v) -> acc + v)"
+    ).cast("int")
+    return (
+        pairs.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("bands").alias("bands_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("bands").alias("bands_b")),
+            "id_b",
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def video_clip_signatures(
+    df: DataFrame,
+    bin_col: str = "video",
+    id_col: str = "url",
+    sample_frames: int = 4,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Per-clip content signature from ``sample_frames`` evenly-spread
+    frames: one row per clip ``(id, width, height, n_frames, n_sampled,
+    clip_md5)``.  The RIFF walk records every frame's byte offset but
+    converts ONLY the selected frames to RGB (``idx_j = (j*n) //
+    sample_frames``; all frames when ``n <= sample_frames``) — sampling
+    4 frames of a 10k-frame clip never materializes the other 9,996 —
+    and ``clip_md5`` is md5 over the concatenated per-frame RGB-hex
+    md5 hexdigests in sampled order (the decode_avi_frames_df hash
+    convention, so ANSI-SQL reproducible).  Container metadata (fps,
+    chunk layout, padding) never enters the hash: the same content
+    re-muxed at another frame rate signs identically.  Map-only."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    if sample_frames < 1:
+        raise ValueError(f"sample_frames must be >= 1, got {sample_frames}")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, nfs, nss, sigs = [], [], [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[bin_col]):
+                seen: dict[str, int] = {}
+
+                def pick(n: int) -> list[int]:
+                    seen["n"] = n
+                    if n <= sample_frames:
+                        return list(range(n))
+                    return [(j * n) // sample_frames for j in range(sample_frames)]
+
+                try:
+                    w, h, frames = decode_avi_frames(_blob_bytes(b), frame_indices=pick)
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                frame_md5s = [
+                    hashlib.md5(rgb.hex().encode()).hexdigest() for rgb in frames
+                ]
+                ids.append(rid)
+                ws.append(w)
+                hs.append(h)
+                nfs.append(seen["n"])
+                nss.append(len(frames))
+                sigs.append(hashlib.md5("".join(frame_md5s).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": nfs,
+                    "n_sampled": nss,
+                    "clip_md5": sigs,
+                }
+            )
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
+        run,
+        f"{id_col} {id_ddl}, width int, height int, n_frames int, "
+        "n_sampled int, clip_md5 string",
+    )
+
+
+def video_duplicates(
+    df: DataFrame,
+    bin_col: str = "video",
+    id_col: str = "url",
+    sample_frames: int = 4,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Clip-level video dedup from sampled-frame signatures: group by
+    ``(width, height, n_frames, clip_md5)`` — the full shape plus the
+    sampled-content hash, so a prefix clip never merges with a longer
+    one — and keep groups with more than one member.  Scale shape:
+    map-only decode of ``sample_frames`` frames per clip (lazy byte
+    offsets), then ONE shuffle of (key, id) tuples; frame pixels never
+    leave the decode stage."""
+    sigs = video_clip_signatures(df, bin_col, id_col, sample_frames, on_error)
+    return (
+        sigs.groupBy("width", "height", "n_frames", "clip_md5")
         .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("survivor"))
         .filter(F.col("n_copies") > 1)
     )
