@@ -259,43 +259,46 @@ def lsh_candidate_pairs(
     # below for just the surviving candidate pairs
     banded = lsh_band_keys(sig_df, id_col, bands)
 
-    # singleton buckets (the vast majority) can never produce a pair —
-    # drop them JVM-side before the pair join, which otherwise pays a
-    # window pass over every bucket
-    multi = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("band", "bucket")
-    )
-    # no broadcast hint: AQE picks broadcast when the multi-bucket list
-    # is small and falls back to shuffle join when a pathological corpus
-    # makes it large (forcing broadcast here would OOM the driver then)
-    banded = banded.join(multi, ["band", "bucket"], "left_semi")
-
-    # pair generation stays ENTIRELY JVM-side (codegen): a per-bucket
-    # window caps degenerate buckets at their max_bucket smallest ids
-    # (flagged, never silent), a bucket self-join emits id_a < id_b
-    # candidates, and the signature-agreement Jaccard estimate is a
-    # zip_with/filter expression — no Python stage, no per-group pandas
-    # overhead (the previous applyInPandas paid ~1 ms x n_buckets)
+    # pair generation stays ENTIRELY JVM-side (codegen) and costs ONE
+    # exchange of the banded keys: a window partitioned by bucket
+    # computes both the bucket size (filters the singleton majority —
+    # no pair can come from a 1-row bucket) and the per-bucket rank
+    # that caps degenerate buckets at their max_bucket smallest ids
+    # (flagged, never silent); the surviving rows are ALREADY
+    # partitioned by (band, bucket), so the groupBy into a per-bucket
+    # id array adds no shuffle, the array is bounded by max_bucket
+    # (safe to materialize at any corpus size), and the id_a < id_b
+    # pairs explode from the sorted array map-side via nested
+    # transform — no self-join.  (Two earlier revisions paid more for
+    # the same answer: a groupBy + left_semi singleton pre-drop
+    # re-shuffled the full banded set twice, and a bucket self-join
+    # re-computed the window subtree per side — Catalyst does not CSE
+    # across self-joins; together -0.9 s of the 2.1 s sf0.1 wall.)
     from pyspark.sql import Window as W
 
     wb = W.partitionBy("band", "bucket")
     ranked = banded.withColumn("_bn", F.count("*").over(wb)).withColumn(
         "_rn", F.row_number().over(wb.orderBy(id_col))
     )
-    kept = ranked.filter(F.col("_rn") <= max_bucket)
-    left = kept.select(
-        "band",
-        "bucket",
-        F.col(id_col).alias("id_a"),
-        (F.col("_bn") > max_bucket).alias("capped"),
+    kept = ranked.filter((F.col("_bn") >= 2) & (F.col("_rn") <= max_bucket))
+    buckets = kept.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids"),
+        (F.first("_bn") > max_bucket).alias("capped"),
     )
-    right = kept.select("band", "bucket", F.col(id_col).alias("id_b"))
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                "_ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
     cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(pair_expr.alias("_p"), "capped")
+        .select("_p.id_a", "_p.id_b", "capped")
         .groupBy("id_a", "id_b")
         .agg(F.max("capped").alias("capped"))
     )
