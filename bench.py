@@ -36,6 +36,22 @@ def compact_line(detail: dict) -> str:
     scal = detail.get("scaling_efficiency") or {}
     sk = detail["sketch_build"]
     err = detail["cmcu_error_vs_bound"]
+    # the sf-tier sticker (5k docs at sf0.1, overhead-dominated) is
+    # scale-tagged so it can't be misread against BASELINE.md's
+    # 500k-doc throughput; the comparable number rides in the scaling
+    # block (tokens/s at the measurement's higher parallelism level)
+    scaling = {
+        k: scal[k] for k in ("value", "spread", "mode", "rows") if k in scal
+    }
+    pairs = scal.get("pairs") or {}
+    if pairs:
+        best = max(
+            (v for p in pairs.values() for k, v in p.items()
+             if k.startswith("tokens_per_sec_")),
+            default=None,
+        )
+        if best is not None:
+            scaling["mtok_per_sec"] = round(best / 1e6, 1)
     out = {
         "metric": detail["metric"],
         "value": detail["value"],
@@ -44,14 +60,10 @@ def compact_line(detail: dict) -> str:
         "sf": detail["sf"],
         "cpus": detail["cpus"],
         "pipeline_total": detail.get("pipeline_total"),
-        "sketch_mtok_per_sec": round(sk["tokens_per_sec"] / 1e6, 2),
+        "sf01_sketch_mtok": round(sk["tokens_per_sec"] / 1e6, 2),
         "cmcu_underestimates": err["underestimates"],
         "cmcu_violation_rate": err["violation_rate"],
-        "scaling": {
-            k: scal[k]
-            for k in ("value", "spread", "mode", "rows")
-            if k in scal
-        },
+        "scaling": scaling,
         "detail": "bench_detail.json",
     }
     sb = detail.get("skew_balance")
