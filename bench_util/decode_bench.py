@@ -146,7 +146,14 @@ def main() -> None:
         print(json.dumps(bench_png_filters(args.out)))
         return
 
-    from sketch_spark.functions.multimodal import decode_images_df, image_stats_df
+    from pyspark.sql import functions as F
+
+    from sketch_spark.functions.multimodal import (
+        corpus_luma_histogram,
+        decode_images_df,
+        image_exact_duplicates,
+        image_stats_df,
+    )
     from sketch_spark.session import get_spark
 
     spark = get_spark("decode-bench", cores=args.cores, shuffle_partitions=args.cores)
@@ -159,12 +166,24 @@ def main() -> None:
     # warm python workers so the timed pass measures decode, not imports
     decode_images_df(df.limit(256), "image", "id").count()
 
+    # JVM-only scan floor: everything above this in an op's wall is the
+    # python decode stage + whatever exchange the op adds
+    t0 = time.time()
+    df.select(F.sum(F.length("image"))).collect()
+    t_scan = time.time() - t0
+
     t0 = time.time()
     n = decode_images_df(df, "image", "id").count()
     t_decode = time.time() - t0
     t0 = time.time()
     n2 = image_stats_df(df, "image", "id").count()
     t_stats = time.time() - t0
+    t0 = time.time()
+    image_exact_duplicates(df, "image", id_col="id").count()
+    t_dups = time.time() - t0
+    t0 = time.time()
+    corpus_luma_histogram(df, "image", id_col="id", bins=32, on_error="skip").count()
+    t_hist = time.time() - t0
     assert n == n2 == args.rows, (n, n2)
 
     res = {
@@ -172,10 +191,17 @@ def main() -> None:
         "rows": args.rows,
         "size": args.size,
         "cores": args.cores,
+        "scan_s": round(t_scan, 2),
         "decode_s": round(t_decode, 2),
         "decode_per_sec": round(args.rows / t_decode),
         "stats_s": round(t_stats, 2),
         "stats_per_sec": round(args.rows / t_stats),
+        "dups_s": round(t_dups, 2),
+        "hist_s": round(t_hist, 2),
+        # fraction of each downstream op's wall that is the map-only
+        # python decode pass (the rest: JVM scan + the op's exchange)
+        "python_fraction_dups": round(min(1.0, t_decode / t_dups), 2),
+        "python_fraction_hist": round(min(1.0, t_decode / t_hist), 2),
     }
     print(json.dumps(res))
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
@@ -185,7 +211,12 @@ def main() -> None:
             f"{args.size}x{args.size} blobs "
             f"(PNG/GIF/BMP/PPM mix, zlib+LZW real), {args.cores} cores: "
             f"decode_images_df {res['decode_per_sec']}/s ({res['decode_s']}s), "
-            f"image_stats_df {res['stats_per_sec']}/s ({res['stats_s']}s).\n"
+            f"image_stats_df {res['stats_per_sec']}/s ({res['stats_s']}s), "
+            f"image_exact_duplicates {res['dups_s']}s, "
+            f"corpus_luma_histogram {res['hist_s']}s, JVM scan floor "
+            f"{res['scan_s']}s; python decode stage = "
+            f"{res['python_fraction_dups']} of the dups wall / "
+            f"{res['python_fraction_hist']} of the histogram wall.\n"
         )
     spark.stop()
 
