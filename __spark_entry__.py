@@ -576,6 +576,39 @@ def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_exact_duplicates(imgs, "image", "doc_id")
 
 
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction (pdftext.py decode_pdf): each doc's
+    text is paginated into 40-char pages (1 + doc_id % 3 of them),
+    encoded executor-side into a complete PDF — catalog, page tree,
+    font, per-page content streams, xref — with /FlateDecode (real
+    zlib) on even doc_ids and raw streams on odd.  The engine then
+    walks the object graph, inflates (bomb-capped), and parses the
+    text-showing operators; the oracle re-derives the pages from the
+    same substring arithmetic, so the whole literal-string escape +
+    deflate round trip sits under the value hash."""
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from sketch_spark.functions.pdftext import encode_pdf, pdf_text_df
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did, tx in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                tx = tx or ""
+                n = 1 + did % 3
+                pages = [tx[40 * k : 40 * k + 40] for k in range(n)]
+                blobs.append(encode_pdf(pages, compress=did % 2 == 0))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "doc": blobs})
+
+    pdfs = docs.mapInPandas(synth, "doc_id bigint, doc binary")
+    return pdf_text_df(pdfs, "doc", "doc_id")
+
+
 def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCEPTUAL image near-dup pairs (multimodal.py
     image_near_duplicates): every doc renders pixels from seed =
@@ -2478,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never driver-checked) ---
         "image_near_dups": q_image_near_dups,
         "video_dups": q_video_dups,
+        "pdf_text": q_pdf_text,
         # --- new in round 4 (never driver-checked) ---
         "image_decode": q_image_decode,
         "image_decode_resized": q_image_decode_resized,
@@ -2874,6 +2908,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (doc_id % 9) * 2 AS INT) AS n_pcm_bytes,
                    md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
                        CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
+            FROM documents
+        """,
+        # the oracle never sees a PDF byte: it re-derives the page
+        # strings from the same 40-char substring arithmetic, so the
+        # literal-escape + FlateDecode round trip sits under the hash
+        "pdf_text": """
+            SELECT doc_id,
+                   CAST(1 + doc_id % 3 AS INT) AS n_pages,
+                   CAST(3 + 2 * (1 + doc_id % 3) AS INT) AS n_objects,
+                   CASE CAST(1 + doc_id % 3 AS INT)
+                     WHEN 1 THEN substr(coalesce(text, ''), 1, 40)
+                     WHEN 2 THEN substr(coalesce(text, ''), 1, 40) || chr(10)
+                               || substr(coalesce(text, ''), 41, 40)
+                     ELSE substr(coalesce(text, ''), 1, 40) || chr(10)
+                               || substr(coalesce(text, ''), 41, 40) || chr(10)
+                               || substr(coalesce(text, ''), 81, 40)
+                   END AS text
             FROM documents
         """,
         # full perceptual pipeline mirrored in SQL: 8x8 floor-map sample

@@ -1270,6 +1270,13 @@ def binary_metadata(
     JVM-side (no Python stage at all; mapInPandas is reserved for real
     decoders, see ``extract_features_df``).  ``id_type`` is retained
     for API compatibility; the id column keeps its input type.
+
+    Decode support behind each sniffed format: png/gif/riff(avi,wav)
+    and the netpbm/bmp families decode in this module; ``pdf`` routes
+    to :mod:`sketch_spark.functions.pdftext` (object scan, FlateDecode,
+    text extraction); ``jpeg`` and ``html`` are sniff-only here (JPEG
+    sits behind the PIL seam in ``decode_image``; HTML text extraction
+    lives in ``sources.pages``).
     """
     c = F.col(bin_col)
     fmt = None

@@ -1,0 +1,399 @@
+"""Minimal real PDF parsing: object scan, FlateDecode, text extraction.
+
+Closes the "PDF metadata honesty" gap (the format sniff in
+``multimodal._MAGIC`` used to be the only PDF support): this module
+actually parses the subset of PDF that a crawl-scale text pipeline
+needs — the object graph, stream payloads (raw or /FlateDecode, i.e.
+zlib), page counting, and the text-showing operators (``Tj``, ``'``,
+``"``, ``TJ``) inside content streams — in pure python + zlib, no
+external dependency.  Anything beyond the subset (other filters,
+encryption, object streams) raises ``NotImplementedError`` at the
+entry point so the DataFrame wrappers' ``on_error='skip'`` routing and
+the documented "swap in pdfminer/pypdf on a real cluster" seam both
+stay honest.
+
+Same engineering discipline as the image/audio decoders in
+``multimodal.py`` (see CLAUDE.md):
+
+- every malformed-input failure is normalized to ``ValueError`` at the
+  decode entry point (the skip path only catches ValueError /
+  NotImplementedError);
+- zlib inflation is capped (``max_stream_bytes``) so a deflate bomb in
+  a content stream cannot eat an executor;
+- the encoder dual (:func:`encode_pdf`) lets fixtures be synthesized
+  executor-side from plain strings, which makes the whole
+  encode→extract round trip predictable by an ANSI-SQL oracle (the
+  extracted text of a PDF built from page strings IS those strings
+  joined with ``\\n``).
+
+Reference anchor: the reference engine's scope is token frequency over
+text extracted upstream (sketch.cpp:103-120 consumes already-extracted
+sequences); this module is the extraction seam a 100-TB web corpus
+needs in-engine for ``application/pdf`` responses.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+__all__ = ["decode_pdf", "encode_pdf", "pdf_text_df"]
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_ESCAPES = {
+    b"n"[0]: b"\n",
+    b"r"[0]: b"\r",
+    b"t"[0]: b"\t",
+    b"b"[0]: b"\b",
+    b"f"[0]: b"\f",
+    b"("[0]: b"(",
+    b")"[0]: b")",
+    b"\\"[0]: b"\\",
+}
+
+
+def _inflate_capped(data: bytes, cap: int) -> bytes:
+    """zlib-inflate at most ``cap`` output bytes; a stream still
+    producing output past the cap is a bomb and raises ValueError (the
+    skip-routable class), as does any malformed deflate stream."""
+    d = zlib.decompressobj()
+    out = bytearray()
+    chunk_in = data
+    try:
+        while True:
+            before = (len(out), len(chunk_in))
+            out += d.decompress(chunk_in, cap + 1 - len(out))
+            if len(out) > cap:
+                raise ValueError(f"FlateDecode output exceeds cap ({cap} bytes)")
+            chunk_in = d.unconsumed_tail
+            if not chunk_in:
+                break
+            if (len(out), len(chunk_in)) == before:
+                raise ValueError("FlateDecode stream makes no progress")
+        out += d.flush()
+    except zlib.error as e:
+        raise ValueError(f"bad FlateDecode stream: {e}") from None
+    if len(out) > cap:
+        raise ValueError(f"FlateDecode output exceeds cap ({cap} bytes)")
+    return bytes(out)
+
+
+def _parse_literal(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Parse a PDF literal string starting at the ``(`` at ``pos``;
+    returns (decoded bytes, index just past the closing paren).
+    Handles nested balanced parens, the standard backslash escapes,
+    1-3 digit octal escapes, line continuations, and the spec's
+    EOL-normalization (a raw CR or CRLF inside a literal reads as LF,
+    PDF 32000-1 §7.3.4.2)."""
+    out = bytearray()
+    depth = 1
+    i = pos + 1
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            if i + 1 >= n:
+                break
+            e = buf[i + 1]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                i += 2
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_digits = bytearray()
+                while j < n and len(oct_digits) < 3 and 0x30 <= buf[j] <= 0x37:
+                    oct_digits.append(buf[j])
+                    j += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if e == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+            else:  # spec: stray backslash is dropped
+                out.append(e)
+                i += 2
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        elif c == 0x0D:  # raw EOL normalizes to \n
+            out.append(0x0A)
+            i += 1
+            if i < n and buf[i] == 0x0A:
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("unterminated PDF literal string")
+
+
+def _parse_hex_string(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Parse a ``<hex>`` string starting at ``pos``; odd digit counts
+    pad with 0 per spec."""
+    end = buf.find(b">", pos)
+    if end < 0:
+        raise ValueError("unterminated PDF hex string")
+    digits = re.sub(rb"\s+", b"", buf[pos + 1 : end])
+    if re.search(rb"[^0-9a-fA-F]", digits):
+        raise ValueError("bad PDF hex string")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode()), end + 1
+
+
+def _extract_text_ops(content: bytes) -> list[bytes]:
+    """Shown strings from a content stream, in stream order: operands
+    of ``Tj``, ``'``, ``"`` and the string elements of ``TJ`` arrays.
+    Tokenizes strings exactly (so a ``Tj`` inside string DATA is never
+    misread as an operator) and ignores every positioning/style
+    operator — a text pipeline wants the characters, not the layout."""
+    out: list[bytes] = []
+    pending: list[bytes] = []  # strings seen since the last operator
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # (
+            s, i = _parse_literal(content, i)
+            pending.append(s)
+        elif c == 0x3C and not content.startswith(b"<<", i):  # <hex>
+            s, i = _parse_hex_string(content, i)
+            pending.append(s)
+        elif c == 0x5B:  # [ — TJ arrays handled via pending
+            i += 1
+        elif content.startswith(b"Tj", i) or c in (0x27, 0x22):  # Tj ' "
+            if pending:
+                out.append(pending[-1])  # the string operand
+            pending = []
+            i += 2 if content.startswith(b"Tj", i) else 1
+        elif content.startswith(b"TJ", i):
+            out.extend(pending)  # every string element of the array
+            pending = []
+            i += 2
+        elif c == 0x25:  # % comment runs to EOL
+            nl = content.find(b"\n", i)
+            i = n if nl < 0 else nl + 1
+        elif (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A):
+            # any other operator clears non-text string operands
+            j = i
+            while j < n and (0x41 <= content[j] <= 0x5A or 0x61 <= content[j] <= 0x7A):
+                j += 1
+            op = content[i:j]
+            if op not in (b"BT", b"ET"):
+                pending = []
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def decode_pdf(buf: bytes, max_stream_bytes: int = 1 << 24) -> tuple[int, int, str]:
+    """Parse a PDF and return ``(n_pages, n_objects, text)``.
+
+    Subset: classic ``N G obj … endobj`` bodies with raw or
+    /FlateDecode streams (inflation capped at ``max_stream_bytes``),
+    ``/Type /Page`` page counting, and text from the standard
+    text-showing operators in file order, pages joined by ``\\n``.
+    Raises ValueError on malformed input (any truncation/corruption —
+    struct/zlib failures normalized), NotImplementedError on valid PDF
+    features outside the subset (other filters, /Encrypt) — both
+    routed by ``on_error='skip'`` in :func:`pdf_text_df`."""
+    buf = bytes(buf)
+    if not buf.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    n_objects = 0
+    n_pages = 0
+    texts: list[bytes] = []
+    # SEQUENTIAL scan that steps over stream payloads via the declared
+    # direct /Length — a regex sweep over the whole file would count
+    # "N G obj" / "endobj" byte patterns occurring by CHANCE inside
+    # compressed stream data (1-in-millions per blob, certain across a
+    # 100-TB corpus), exactly the knife-edge class CLAUDE.md bans
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(buf, pos)
+        if m is None:
+            break
+        n_objects += 1
+        i = m.end()
+        # the object head (dict) is text: the first stream/endobj
+        # keyword after it is structural, not payload
+        sm = re.compile(rb"stream\r?\n").search(buf, i)
+        em = buf.find(b"endobj", i)
+        if em < 0:
+            raise ValueError("object without endobj")
+        head_end = sm.start() if sm is not None and sm.start() < em else em
+        head = buf[i:head_end]
+        if b"/Encrypt" in head:
+            raise NotImplementedError("encrypted PDF")
+        # /Type /Page but not /Pages (the page-tree node)
+        if re.search(rb"/Type\s*/Page(?![a-zA-Z])", head):
+            n_pages += 1
+        if sm is None or sm.start() >= em:
+            pos = em + len(b"endobj")
+            continue
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        if lm is None:
+            if re.search(rb"/Length\s+\d+\s+\d+\s+R", head):
+                raise NotImplementedError("indirect /Length")
+            raise ValueError("stream without /Length")
+        length = int(lm.group(1))
+        data_start = sm.end()
+        data_end = data_start + length
+        if data_end > len(buf):
+            raise ValueError("stream /Length past end of file")
+        data = buf[data_start:data_end]
+        tail = buf.find(b"endstream", data_end)
+        if tail < 0 or buf[data_end:tail].strip() != b"":
+            raise ValueError("stream data does not end at endstream")
+        em = buf.find(b"endobj", tail)
+        if em < 0:
+            raise ValueError("object without endobj")
+        pos = em + len(b"endobj")
+        fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", head)
+        if fm:
+            filt = fm.group(1)
+            if b"FlateDecode" not in filt:
+                raise NotImplementedError(f"unsupported PDF filter {filt!r}")
+            data = _inflate_capped(data, max_stream_bytes)
+        try:
+            shown = _extract_text_ops(data)
+        except ValueError:
+            # a non-content stream (image XObject, font file) routinely
+            # contains bytes that do not tokenize as operators; it
+            # carries no text by definition
+            shown = []
+        if shown:
+            texts.append(b"".join(shown))
+    if n_objects == 0:
+        raise ValueError("PDF contains no objects")
+    try:
+        text = b"\n".join(texts).decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ValueError(f"content text is not UTF-8: {e}") from None
+    return n_pages, n_objects, text
+
+
+def _escape_literal(s: bytes) -> bytes:
+    return (
+        s.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        .replace(b"\r", b"\\r")
+        .replace(b"\n", b"\\n")
+    )
+
+
+def encode_pdf(pages: list[str], compress: bool = False) -> bytes:
+    """Build a minimal valid PDF showing one text string per page
+    (catalog + page tree + font + per page: page object and content
+    stream, raw or FlateDecode), with a correct xref table.  The dual
+    of :func:`decode_pdf` for fixtures: ``decode_pdf(encode_pdf(p))``
+    returns ``(len(p), 3 + 2*len(p), "\\n".join(p))`` — which is what
+    makes the extraction oracle-able in plain SQL."""
+    n = len(pages)
+    objs: list[bytes] = []
+    kids = b" ".join(b"%d 0 R" % (4 + 2 * k) for k in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    bodies: list[bytes] = []
+    for k, page in enumerate(pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (5 + 2 * k)
+        )
+        content = (
+            b"BT /F1 12 Tf 72 720 Td ("
+            + _escape_literal(page.encode("utf-8"))
+            + b") Tj ET"
+        )
+        if compress:
+            payload = zlib.compress(content)
+            bodies.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(payload)
+                + payload
+                + b"\nendstream"
+            )
+        else:
+            bodies.append(
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream"
+            )
+        objs.append(b"")  # placeholder; bodies spliced below
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    body_iter = iter(bodies)
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        payload = obj if obj else next(body_iter)
+        out += b"%d 0 obj\n" % i + payload + b"\nendobj\n"
+    xref_at = len(out)
+    total = len(objs) + 1
+    out += b"xref\n0 %d\n" % total
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (total, xref_at)
+    )
+    return bytes(out)
+
+
+def pdf_text_df(
+    df: DataFrame,
+    bin_col: str = "doc",
+    id_col: str = "url",
+    on_error: str = "skip",
+    max_stream_bytes: int = 1 << 24,
+) -> DataFrame:
+    """Per-document PDF text extraction: one row ``(id, n_pages,
+    n_objects, text)`` per successfully parsed blob.  Map-only
+    mapInPandas python stage (format parsing is per-blob by necessity),
+    spread via ensure_min_partitions, corrupt/unsupported blobs skip
+    (normalized ValueError / NotImplementedError) instead of killing
+    the job — the same scale shape as every decoder in
+    ``multimodal.py``."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    from .multimodal import _blob_bytes, _spread
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, pgs, objs, txts = [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    np_, no_, tx = decode_pdf(_blob_bytes(b), max_stream_bytes)
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(rid)
+                pgs.append(np_)
+                objs.append(no_)
+                txts.append(tx)
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "n_pages": pgs, "n_objects": objs, "text": txts}
+                )
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
+        run, f"{id_col} {id_ddl}, n_pages int, n_objects int, text string"
+    )
