@@ -576,6 +576,51 @@ def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_exact_duplicates(imgs, "image", "doc_id")
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end (jpegcodec.py): grayscale
+    images of solid 8x8 tiles (1-2 blocks per axis, tile values from
+    md5-hex) are JPEG-encoded executor-side — real Annex K Huffman
+    coding, byte stuffing, zigzag, restart markers on doc_id % 3 == 0
+    — then decoded back through the marker walk + Huffman + dequant +
+    IDCT.  JPEG is lossy, but the codec keeps the solid-tile DC path
+    in exact integer arithmetic (see jpegcodec.py docstring), so the
+    oracle predicts every DECODED pixel as clamp(2 * round_half_away(
+    (v-128)/2) + 128) — the quantization really ran, and its output
+    sits under the value hash."""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from sketch_spark.functions.jpegcodec import encode_jpeg
+    from sketch_spark.functions.multimodal import decode_images_df
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 1 + did % 2, 1 + (did // 2) % 2
+                mh = _hl.md5(f"jpg-{did}".encode()).hexdigest()
+                vals = _np.array(
+                    [int(mh[2 * k : 2 * k + 2], 16) for k in range(bw * bh)]
+                ).reshape(bh, bw)
+                img = _np.repeat(_np.repeat(vals, 8, 0), 8, 1).astype(_np.uint8)
+                blobs.append(
+                    encode_jpeg(
+                        img.tobytes(), 8 * bw, 8 * bh, gray=True,
+                        restart_interval=1 if did % 3 == 0 else 0,
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = docs.mapInPandas(synth, "doc_id bigint, image binary")
+    return decode_images_df(imgs, "image", "doc_id")
+
+
 def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction (pdftext.py decode_pdf): each doc's
     text is paginated into 40-char pages (1 + doc_id % 3 of them),
@@ -2512,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": q_image_near_dups,
         "video_dups": q_video_dups,
         "pdf_text": q_pdf_text,
+        "jpeg_decode": q_jpeg_decode,
         # --- new in round 4 (never driver-checked) ---
         "image_decode": q_image_decode,
         "image_decode_resized": q_image_decode_resized,
@@ -2909,6 +2955,42 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
                        CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
             FROM documents
+        """,
+        # lossy-codec oracle: the decoded pixel of a solid tile is the
+        # exact integer clamp(2*round_half_away((v-128)/2)+128) — the
+        # DC quantization (Annex K q00=16) in plain SQL arithmetic;
+        # printf('%02x') rebuilds the hex the engine hashes
+        "jpeg_decode": """
+            WITH src AS (
+                SELECT doc_id,
+                       1 + doc_id % 2 AS bw,
+                       1 + (doc_id // 2) % 2 AS bh,
+                       md5('jpg-' || CAST(doc_id AS VARCHAR)) AS mh
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(8 * bw AS INT) AS width,
+                   CAST(8 * bh AS INT) AS height,
+                   'jpeg' AS format,
+                   md5(list_aggregate(
+                       [ repeat(printf('%02x',
+                           LEAST(255, GREATEST(0, 128 + 2 * (CASE
+                             WHEN CAST(concat('0x', substr(mh,
+                                 2 * ((((i - 1) // (8 * bw)) // 8) * bw
+                                      + (((i - 1) % (8 * bw)) // 8)) + 1,
+                                 2)) AS INT) >= 128
+                             THEN (CAST(concat('0x', substr(mh,
+                                 2 * ((((i - 1) // (8 * bw)) // 8) * bw
+                                      + (((i - 1) % (8 * bw)) // 8)) + 1,
+                                 2)) AS INT) - 127) // 2
+                             ELSE -((129 - CAST(concat('0x', substr(mh,
+                                 2 * ((((i - 1) // (8 * bw)) // 8) * bw
+                                      + (((i - 1) % (8 * bw)) // 8)) + 1,
+                                 2)) AS INT)) // 2)
+                           END)))), 3)
+                         FOR i IN generate_series(1, CAST(64 * bw * bh AS INT)) ],
+                       'string_agg', '')) AS pixel_md5
+            FROM src
         """,
         # the oracle never sees a PDF byte: it re-derives the page
         # strings from the same 40-char substring arithmetic, so the

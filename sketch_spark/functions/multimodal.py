@@ -8,10 +8,12 @@ with KwKwK and 4096-code dictionary handling, global/local palettes,
 Adam-style 4-pass deinterlace) — pure python/numpy, no image library
 needed — and hash-oracle-able end-to-end (``pixel_md5`` is md5 over
 the RGB buffer's lowercase hex, reproducible in ANSI SQL from the same
-bytes).  Only JPEG and the exotic PNG variants (Adam7, 16-bit) keep a
-clearly-marked PIL/opencv swap point (``NotImplementedError``) for
-clusters that have the libraries; the deterministic fake feature
-extractor remains for plumbing tests over arbitrary blobs.
+bytes).  Baseline JPEG (SOF0/SOF1 Huffman, 4:4:4/4:2:2/4:2:0) decodes
+natively too (``jpegcodec.py``); only progressive/arithmetic JPEG and
+the exotic PNG variants (Adam7, 16-bit) keep a clearly-marked
+PIL/opencv swap point (``NotImplementedError``) for clusters that have
+the libraries; the deterministic fake feature extractor remains for
+plumbing tests over arbitrary blobs.
 """
 
 from __future__ import annotations
@@ -676,11 +678,11 @@ def decode_avi_frames_df(
 def decode_image(buf: bytes) -> tuple[int, int, bytes]:
     """Decode an image blob to ``(width, height, rgb_bytes)`` — REAL
     pure-python/numpy decode for PPM (P6), PGM (P5), uncompressed
-    24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib), and GIF first
-    frame (full LZW).  A JPEG decoder isn't in this container: it
-    raises ``NotImplementedError`` with the documented PIL swap point
-    (``PIL.Image.open(io.BytesIO(buf))``) so a cluster with the
-    libraries can drop one in."""
+    24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib), GIF first
+    frame (full LZW), and baseline JPEG (``jpegcodec.py``).
+    Progressive/arithmetic JPEG raises ``NotImplementedError`` with
+    the documented PIL swap point (``PIL.Image.open(io.BytesIO(buf))``)
+    so a cluster with the libraries can drop one in."""
     _, w, h, rgb = _decode_image_full(_blob_bytes(buf))
     return w, h, rgb
 
@@ -701,10 +703,13 @@ def _decode_image_full(buf: bytes) -> tuple[str, int, int, bytes]:
     except (struct.error, zlib.error) as e:
         raise ValueError(f"corrupt image blob: {e}") from e
     if buf[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "jpeg decode requires PIL/opencv (not in this container); "
-            "PPM/PGM/BMP/PNG/GIF decode natively"
-        )
+        # real baseline decoder (jpegcodec.py: Huffman + dequant +
+        # batched IDCT, 4:4:4/4:2:2/4:2:0); progressive/arithmetic
+        # modes still raise NotImplementedError toward the PIL seam
+        from .jpegcodec import decode_jpeg
+
+        w, h, _, rgb = decode_jpeg(buf)
+        return "jpeg", w, h, rgb
     raise ValueError(f"unrecognized image format (magic {buf[:4]!r})")
 
 
@@ -1272,10 +1277,11 @@ def binary_metadata(
     for API compatibility; the id column keeps its input type.
 
     Decode support behind each sniffed format: png/gif/riff(avi,wav)
-    and the netpbm/bmp families decode in this module; ``pdf`` routes
-    to :mod:`sketch_spark.functions.pdftext` (object scan, FlateDecode,
-    text extraction); ``jpeg`` and ``html`` are sniff-only here (JPEG
-    sits behind the PIL seam in ``decode_image``; HTML text extraction
+    and the netpbm/bmp families decode in this module; ``jpeg``
+    decodes via :mod:`sketch_spark.functions.jpegcodec` (baseline
+    Huffman; progressive keeps the PIL seam); ``pdf`` routes to
+    :mod:`sketch_spark.functions.pdftext` (object scan, FlateDecode,
+    text extraction); ``html`` is sniff-only here (text extraction
     lives in ``sources.pages``).
     """
     c = F.col(bin_col)

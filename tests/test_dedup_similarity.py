@@ -235,13 +235,16 @@ def test_binary_metadata(spark, pages_dir):
         assert md5s[r.url] == hashlib.md5(bytes(r.html)).hexdigest()
 
 
-def test_decode_image_compressed_formats_keep_pil_swap_point():
-    # PPM/PGM/BMP decode natively (tests/test_multimodal_decode.py);
-    # compressed formats still raise with the documented PIL swap point.
+def test_decode_image_jpeg_dispatch():
+    # baseline JPEG decodes natively now (jpegcodec.py, r5); a blob
+    # that only LOOKS like a JPEG is corrupt data -> skippable
+    # ValueError, while progressive mode keeps the PIL swap point.
     from sketch_spark.functions.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xfffakejpeg")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
 
 
 def test_fake_features_deterministic_and_normalized(spark, pages_dir):

@@ -90,9 +90,18 @@ def test_bmp_unsupported_bpp_raises():
         decode_image(bytes(buf))
 
 
-def test_jpeg_keeps_pil_swap_point():
-    with pytest.raises(NotImplementedError, match="PIL"):
+def test_jpeg_decodes_natively_progressive_keeps_pil_seam():
+    # round 5: baseline JPEG is a real decoder (jpegcodec.py); only
+    # progressive/arithmetic still routes to the PIL swap point
+    from sketch_spark.functions.jpegcodec import encode_jpeg
+
+    img = np.arange(64, dtype=np.uint8).repeat(4).reshape(16, 16)
+    w, h, rgb = decode_image(encode_jpeg(img.tobytes(), 16, 16, gray=True))
+    assert (w, h, len(rgb)) == (16, 16, 16 * 16 * 3)
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xfffake" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
