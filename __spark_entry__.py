@@ -576,6 +576,59 @@ def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_exact_duplicates(imgs, "image", "doc_id")
 
 
+def q_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 PNG variants under the hash (multimodal.py
+    _decode_png): doc_id % 3 picks Adam7-interlaced RGB (7-pass
+    deinterlace), 16-bit RGB (encoder writes v*257, decoder strips the
+    high byte — identity on the hash), or 4-bit grayscale (encoder
+    packs quantized v%16, decoder scales by 17).  Filter type still
+    cycles doc_id % 5, so every (variant, filter) pair appears.  The
+    oracle predicts decoded pixels from the md5-hex arithmetic alone —
+    identity for the RGB variants, (v%16)*17 gray-expanded for the
+    4-bit one."""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from sketch_spark.functions.multimodal import decode_images_df, encode_png
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 3 + did % 5, 2 + did % 4
+                mh = _hl.md5(f"pv-{did}".encode()).hexdigest()
+                variant = did % 3
+                if variant == 0:
+                    raster = bytes.fromhex((mh * 7)[: 6 * w * h])
+                    blobs.append(
+                        encode_png(raster, w, h, filter_type=did % 5, interlace=True)
+                    )
+                elif variant == 1:
+                    raster = bytes.fromhex((mh * 7)[: 6 * w * h])
+                    blobs.append(
+                        encode_png(raster, w, h, filter_type=did % 5, bit_depth=16)
+                    )
+                else:
+                    gray = bytes.fromhex((mh * 7)[: 2 * w * h])
+                    q = (_np.frombuffer(gray, _np.uint8) % 16).astype(_np.uint8)
+                    blobs.append(
+                        encode_png(
+                            q.tobytes(), w, h, filter_type=did % 5, gray=True,
+                            bit_depth=4, interlace=did % 2 == 0,
+                        )
+                    )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = docs.mapInPandas(synth, "doc_id bigint, image binary")
+    return decode_images_df(imgs, "image", "doc_id")
+
+
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode end-to-end (jpegcodec.py): grayscale
     images of solid 8x8 tiles (1-2 blocks per axis, tile values from
@@ -2558,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dups": q_video_dups,
         "pdf_text": q_pdf_text,
         "jpeg_decode": q_jpeg_decode,
+        "png_variants": q_png_variants,
         # --- new in round 4 (never driver-checked) ---
         "image_decode": q_image_decode,
         "image_decode_resized": q_image_decode_resized,
@@ -2955,6 +3009,29 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(repeat(md5('wav-' || CAST(doc_id AS VARCHAR)), 2), 1,
                        CAST((16 + (doc_id % 9) * 2) * 2 AS INT))) AS pcm_md5
             FROM documents
+        """,
+        # Adam7 reorders scanlines and 16-bit doubles them, but decoded
+        # pixels are the SOURCE hex either way; the 4-bit variant is
+        # (v % 16) * 17 gray-expanded — all from the md5 arithmetic
+        "png_variants": """
+            WITH src AS (
+                SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+                       repeat(md5('pv-' || CAST(doc_id AS VARCHAR)), 7) AS ph,
+                       doc_id % 3 AS variant
+                FROM documents
+            )
+            SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   'png' AS format,
+                   CASE WHEN variant IN (0, 1)
+                        THEN md5(substr(ph, 1, 6 * w * h))
+                        ELSE md5(list_aggregate(
+                            [repeat(printf('%02x',
+                                 (CAST(concat('0x', substr(ph, 2 * i - 1, 2))
+                                       AS INT) % 16) * 17), 3)
+                             FOR i IN generate_series(1, CAST(w * h AS INT))],
+                            'string_agg', ''))
+                   END AS pixel_md5
+            FROM src
         """,
         # lossy-codec oracle: the decoded pixel of a solid tile is the
         # exact integer clamp(2*round_half_away((v-128)/2)+128) — the

@@ -225,13 +225,42 @@ def _png_unfilter(arr: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_stride(w: int, channels: int, bitd: int) -> int:
+    return (w * channels * bitd + 7) // 8
+
+
+def _png_samples(flt: np.ndarray, w: int, h: int, channels: int, bitd: int) -> np.ndarray:
+    """Unfiltered scanline bytes -> (h, w, channels) uint8 samples.
+    16-bit strips to the high byte (libpng's default 16->8); 1/2/4-bit
+    gray scales to full range (15 -> 255 at depth 4), palette indices
+    pass through unscaled."""
+    if bitd == 8:
+        return flt.reshape(h, w, channels)
+    if bitd == 16:
+        return flt.reshape(h, w, channels, 2)[..., 0]
+    # sub-byte depths: spec restricts them to 1-channel color types
+    bits = np.unpackbits(flt.reshape(h, -1), axis=1)[:, : w * bitd]
+    weights = 1 << np.arange(bitd - 1, -1, -1)
+    vals = (bits.reshape(h, w, bitd) * weights).sum(axis=2).astype(np.uint8)
+    return vals[..., None]
+
+
 def _decode_png(buf: bytes) -> tuple[str, int, int, bytes]:
-    """8-bit non-interlaced PNG via stdlib zlib: walk chunks, inflate
-    the concatenated IDAT stream, reverse the scanline filters, then
-    map color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA) to one packed-RGB layout (alpha dropped, gray expanded,
-    palette applied).  Adam7 and 16-bit raise ``NotImplementedError``
-    (the PIL swap point)."""
+    """PNG via stdlib zlib: walk chunks, inflate the concatenated IDAT
+    stream (capped at the exact expected raster size), reverse the
+    scanline filters, then map color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA) to one packed-RGB layout
+    (alpha dropped, gray expanded, palette applied).  All legal bit
+    depths decode (1/2/4-bit gray+palette, 8, 16 stripped to the high
+    byte) and Adam7 interlace deinterlaces pass by pass — no PIL seam
+    left in PNG."""
     pos, w = 8, None
     idat: list[bytes] = []
     plte = None
@@ -245,14 +274,19 @@ def _decode_png(buf: bytes) -> tuple[str, int, int, bytes]:
             w, h, bitd, colort, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad PNG dimensions {w}x{h}")
-            if interlace != 0:
-                raise NotImplementedError("Adam7-interlaced PNG: swap in PIL")
-            if bitd != 8:
-                raise NotImplementedError(f"{bitd}-bit PNG: swap in PIL (8-bit supported)")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace {interlace}")
             if colort not in _PNG_CHANNELS:
                 raise ValueError(f"bad PNG color type {colort}")
+            if bitd not in (1, 2, 4, 8, 16) or (
+                bitd < 8 and colort not in (0, 3)
+            ) or (bitd == 16 and colort == 3):
+                raise ValueError(f"bad PNG bit depth {bitd} for color type {colort}")
         elif ctype == b"PLTE":
-            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            plte = np.frombuffer(data, np.uint8)
+            if len(plte) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = plte.reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -260,8 +294,19 @@ def _decode_png(buf: bytes) -> tuple[str, int, int, bytes]:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     channels = _PNG_CHANNELS[colort]
-    stride = w * channels
-    need = (stride + 1) * h
+    bpp = max(1, channels * bitd // 8)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = list(_ADAM7)
+    dims = []
+    need = 0
+    for x0, y0, dx, dy in passes:
+        pw = max(0, -(-(w - x0) // dx))
+        ph = max(0, -(-(h - y0) // dy))
+        dims.append((pw, ph))
+        if pw and ph:
+            need += (_png_stride(pw, channels, bitd) + 1) * ph
     # cap inflation at the expected raster size: a crafted ~1KB blob can
     # otherwise inflate to gigabytes before the length check (zlib bombs
     # are a real hazard in untrusted web corpora)
@@ -270,8 +315,19 @@ def _decode_png(buf: bytes) -> tuple[str, int, int, bytes]:
     )
     if len(raw) < need:
         raise ValueError("truncated PNG raster")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    px = np.zeros((h, w, channels), np.uint8)
+    off = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+        if not (pw and ph):
+            continue
+        stride = _png_stride(pw, channels, bitd)
+        span = (stride + 1) * ph
+        flt = _png_unfilter(raw[off : off + span], ph, stride, bpp)
+        off += span
+        px[y0::dy, x0::dx] = _png_samples(flt, pw, ph, channels, bitd)
     if colort == 0:
+        if bitd < 8:
+            px = (px.astype(np.int64) * 255 // ((1 << bitd) - 1)).astype(np.uint8)
         rgb = np.repeat(px, 3, axis=2)
     elif colort == 2:
         rgb = px
@@ -297,34 +353,30 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(rgb: bytes, w: int, h: int, filter_type: int = 0, gray: bool = False) -> bytes:
-    """Minimal PNG encoder (8-bit RGB or grayscale, one filter type for
-    every row, single IDAT) — the thumbnail/fixture sink dual of
-    :func:`_decode_png`, and the generator the contract oracle relies
-    on: pixels in, spec-compliant bytes out, byte-deterministic."""
-    ch = 1 if gray else 3
-    px = np.frombuffer(rgb, np.uint8).reshape(h, w, ch).astype(np.int64)
-    stride = w * ch
+def _png_filter_rows(rows: np.ndarray, filter_type: int, bpp: int) -> bytes:
+    """Filter a (ph, stride) byte matrix row by row (one filter type for
+    all rows), returning filter-byte-prefixed scanlines."""
+    ph, stride = rows.shape
     lines: list[bytes] = []
     prev = np.zeros(stride, np.int64)
-    for y in range(h):
-        rec = px[y].reshape(-1)
+    for y in range(ph):
+        rec = rows[y]
         if filter_type == 0:
             filt = rec
         elif filter_type == 1:
-            left = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
+            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
             filt = (rec - left) & 255
         elif filter_type == 2:
             filt = (rec - prev) & 255
         elif filter_type == 3:
-            left = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
+            left = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
             filt = (rec - ((left + prev) >> 1)) & 255
         elif filter_type == 4:
             # Paeth on the ENCODE side is non-recursive (a/b/c all come
             # from known raw rows), so it vectorizes fully — unlike the
             # decode recurrence (see _png_unfilter / core.native)
-            a = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
-            b, c = prev, np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+            a = np.concatenate([np.zeros(bpp, np.int64), rec[:-bpp]])
+            b, c = prev, np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
             p = a + b - c
             pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
             pr = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
@@ -333,11 +385,67 @@ def encode_png(rgb: bytes, w: int, h: int, filter_type: int = 0, gray: bool = Fa
             raise ValueError(f"bad filter type {filter_type}")
         lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
         prev = rec
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return b"".join(lines)
+
+
+def _png_pack_rows(sub: np.ndarray, bit_depth: int) -> np.ndarray:
+    """(ph, pw, ch) uint8 samples -> (ph, stride) int64 scanline bytes
+    at the given depth.  16-bit writes each sample as (v, v) — i.e.
+    v * 257 — so the decoder's high-byte strip roundtrips exactly;
+    sub-byte depths MSB-pack (values must already fit the depth)."""
+    ph, pw, ch = sub.shape
+    if bit_depth == 8:
+        return sub.reshape(ph, pw * ch).astype(np.int64)
+    if bit_depth == 16:
+        return np.repeat(sub.reshape(ph, pw * ch), 2, axis=1).astype(np.int64)
+    if int(sub.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError(f"sample exceeds {bit_depth}-bit range")
+    weights = 1 << np.arange(bit_depth - 1, -1, -1)
+    bits = ((sub.reshape(ph, pw, 1).astype(np.int64) // weights) & 1).reshape(ph, -1)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros((ph, pad), np.int64)], axis=1)
+    return np.packbits(bits.astype(np.uint8), axis=1).astype(np.int64)
+
+
+def encode_png(
+    rgb: bytes,
+    w: int,
+    h: int,
+    filter_type: int = 0,
+    gray: bool = False,
+    interlace: bool = False,
+    bit_depth: int = 8,
+) -> bytes:
+    """Minimal PNG encoder — the thumbnail/fixture sink dual of
+    :func:`_decode_png`, and the generator the contract oracle relies
+    on: pixels in, spec-compliant bytes out, byte-deterministic.
+    RGB or grayscale; one filter type for every row; single IDAT.
+    ``interlace=True`` writes Adam7 (filters restart per pass);
+    ``bit_depth`` accepts 8, 16 (samples doubled so the decoder's
+    high-byte strip roundtrips), and 1/2/4 for grayscale (caller
+    provides already-quantized values)."""
+    ch = 1 if gray else 3
+    if bit_depth not in (8, 16) and not (gray and bit_depth in (1, 2, 4)):
+        raise ValueError(f"bad bit depth {bit_depth} for {'gray' if gray else 'rgb'}")
+    px = np.frombuffer(rgb, np.uint8).reshape(h, w, ch)
+    bpp = max(1, ch * bit_depth // 8)
+    passes = list(_ADAM7) if interlace else [(0, 0, 1, 1)]
+    parts: list[bytes] = []
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        parts.append(
+            _png_filter_rows(_png_pack_rows(sub, bit_depth), filter_type, bpp)
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, 0 if gray else 2, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
         + _png_chunk(b"IEND", b"")
     )
 

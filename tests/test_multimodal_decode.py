@@ -236,13 +236,16 @@ def test_png_external_fixture_and_unsupported_variants():
         "AAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
     )
     assert decode_image(tiny) == (1, 1, b"\x00\x00\xff")
-    # Adam7 / 16-bit keep the PIL swap point
-    for ihdr, msg in [
-        (struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1), "Adam7"),
-        (struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0), "16-bit"),
-    ]:
-        with pytest.raises(NotImplementedError, match=msg):
-            decode_image(_raw_png(ihdr, bytes(8)))
+    # Adam7 / 16-bit decode natively since round 5
+    # (tests/test_png_variants.py); a 1x1 Adam7 RGB is pass 1 only
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    assert decode_image(_raw_png(ihdr, b"\x00\x09\x08\x07")) == (
+        1, 1, b"\x09\x08\x07",
+    )
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    assert decode_image(_raw_png(ihdr, b"\x00\x09\xaa\x08\xbb\x07\xcc")) == (
+        1, 1, b"\x09\x08\x07",
+    )
     # truncated raster fails loudly
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
     with pytest.raises(ValueError, match="truncated"):
