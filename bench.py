@@ -182,6 +182,12 @@ def main() -> None:
         "skewed_host_stats",
         "image_dups",
         "luma_histogram",
+        # round-5 additions: perceptual/video dedup + the new codecs
+        "image_near_dups",
+        "video_dups",
+        "pdf_text",
+        "jpeg_decode",
+        "png_variants",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}

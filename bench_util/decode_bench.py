@@ -76,6 +76,56 @@ def make_blobs(spark, rows: int, out_dir: str, size: int = 64) -> None:
     )
 
 
+def bench_jpeg(out_path: str, sizes=(64, 256), reps=5) -> dict:
+    """Single-process baseline-JPEG decode walls (best-of-reps) on
+    photographic-style data, gray and 4:4:4 color.  The serial per-bit
+    Huffman pass is the known cost of the pure-python codec — this row
+    keeps that cost measured (and the PIL swap honest) rather than
+    guessed."""
+    import time as _t
+
+    import numpy as np
+
+    from sketch_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    def make(w, h, seed):
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        base = x[..., None] * [1.1, 0.7, 0.3] + y[..., None] * [0.4, 1.3, 0.8]
+        return ((base + rng.normal(0, 6, (h, w, 3))) % 256).astype(np.uint8)
+
+    res: dict = {"sizes": {}}
+    for size in sizes:
+        img = make(size, size, 1)
+        out = {}
+        for label, blob in (
+            ("gray", encode_jpeg(np.ascontiguousarray(img[..., 0]).tobytes(), size, size, gray=True)),
+            ("color444", encode_jpeg(img.tobytes(), size, size)),
+        ):
+            decode_jpeg(blob)  # warm
+            best = 9e9
+            for _ in range(reps):
+                t0 = _t.perf_counter()
+                decode_jpeg(blob)
+                best = min(best, _t.perf_counter() - t0)
+            out[label] = round(best * 1e3, 2)
+        res["sizes"][size] = out
+    stamp = _t.strftime("%Y-%m-%d %H:%M UTC", _t.gmtime())
+    lines = [
+        f"{s}x{s}: gray={v['gray']}ms color444={v['color444']}ms"
+        for s, v in res["sizes"].items()
+    ]
+    with open(out_path, "a") as f:
+        f.write(
+            f"\nBaseline JPEG decode ({stamp}, pure-python Huffman + numpy "
+            f"IDCT, photographic data, best-of-{reps}): " + "; ".join(lines)
+            + ". The serial Huffman bit loop dominates — fine for "
+            "thumbnail-class blobs, route megapixel organic JPEGs to the "
+            "PIL seam on real clusters.\n"
+        )
+    return res
+
+
 def bench_png_filters(out_path: str, sizes=(64, 256, 512)) -> dict:
     """Per-filter PNG decode wall time (single process, best-of-7) on
     photographic-style data (smooth gradient + noise, so the scanline
@@ -139,11 +189,19 @@ def main() -> None:
         action="store_true",
         help="only run the per-filter single-process PNG decode rows",
     )
+    ap.add_argument(
+        "--jpeg",
+        action="store_true",
+        help="only run the single-process baseline-JPEG decode rows",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
 
     if args.png_filters:
         print(json.dumps(bench_png_filters(args.out)))
+        return
+    if args.jpeg:
+        print(json.dumps(bench_jpeg(args.out)))
         return
 
     from pyspark.sql import functions as F
