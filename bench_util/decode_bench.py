@@ -24,6 +24,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _photo_rgb(w: int, h: int, seed: int):
+    """Photographic-style uint8 (h, w, 3) array: smooth per-channel
+    gradients + mild noise, the ONE fixture recipe both the JPEG and
+    PNG-filter benches measure so their rows stay comparable."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = x[..., None] * [1.1, 0.7, 0.3] + y[..., None] * [0.4, 1.3, 0.8]
+    return ((base + rng.normal(0, 6, (h, w, 3))) % 256).astype(np.uint8)
+
+
 def make_blobs(spark, rows: int, out_dir: str, size: int = 64) -> None:
     from typing import Iterator
 
@@ -88,15 +100,9 @@ def bench_jpeg(out_path: str, sizes=(64, 256), reps=5) -> dict:
 
     from sketch_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
 
-    def make(w, h, seed):
-        rng = np.random.default_rng(seed)
-        y, x = np.mgrid[0:h, 0:w]
-        base = x[..., None] * [1.1, 0.7, 0.3] + y[..., None] * [0.4, 1.3, 0.8]
-        return ((base + rng.normal(0, 6, (h, w, 3))) % 256).astype(np.uint8)
-
     res: dict = {"sizes": {}}
     for size in sizes:
-        img = make(size, size, 1)
+        img = _photo_rgb(size, size, 1)
         out = {}
         for label, blob in (
             ("gray", encode_jpeg(np.ascontiguousarray(img[..., 0]).tobytes(), size, size, gray=True)),
@@ -138,20 +144,12 @@ def bench_png_filters(out_path: str, sizes=(64, 256, 512)) -> dict:
     barely compresses), not from unfiltering."""
     import time as _t
 
-    import numpy as np
-
     from sketch_spark.core import native
     from sketch_spark.functions.multimodal import _decode_image_full, encode_png
 
-    def make(w: int, h: int, seed: int) -> bytes:
-        rng = np.random.default_rng(seed)
-        y, x = np.mgrid[0:h, 0:w]
-        base = x[..., None] * [1.1, 0.7, 0.3] + y[..., None] * [0.4, 1.3, 0.8]
-        return ((base + rng.normal(0, 6, (h, w, 3))) % 256).astype(np.uint8).tobytes()
-
     res: dict = {"native_kernel": native._get() is not None, "sizes": {}}
     for size in sizes:
-        rgb = make(size, size, 1)
+        rgb = _photo_rgb(size, size, 1).tobytes()
         per_filter = {}
         for ft in range(5):
             blob = encode_png(rgb, size, size, filter_type=ft)

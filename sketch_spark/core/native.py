@@ -172,6 +172,12 @@ def png_unfilter(
     lib = _get()
     if lib is None:
         return None
+    if len(raw) < h * (stride + 1):
+        # enforce the documented precondition BEFORE the C kernel walks
+        # raw + y*(stride+1): a short buffer would be a heap overread
+        raise ValueError(
+            f"png_unfilter: raw has {len(raw)} bytes, need {h * (stride + 1)}"
+        )
     raw = np.ascontiguousarray(raw[: h * (stride + 1)], np.uint8)
     out = np.empty(h * stride, np.uint8)
     rc = lib.png_unfilter(

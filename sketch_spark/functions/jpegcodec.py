@@ -196,12 +196,15 @@ class _BitReader:
                 self.synth += 8
                 if self.synth > 48:
                     raise ValueError("JPEG scan data exhausted before all MCUs")
-                self.acc = (self.acc << 8) | 0xFF
+                # mask consumed bits so acc stays <= n+8 bits wide —
+                # unmasked it grows 8 bits per scan byte and every
+                # shift copies the whole bigint (quadratic decode)
+                self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | 0xFF
                 self.n += 8
                 return
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | b
         self.n += 8
 
     def bit(self) -> int:

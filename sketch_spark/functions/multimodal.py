@@ -1125,6 +1125,10 @@ def ahash_bands(
     twin of the reference's near-duplicate frequency structure
     (sketch.cpp:144-162): a compact fingerprint whose collisions mark
     the heavy (repeated) content."""
+    if not 1 <= band_bits <= 32:
+        # > 32 would overflow: the packed band must fit an int64 weight
+        # (band_bits=64 shifts into the sign bit) and downstream engines
+        raise ValueError(f"band_bits must be in 1..32, got {band_bits}")
     if grid < 1 or (grid * grid) % band_bits != 0:
         raise ValueError(f"grid^2 ({grid * grid}) must be a multiple of band_bits")
     sampled = np.frombuffer(resize_rgb(rgb, w, h, grid, grid), np.uint8)
@@ -1144,7 +1148,7 @@ def image_near_duplicates(
     id_col: str = "url",
     grid: int = 8,
     band_bits: int = 16,
-    max_hamming: int = 6,
+    max_hamming: int | None = None,
     bucket_cap: int = 256,
     on_error: str = "skip",
 ) -> DataFrame:
@@ -1164,9 +1168,25 @@ def image_near_duplicates(
     members, e.g. solid-color boilerplate) dropped from candidate
     generation exactly like the LSH bucket cap.  The Hamming verify is
     JVM-side (``bit_count`` over xor'd bands), no second python stage,
-    and pixels never ride any exchange."""
+    and pixels never ride any exchange.
+
+    Recall contract: ``max_hamming`` defaults to ``bands - 1``
+    (``grid^2/band_bits - 1``), the largest distance the banding
+    GUARANTEES to recall.  Passing a larger ``max_hamming`` widens the
+    verify filter but recall above ``bands - 1`` is best-effort — a
+    pair whose differing bits spread across every band shares no exact
+    band and is never generated as a candidate."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
+    # validate signature params at the driver: inside the UDF these
+    # raise ValueError per image, which on_error='skip' would silently
+    # swallow into an empty result
+    if not 1 <= band_bits <= 32:
+        raise ValueError(f"band_bits must be in 1..32, got {band_bits}")
+    if grid < 1 or (grid * grid) % band_bits != 0:
+        raise ValueError(f"grid^2 ({grid * grid}) must be a multiple of band_bits")
+    if max_hamming is None:
+        max_hamming = (grid * grid) // band_bits - 1
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
 
@@ -1190,7 +1210,7 @@ def image_near_duplicates(
 
     id_ddl = df.schema[id_col].dataType.simpleString()
     sigs = _spread(df.select(id_col, bin_col)).mapInPandas(
-        run, f"{id_col} {id_ddl}, bands array<int>"
+        run, f"{id_col} {id_ddl}, bands array<bigint>"
     )
     # referenced 3x below (band explode + both pair sides): checkpoint
     # once so the decode pass runs once (CLAUDE.md persist discipline)

@@ -167,7 +167,9 @@ def _extract_text_ops(content: bytes) -> list[bytes]:
         if c == 0x28:  # (
             s, i = _parse_literal(content, i)
             pending.append(s)
-        elif c == 0x3C and not content.startswith(b"<<", i):  # <hex>
+        elif content.startswith(b"<<", i) or content.startswith(b">>", i):
+            i += 2  # dict delimiters (BDC/DP operands), not hex strings
+        elif c == 0x3C:  # <hex>
             s, i = _parse_hex_string(content, i)
             pending.append(s)
         elif c == 0x5B:  # [ — TJ arrays handled via pending

@@ -166,3 +166,17 @@ def test_truncation_and_bitflip_never_escape():
             decode_jpeg(bytes(mutated))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_bitreader_acc_stays_bounded():
+    """Review r5: acc was never masked after bits were consumed, so it
+    grew 8 bits per scan byte and every refill shift copied the whole
+    bigint — quadratic decode time on marker-free megapixel scans.
+    Pin: after consuming a 64 KiB stream bit-by-bit the accumulator
+    must stay word-sized."""
+    from sketch_spark.functions.jpegcodec import _BitReader
+
+    r = _BitReader(bytes([0xAB] * 65536), 0)
+    for _ in range(65536 * 8):
+        r.bit()
+    assert r.acc.bit_length() <= 16

@@ -9,7 +9,12 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from sketch_spark.functions.pdftext import decode_pdf, encode_pdf, pdf_text_df
+from sketch_spark.functions.pdftext import (
+    _extract_text_ops,
+    decode_pdf,
+    encode_pdf,
+    pdf_text_df,
+)
 
 PAGES = st.lists(
     st.text(
@@ -141,3 +146,32 @@ def test_pdf_text_df_skip_and_extract(spark):
     assert out[2]["text"] == "gamma"
     with pytest.raises(Exception):
         pdf_text_df(df, "doc", "doc_id", on_error="raise").collect()
+
+
+def test_inline_dict_operands_do_not_eat_text():
+    """Review r5: '<<' fell through to the hex-string parser, raised,
+    and decode_pdf's non-content fallback silently dropped the whole
+    stream's text — BDC/DP marked-content dicts are ubiquitous in
+    tagged PDFs."""
+    ops = _extract_text_ops(b"/Tag << /K /V >> BDC BT (Hello) Tj ET EMC")
+    assert ops == [b"Hello"]
+    # '>>' alone (nested dict close) must also be stepped over
+    assert _extract_text_ops(b"<< /A << /B 1 >> >> BDC (Hi) Tj") == [b"Hi"]
+    # a real hex string right after a dict still parses
+    assert _extract_text_ops(b"<< /K /V >> BDC <48:69> Tj".replace(b":", b"")) == [
+        b"Hi"
+    ]
+
+
+def test_marked_content_pdf_end_to_end():
+    content = b"/P << /MCID 0 >> BDC BT (Tagged text) Tj ET EMC"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page >> endobj\n"
+        + b"2 0 obj << /Length "
+        + str(len(content)).encode()
+        + b" >> stream\n"
+        + content
+        + b"\nendstream endobj\n%%EOF"
+    )
+    assert decode_pdf(pdf) == (1, 2, "Tagged text")
