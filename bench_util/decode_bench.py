@@ -88,19 +88,20 @@ def make_blobs(spark, rows: int, out_dir: str, size: int = 64) -> None:
     )
 
 
-def bench_jpeg(out_path: str, sizes=(64, 256), reps=5) -> dict:
+def bench_jpeg(out_path: str, sizes=(64, 256, 1024), reps=5) -> dict:
     """Single-process baseline-JPEG decode walls (best-of-reps) on
-    photographic-style data, gray and 4:4:4 color.  The serial per-bit
-    Huffman pass is the known cost of the pure-python codec — this row
-    keeps that cost measured (and the PIL swap honest) rather than
-    guessed."""
+    photographic-style data, gray and 4:4:4 color.  The entropy scan
+    routes through the compiled kernel (core/native.py jpeg_scan) when
+    a compiler exists; this row keeps both the kernel's wall and the
+    python fallback's cost measured rather than guessed."""
     import time as _t
 
     import numpy as np
 
+    from sketch_spark.core import native
     from sketch_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
 
-    res: dict = {"sizes": {}}
+    res: dict = {"native_kernel": native._get() is not None, "sizes": {}}
     for size in sizes:
         img = _photo_rgb(size, size, 1)
         out = {}
@@ -123,11 +124,12 @@ def bench_jpeg(out_path: str, sizes=(64, 256), reps=5) -> dict:
     ]
     with open(out_path, "a") as f:
         f.write(
-            f"\nBaseline JPEG decode ({stamp}, pure-python Huffman + numpy "
-            f"IDCT, photographic data, best-of-{reps}): " + "; ".join(lines)
-            + ". The serial Huffman bit loop dominates — fine for "
-            "thumbnail-class blobs, route megapixel organic JPEGs to the "
-            "PIL seam on real clusters.\n"
+            f"\nBaseline JPEG decode ({stamp}, native kernel="
+            f"{res['native_kernel']}, photographic data, best-of-{reps}): "
+            + "; ".join(lines)
+            + ". The entropy scan runs in the compiled kernel; the "
+            "remaining wall is batched-matmul IDCT + color convert "
+            "(whole-array numpy).\n"
         )
     return res
 

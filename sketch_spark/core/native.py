@@ -1,12 +1,19 @@
-"""Optional compiled row-scan kernel for the PNG unfilter recurrence.
+"""Optional compiled kernels for the serial decode recurrences.
 
-The decode direction of PNG filters 3 (Average) and 4 (Paeth) is a
-true intra-row recurrence — ``recon[x]`` needs ``recon[x - bpp]`` — so
-unlike filters 0-2 it cannot be expressed as a numpy whole-array op
-(reference decoders run it as a per-pixel SIMD loop for the same
-reason; PNG spec §9 / RFC 2083).  Organic-crawl PNGs are Paeth-heavy
-(libpng's adaptive default selects it on photographic rows), which
-made the pure-python scan the multimodal path's one real scale risk.
+Two loops in the pure-python decoders are serial by nature and so
+cannot be expressed as numpy whole-array ops:
+
+* the PNG unfilter recurrence for filters 3 (Average) and 4 (Paeth) —
+  ``recon[x]`` needs ``recon[x - bpp]`` (PNG spec §9 / RFC 2083), and
+  organic-crawl PNGs are Paeth-heavy (libpng's adaptive default
+  selects it on photographic rows);
+* the JPEG entropy scan — Huffman codes are variable-length, so the
+  position of symbol k+1 depends on decoding symbol k (ITU-T T.81
+  §F.2.2), which made the per-bit python loop ~85% of JPEG decode
+  wall.
+
+Both made the pure-python scans the multimodal path's real scale
+risks.
 
 Here the same loop is ~40 lines of C compiled once per machine at
 first use (``cc -O2 -shared -fPIC``, cached in the system temp dir
@@ -33,7 +40,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["png_unfilter"]
+__all__ = ["jpeg_scan", "png_unfilter"]
 
 _SRC = r"""
 #include <stdlib.h>
@@ -97,6 +104,159 @@ long png_unfilter(const unsigned char * restrict raw,
     }
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* Baseline JPEG entropy scan (ITU-T T.81 F.2.2): Huffman decode +
+   EXTEND + DC prediction for every block of every MCU, with 0xFF00
+   unstuffing, RSTn handling, and the same 1-bit-synthesis-at-marker
+   semantics as the python _BitReader (functions/jpegcodec.py).
+
+   Negative return codes map to the python path's ValueErrors:
+     -1 truncated scan   -2 invalid Huffman code   -3 bad DC category
+     -4 AC run past end  -5 expected RST marker    -6 scan exhausted
+   (synthesized-padding cap, see jpegcodec._BitReader._fill). */
+
+typedef struct {
+    const unsigned char *buf;
+    long len, pos;
+    unsigned int acc;
+    int n, synth;
+} jbits;
+
+static long jb_fill(jbits *r) {
+    unsigned int b;
+    if (r->pos >= r->len) return -1;
+    b = r->buf[r->pos];
+    if (b == 0xFF) {
+        if (r->pos + 1 < r->len && r->buf[r->pos + 1] == 0x00) {
+            r->pos += 2;
+        } else { /* a real marker: synthesize the spec's 1-bit padding */
+            r->synth += 8;
+            if (r->synth > 48) return -6;
+            r->acc = 0xFF;
+            r->n = 8;
+            return 0;
+        }
+    } else {
+        r->pos += 1;
+    }
+    r->acc = b;
+    r->n = 8;
+    return 0;
+}
+
+static long jb_bit(jbits *r) {
+    if (r->n == 0) {
+        long e = jb_fill(r);
+        if (e) return e;
+    }
+    r->n -= 1;
+    return (r->acc >> r->n) & 1u;
+}
+
+static long jb_bits(jbits *r, long k, long *out) {
+    long v = 0, b;
+    while (k--) {
+        b = jb_bit(r);
+        if (b < 0) return b;
+        v = (v << 1) | b;
+    }
+    *out = v;
+    return 0;
+}
+
+/* canonical decode per T.81 F.16: tables are 17-int rows (index 1..16;
+   maxcode[l] == -1 means no codes of length l) */
+static long jb_huff(jbits *r, const int *mincode, const int *maxcode,
+                    const int *valptr, const unsigned char *vals) {
+    long code = 0, l, b;
+    for (l = 1; l <= 16; l++) {
+        b = jb_bit(r);
+        if (b < 0) return b;
+        code = (code << 1) | b;
+        if (maxcode[l] >= 0 && code <= maxcode[l])
+            return vals[valptr[l] + code - mincode[l]];
+    }
+    return -2;
+}
+
+#define JB_EXTEND(v, s) (((v) >= (1L << ((s) - 1))) ? (v) : (v) - (1L << (s)) + 1)
+
+/* comp_spec: ncomp rows of (blocks_per_mcu, dc_slot, ac_slot); table
+   slot t owns mincode/maxcode/valptr[t*17..] and huffval[t*256..].
+   out: n_mcus * sum(blocks_per_mcu) blocks of 64 int64 coefficients in
+   ZIGZAG order, DC prediction already resolved. */
+long jpeg_scan(const unsigned char *buf, long len, long pos,
+               const int * restrict mincode, const int * restrict maxcode,
+               const int * restrict valptr,
+               const unsigned char * restrict huffval,
+               const long * restrict comp_spec, long ncomp,
+               long n_mcus, long restart_interval,
+               long long * restrict out) {
+    jbits r = {buf, len, pos, 0, 0, 0};
+    long long preds[4] = {0, 0, 0, 0};
+    long long *o = out;
+    long m, ci, bi, k;
+    if (ncomp < 1 || ncomp > 4) return -7;
+    for (m = 0; m < n_mcus; m++) {
+        if (restart_interval && m && m % restart_interval == 0) {
+            long mk;
+            r.acc = 0;
+            r.n = 0;
+            while (r.pos + 1 < r.len && r.buf[r.pos] == 0xFF &&
+                   r.buf[r.pos + 1] == 0xFF)
+                r.pos++; /* fill bytes */
+            if (r.pos + 1 >= r.len || r.buf[r.pos] != 0xFF) return -5;
+            mk = r.buf[r.pos + 1];
+            r.pos += 2;
+            if (mk < 0xD0 || mk > 0xD7) return -5;
+            for (ci = 0; ci < ncomp; ci++) preds[ci] = 0;
+        }
+        for (ci = 0; ci < ncomp; ci++) {
+            long nb = comp_spec[ci * 3];
+            const int *dmin = mincode + comp_spec[ci * 3 + 1] * 17;
+            const int *dmax = maxcode + comp_spec[ci * 3 + 1] * 17;
+            const int *dvp = valptr + comp_spec[ci * 3 + 1] * 17;
+            const unsigned char *dvals = huffval + comp_spec[ci * 3 + 1] * 256;
+            const int *amin = mincode + comp_spec[ci * 3 + 2] * 17;
+            const int *amax = maxcode + comp_spec[ci * 3 + 2] * 17;
+            const int *avp = valptr + comp_spec[ci * 3 + 2] * 17;
+            const unsigned char *avals = huffval + comp_spec[ci * 3 + 2] * 256;
+            for (bi = 0; bi < nb; bi++) {
+                long s, v, e, rs, rr, ss;
+                memset(o, 0, 64 * sizeof(long long));
+                s = jb_huff(&r, dmin, dmax, dvp, dvals);
+                if (s < 0) return s;
+                if (s > 11) return -3;
+                if (s) {
+                    e = jb_bits(&r, s, &v);
+                    if (e) return e;
+                    preds[ci] += JB_EXTEND(v, s);
+                }
+                o[0] = preds[ci];
+                k = 1;
+                while (k < 64) {
+                    rs = jb_huff(&r, amin, amax, avp, avals);
+                    if (rs < 0) return rs;
+                    rr = rs >> 4;
+                    ss = rs & 15;
+                    if (ss == 0) {
+                        if (rr == 15) { k += 16; continue; }
+                        break; /* EOB */
+                    }
+                    k += rr;
+                    if (k > 63) return -4;
+                    e = jb_bits(&r, ss, &v);
+                    if (e) return e;
+                    o[k] = JB_EXTEND(v, ss);
+                    k += 1;
+                }
+                o += 64;
+            }
+        }
+    }
+    return 0;
+}
 """
 
 _lock = threading.Lock()
@@ -145,6 +305,13 @@ def _build() -> ctypes.CDLL | None:
     lib.png_unfilter.argtypes = [ctypes.c_void_p, ctypes.c_void_p] + [
         ctypes.c_long
     ] * 3
+    lib.jpeg_scan.restype = ctypes.c_long
+    lib.jpeg_scan.argtypes = (
+        [ctypes.c_void_p, ctypes.c_long, ctypes.c_long]
+        + [ctypes.c_void_p] * 5
+        + [ctypes.c_long] * 3
+        + [ctypes.c_void_p]
+    )
     return lib
 
 
@@ -191,3 +358,77 @@ def png_unfilter(
         f = int(raw[(rc - 1) * (stride + 1)])
         raise ValueError(f"bad PNG filter byte {f} on row {rc - 1}")
     return out.reshape(h, stride)
+
+
+_JPEG_SCAN_ERRORS = {
+    -1: "truncated JPEG scan data",
+    -2: "invalid JPEG Huffman code",
+    -3: "bad DC category",
+    -4: "JPEG AC run past block end",
+    -5: "expected RST marker in JPEG scan",
+    -6: "JPEG scan data exhausted before all MCUs",
+    -7: "unsupported JPEG component count",
+}
+
+
+def jpeg_scan(
+    buf: bytes,
+    pos: int,
+    mincode: np.ndarray,
+    maxcode: np.ndarray,
+    valptr: np.ndarray,
+    huffval: np.ndarray,
+    comp_spec: np.ndarray,
+    n_mcus: int,
+    restart_interval: int,
+) -> np.ndarray | None:
+    """Entropy-decode a whole baseline JPEG scan in one compiled pass.
+
+    ``mincode``/``maxcode``/``valptr`` are int32 ``(n_tables, 17)``
+    canonical-code rows and ``huffval`` the matching uint8
+    ``(n_tables, 256)`` symbol rows (built by
+    ``jpegcodec._huff_flat``); ``comp_spec`` is int64 ``(ncomp, 3)``
+    rows of (blocks_per_mcu, dc_table_slot, ac_table_slot).  Returns
+    the ``(n_mcus * sum(blocks_per_mcu), 64)`` int64 coefficient
+    blocks in zigzag order with DC prediction applied, or ``None``
+    when the native kernel is unavailable so the caller runs the
+    python bit loop.  Raises ``ValueError`` on malformed scans — the
+    same contract as the python path."""
+    lib = _get()
+    if lib is None:
+        return None
+    mincode = np.ascontiguousarray(mincode, np.int32)
+    maxcode = np.ascontiguousarray(maxcode, np.int32)
+    valptr = np.ascontiguousarray(valptr, np.int32)
+    huffval = np.ascontiguousarray(huffval, np.uint8)
+    comp_spec = np.ascontiguousarray(comp_spec, np.int64)
+    n_tables = mincode.shape[0]
+    if not (
+        mincode.shape == maxcode.shape == valptr.shape == (n_tables, 17)
+        and huffval.shape == (n_tables, 256)
+        and comp_spec.ndim == 2
+        and comp_spec.shape[1] == 3
+    ):
+        raise ValueError("jpeg_scan: malformed table arrays")
+    if comp_spec[:, 1:].min() < 0 or comp_spec[:, 1:].max() >= n_tables:
+        raise ValueError("jpeg_scan: table slot out of range")
+    total_blocks = int(n_mcus) * int(comp_spec[:, 0].sum())
+    out = np.empty((total_blocks, 64), np.int64)
+    raw = np.frombuffer(buf, np.uint8)
+    rc = lib.jpeg_scan(
+        ctypes.c_void_p(raw.ctypes.data),
+        len(raw),
+        int(pos),
+        ctypes.c_void_p(mincode.ctypes.data),
+        ctypes.c_void_p(maxcode.ctypes.data),
+        ctypes.c_void_p(valptr.ctypes.data),
+        ctypes.c_void_p(huffval.ctypes.data),
+        ctypes.c_void_p(comp_spec.ctypes.data),
+        comp_spec.shape[0],
+        int(n_mcus),
+        int(restart_interval),
+        ctypes.c_void_p(out.ctypes.data),
+    )
+    if rc:
+        raise ValueError(_JPEG_SCAN_ERRORS.get(int(rc), f"JPEG scan error {rc}"))
+    return out

@@ -23,13 +23,16 @@ solid 8x8 tiles decodes to ``clamp(2 * round_half_away((v-128)/2) +
 reproduce, while the bitstream still exercises real Huffman coding,
 byte stuffing, zigzag, and the marker walk.
 
-Hot-path note: Huffman decoding is per-bit python (serial by nature);
-the IDCT batches ALL blocks per component through one einsum.  Fine
-for thumbnails (the contract/bench fixtures), slow on megapixel
-organic JPEGs — exactly the class of blob the PIL seam is documented
-for.  Same hardening contract as every decoder here: struct errors
-normalize to ValueError, scan bounds are checked, fuzzed by
-tests/test_jpeg.py (truncation + bitflip, zero escapes).
+Hot-path note: the Huffman entropy scan is serial by nature (each
+code's position depends on decoding the previous one), so it runs in
+the compiled kernel (``core/native.py jpeg_scan``) when a system
+compiler exists, with the per-bit python loop as the property-tested
+byte-equal fallback; everything after the scan — un-zigzag,
+dequantize, IDCT (batched matmuls), plane assembly, upsample, color
+convert — is whole-array numpy.  Same hardening contract as every
+decoder here: struct errors normalize to ValueError, scan bounds are
+checked, fuzzed by tests/test_jpeg.py (truncation + bitflip, zero
+escapes).
 """
 
 from __future__ import annotations
@@ -37,6 +40,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from sketch_spark.core import native
 
 __all__ = ["decode_jpeg", "encode_jpeg"]
 
@@ -147,6 +152,30 @@ def _huff_canonical(bits: list[int], vals: list[int]):
     return dec, enc
 
 
+def _huff_flat(bits: list[int], vals: list[int]):
+    """Same canonical codes as T.81 F.16 tables for the native kernel:
+    int32 mincode/maxcode/valptr rows indexed by code length 1..16
+    (slot 0 unused, maxcode == -1 marks an empty length) plus the
+    uint8 symbol row."""
+    mincode = np.zeros(17, np.int32)
+    maxcode = np.full(17, -1, np.int32)
+    valptr = np.zeros(17, np.int32)
+    huffval = np.zeros(256, np.uint8)
+    huffval[: len(vals)] = vals
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            k += n
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, huffval
+
+
 # 8x8 DCT-II basis: B[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
 _B = np.zeros((8, 8))
 for _u in range(8):
@@ -157,14 +186,18 @@ for _u in range(8):
 
 def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
     """(n, 8, 8) dequantized coefficients -> (n, 8, 8) float samples
-    (level-shifted domain).  One einsum for every block of a component
-    — the decode hot loop is the serial Huffman pass, not this."""
-    return np.einsum("ur,nuv,vc->nrc", _B, coeffs.astype(np.float64), _B)
+    (level-shifted domain).  Two batched matmuls for every block of a
+    component (B^T C B) — the broadcast matmul kernel runs ~10x the
+    naive einsum contraction, and the solid-tile oracle path stays
+    exact because a DC-only block gives every output sum exactly one
+    nonzero term (no accumulation-order sensitivity)."""
+    return _B.T @ coeffs.astype(np.float64) @ _B
 
 
 def _dct_blocks(samples: np.ndarray) -> np.ndarray:
-    """(n, 8, 8) level-shifted samples -> (n, 8, 8) DCT coefficients."""
-    return np.einsum("ur,nrc,vc->nuv", _B, samples.astype(np.float64), _B)
+    """(n, 8, 8) level-shifted samples -> (n, 8, 8) DCT coefficients
+    (B S B^T), the encode dual of ``_idct_blocks``."""
+    return _B @ samples.astype(np.float64) @ _B.T
 
 
 class _BitReader:
@@ -341,8 +374,10 @@ def _decode_jpeg_inner(buf: bytes, max_pixels: int) -> tuple[int, int, int, byte
                 vals = list(seg[i + 17 : i + 17 + n])
                 if len(vals) < n:
                     raise ValueError("truncated DHT")
-                dec, _ = _huff_canonical(counts, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                # keep the raw spec: the scan decoder builds whichever
+                # form it needs (flat arrays for the native kernel,
+                # the dict for the python bit loop)
+                (huff_dc if tc == 0 else huff_ac)[th] = (counts, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -362,26 +397,23 @@ def _decode_jpeg_inner(buf: bytes, max_pixels: int) -> tuple[int, int, int, byte
             )
 
 
-def _decode_scan(buf, pos, frame, quant, huff_dc, huff_ac, scan_tables,
-                 restart_interval):
-    w, h, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcus = mcux * mcuy
+def _entropy_decode_py(buf, pos, comps, scan_tables, huff_dc, huff_ac,
+                       n_mcus, restart_interval, total_blocks):
+    """Pure-python fallback for ``native.jpeg_scan``: the same
+    ``(total_blocks, 64)`` int64 zigzag-order coefficient blocks with
+    DC prediction applied — property-tested byte-equal to the kernel
+    (tests/test_jpeg.py)."""
+    tables = {}
+    for cid, hf, vf, tq in comps:
+        td, ta = scan_tables[cid]
+        if ("dc", td) not in tables:
+            tables[("dc", td)] = _huff_canonical(*huff_dc[td])[0]
+        if ("ac", ta) not in tables:
+            tables[("ac", ta)] = _huff_canonical(*huff_ac[ta])[0]
+    out = np.zeros((total_blocks, 64), np.int64)
     r = _BitReader(buf, pos)
     preds = [0] * len(comps)
-    # per component: list of (8,8) int coefficient blocks in MCU order
-    blocks: list[list[np.ndarray]] = [[] for _ in comps]
-    for ci, (cid, hf, vf, tq) in enumerate(comps):
-        if tq not in quant:
-            raise ValueError(f"missing DQT table {tq}")
-        if cid not in scan_tables:
-            raise ValueError(f"scan omits component {cid}")
-        td, ta = scan_tables[cid]
-        if td not in huff_dc or ta not in huff_ac:
-            raise ValueError("missing DHT table")
+    bi = 0
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
             mk = r.align_to_marker()
@@ -390,15 +422,16 @@ def _decode_scan(buf, pos, frame, quant, huff_dc, huff_ac, scan_tables,
             preds = [0] * len(comps)
         for ci, (cid, hf, vf, tq) in enumerate(comps):
             td, ta = scan_tables[cid]
-            dct, act = huff_dc[td], huff_ac[ta]
+            dct, act = tables[("dc", td)], tables[("ac", ta)]
             for _ in range(hf * vf):
-                zz = np.zeros(64, np.int64)
+                row = out[bi]
+                bi += 1
                 s = _decode_huff(r, dct)
                 if s > 11:
                     raise ValueError("bad DC category")
                 diff = _extend(r.bits(s), s) if s else 0
                 preds[ci] += diff
-                zz[0] = preds[ci]
+                row[0] = preds[ci]
                 k = 1
                 while k < 64:
                     rs = _decode_huff(r, act)
@@ -411,33 +444,99 @@ def _decode_scan(buf, pos, frame, quant, huff_dc, huff_ac, scan_tables,
                     k += rr
                     if k > 63:
                         raise ValueError("JPEG AC run past block end")
-                    zz[k] = _extend(r.bits(ss), ss)
+                    row[k] = _extend(r.bits(ss), ss)
                     k += 1
-                blk = np.zeros(64, np.int64)
-                blk[_ZIGZAG] = zz
-                blocks[ci].append(blk.reshape(8, 8))
-    # dequantize + batch IDCT per component, assemble planes
-    planes = []
+    return out
+
+
+def _entropy_decode_native(buf, pos, comps, scan_tables, huff_dc, huff_ac,
+                           n_mcus, restart_interval):
+    """Route the scan through ``native.jpeg_scan`` when available.
+    Returns ``None`` (caller falls back to the python bit loop) when
+    the kernel is missing or a hostile DHT overflows the fixed-width
+    symbol rows the kernel indexes."""
+    slots: dict[tuple[str, int], int] = {}
+    flats = []
+    for cid, hf, vf, tq in comps:
+        td, ta = scan_tables[cid]
+        for key, spec in ((("dc", td), huff_dc[td]), (("ac", ta), huff_ac[ta])):
+            if key not in slots:
+                if len(spec[1]) > 256:
+                    return None  # hostile DHT: keep python semantics
+                slots[key] = len(flats)
+                flats.append(_huff_flat(*spec))
+    comp_spec = np.array(
+        [
+            [hf * vf, slots[("dc", scan_tables[cid][0])],
+             slots[("ac", scan_tables[cid][1])]]
+            for cid, hf, vf, tq in comps
+        ],
+        np.int64,
+    )
+    return native.jpeg_scan(
+        buf,
+        pos,
+        np.stack([f[0] for f in flats]),
+        np.stack([f[1] for f in flats]),
+        np.stack([f[2] for f in flats]),
+        np.stack([f[3] for f in flats]),
+        comp_spec,
+        n_mcus,
+        restart_interval,
+    )
+
+
+def _decode_scan(buf, pos, frame, quant, huff_dc, huff_ac, scan_tables,
+                 restart_interval):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
     for ci, (cid, hf, vf, tq) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError(f"missing DQT table {tq}")
+        if cid not in scan_tables:
+            raise ValueError(f"scan omits component {cid}")
+        td, ta = scan_tables[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("missing DHT table")
+    blocks_per_mcu = sum(hf * vf for _, hf, vf, _ in comps)
+    total_blocks = n_mcus * blocks_per_mcu
+    zz = _entropy_decode_native(
+        buf, pos, comps, scan_tables, huff_dc, huff_ac, n_mcus,
+        restart_interval,
+    )
+    if zz is None:
+        zz = _entropy_decode_py(
+            buf, pos, comps, scan_tables, huff_dc, huff_ac, n_mcus,
+            restart_interval, total_blocks,
+        )
+    # dequantize + batch IDCT per component, assemble planes — all
+    # whole-array ops; the per-MCU block order is (comp0's hf*vf
+    # blocks row-major, comp1's, ...) per T.81 interleave
+    zz3 = zz.reshape(n_mcus, blocks_per_mcu, 64)
+    planes = []
+    offset = 0
+    for ci, (cid, hf, vf, tq) in enumerate(comps):
+        cnt = hf * vf
+        czz = zz3[:, offset : offset + cnt, :].reshape(-1, 64)
+        offset += cnt
+        nat = np.zeros_like(czz)
+        nat[:, _ZIGZAG] = czz  # un-zigzag every block at once
         q = quant[tq]
         qm = np.zeros(64, np.int64)
         qm[_ZIGZAG] = q  # q is in zigzag order in the file
-        qm = qm.reshape(8, 8)
-        arr = np.stack(blocks[ci]) * qm
+        arr = (nat * qm).reshape(-1, 8, 8)
         sam = _idct_blocks(arr) + 128.0
-        # blocks arrive MCU-major: mcu (my,mx) holds vf*hf blocks row-major
-        bw, bh = mcux * hf, mcuy * vf
-        plane = np.zeros((bh * 8, bw * 8))
-        i = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for by in range(vf):
-                    for bx in range(hf):
-                        plane[
-                            (my * vf + by) * 8 : (my * vf + by) * 8 + 8,
-                            (mx * hf + bx) * 8 : (mx * hf + bx) * 8 + 8,
-                        ] = sam[i]
-                        i += 1
+        # MCU-major blocks -> raster: (my, mx, by, bx, 8, 8) with the
+        # row dims interleaved as (my, by, row) x (mx, bx, col)
+        plane = (
+            sam.reshape(mcuy, mcux, vf, hf, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vf * 8, mcux * hf * 8)
+        )
         # replicate-upsample to full resolution, crop to (h, w)
         if hf < hmax:
             plane = np.repeat(plane, hmax // hf, axis=1)
