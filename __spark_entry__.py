@@ -674,6 +674,52 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images_df(imgs, "image", "doc_id")
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode end-to-end (jpegcodec.py SOF2
+    path): the same solid-tile construction as ``jpeg_decode`` (tile
+    values from md5-hex, fresh salt) but emitted through the full
+    progressive script — interleaved DC first + refinement, AC
+    spectral bands successively approximated from Al=2 down to 0, EOB
+    runs, restart markers on doc_id % 3 == 0.  The quantized
+    coefficients are identical to the baseline encoding, so the same
+    exact-integer DC oracle predicts every decoded pixel — spectral
+    selection, successive approximation, and EOB-run decode all sit
+    under the value hash."""
+    import hashlib as _hl
+    from typing import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from sketch_spark.functions.jpegcodec import encode_jpeg
+    from sketch_spark.functions.multimodal import decode_images_df
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 1 + did % 2, 1 + (did // 2) % 2
+                mh = _hl.md5(f"jpgp-{did}".encode()).hexdigest()
+                vals = _np.array(
+                    [int(mh[2 * k : 2 * k + 2], 16) for k in range(bw * bh)]
+                ).reshape(bh, bw)
+                img = _np.repeat(_np.repeat(vals, 8, 0), 8, 1).astype(_np.uint8)
+                blobs.append(
+                    encode_jpeg(
+                        img.tobytes(), 8 * bw, 8 * bh, gray=True,
+                        progressive=True,
+                        restart_interval=1 if did % 3 == 0 else 0,
+                    )
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    imgs = docs.mapInPandas(synth, "doc_id bigint, image binary")
+    return decode_images_df(imgs, "image", "doc_id")
+
+
 def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction (pdftext.py decode_pdf): each doc's
     text is paginated into 40-char pages (1 + doc_id % 3 of them),
@@ -2611,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dups": q_video_dups,
         "pdf_text": q_pdf_text,
         "jpeg_decode": q_jpeg_decode,
+        "jpeg_progressive": q_jpeg_progressive,
         "png_variants": q_png_variants,
         # --- new in round 4 (never driver-checked) ---
         "image_decode": q_image_decode,
@@ -3043,6 +3090,40 @@ def oracle_sql() -> dict[str, str]:
                        1 + doc_id % 2 AS bw,
                        1 + (doc_id // 2) % 2 AS bh,
                        md5('jpg-' || CAST(doc_id AS VARCHAR)) AS mh
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(8 * bw AS INT) AS width,
+                   CAST(8 * bh AS INT) AS height,
+                   'jpeg' AS format,
+                   md5(list_aggregate(
+                       [ repeat(printf('%02x',
+                           LEAST(255, GREATEST(0, 128 + 2 * (CASE
+                             WHEN CAST(concat('0x', substr(mh,
+                                 2 * ((((i - 1) // (8 * bw)) // 8) * bw
+                                      + (((i - 1) % (8 * bw)) // 8)) + 1,
+                                 2)) AS INT) >= 128
+                             THEN (CAST(concat('0x', substr(mh,
+                                 2 * ((((i - 1) // (8 * bw)) // 8) * bw
+                                      + (((i - 1) % (8 * bw)) // 8)) + 1,
+                                 2)) AS INT) - 127) // 2
+                             ELSE -((129 - CAST(concat('0x', substr(mh,
+                                 2 * ((((i - 1) // (8 * bw)) // 8) * bw
+                                      + (((i - 1) % (8 * bw)) // 8)) + 1,
+                                 2)) AS INT)) // 2)
+                           END)))), 3)
+                         FOR i IN generate_series(1, CAST(64 * bw * bh AS INT)) ],
+                       'string_agg', '')) AS pixel_md5
+            FROM src
+        """,
+        # progressive twin: identical quantized coefficients, so the
+        # SAME solid-tile DC arithmetic predicts the SOF2 decode
+        "jpeg_progressive": """
+            WITH src AS (
+                SELECT doc_id,
+                       1 + doc_id % 2 AS bw,
+                       1 + (doc_id // 2) % 2 AS bh,
+                       md5('jpgp-' || CAST(doc_id AS VARCHAR)) AS mh
                 FROM documents
             )
             SELECT doc_id,

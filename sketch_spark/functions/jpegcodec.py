@@ -1,14 +1,19 @@
-"""Baseline JPEG codec in pure python + numpy — no PIL, no libjpeg.
+"""JPEG codec in pure python + numpy — no PIL, no libjpeg.
 
 Closes the last sniff-only image format: ``decode_jpeg`` handles
-baseline/extended-sequential Huffman JPEG (SOF0/SOF1) — grayscale and
-3-component YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling (replicated
-upsample), DQT/DHT/DRI/RSTn, byte stuffing — and ``encode_jpeg`` is
-its fixture dual (grayscale or 4:4:4 color, Annex K quantization and
-Huffman tables).  Progressive (SOF2), arithmetic coding, 12-bit
-precision, and hierarchical modes raise ``NotImplementedError``: they
-exist in crawls but rarely, and the documented PIL/libjpeg swap
-(``PIL.Image.open``) remains the production answer for them.
+baseline/extended-sequential Huffman JPEG (SOF0/SOF1, including
+sequential multi-scan) AND progressive JPEG (SOF2: spectral
+selection, successive approximation, EOB runs per T.81 G.2) —
+grayscale and 3-component YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+subsampling (replicated upsample), DQT/DHT/DRI/RSTn, byte stuffing —
+and ``encode_jpeg`` is its fixture dual (grayscale or 4:4:4 color,
+Annex K quantization; ``progressive=True`` emits the full SOF2
+successive-approximation script, so every progressive decode path has
+an encoder twin to differentially test against).  Arithmetic coding,
+12-bit precision, and hierarchical modes raise
+``NotImplementedError``: they are rare in crawls and the documented
+PIL/libjpeg swap (``PIL.Image.open``) remains the production answer
+for them.
 
 Oracle-ability (the md5-hex pattern from CLAUDE.md, adapted to a LOSSY
 codec): quantization makes general pixels unpredictable in SQL, but a
@@ -24,12 +29,14 @@ reproduce, while the bitstream still exercises real Huffman coding,
 byte stuffing, zigzag, and the marker walk.
 
 Hot-path note: the Huffman entropy scan is serial by nature (each
-code's position depends on decoding the previous one), so it runs in
-the compiled kernel (``core/native.py jpeg_scan``) when a system
-compiler exists, with the per-bit python loop as the property-tested
-byte-equal fallback; everything after the scan — un-zigzag,
-dequantize, IDCT (batched matmuls), plane assembly, upsample, color
-convert — is whole-array numpy.  Same hardening contract as every
+code's position depends on decoding the previous one), so baseline
+scans run in the compiled kernel (``core/native.py jpeg_scan``) when
+a system compiler exists, with the per-bit python loop as the
+property-tested byte-equal fallback; everything after the scan —
+un-zigzag, dequantize, IDCT (batched matmuls), plane assembly,
+upsample, color convert — is whole-array numpy.  Progressive scans
+decode in python reference loops (correctness surface; megapixel
+progressive throughput is what the PIL seam is for).  Same hardening contract as every
 decoder here: struct errors normalize to ValueError, scan bounds are
 checked, fuzzed by tests/test_jpeg.py (truncation + bitflip, zero
 escapes).
@@ -304,29 +311,37 @@ def _decode_jpeg_inner(buf: bytes, max_pixels: int) -> tuple[int, int, int, byte
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (w, h, [(cid, hf, vf, tq)])
+    progressive = False
     restart_interval = 0
+    # per-component zigzag coefficient grids (bh, bw, 64), filled by
+    # one scan (baseline) or accumulated across scans (progressive /
+    # sequential multi-scan); eobrun state is scan-local
+    coefs: list[np.ndarray] | None = None
+    n_scans = 0
     while True:
-        if pos + 4 > len(buf):
-            raise ValueError("truncated JPEG before SOS")
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG before EOI")
         if buf[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD8:
             continue
-        if marker in (0xC0, 0xC1, 0xC4, 0xDB, 0xDD, 0xDA, 0xFE) or 0xE0 <= marker <= 0xEF:
+        if marker == 0xD9:  # EOI
+            if coefs is None:
+                raise ValueError("JPEG EOI before SOS")
+            return _finish_jpeg(frame, quant, coefs)
+        if marker in (0xC0, 0xC1, 0xC2, 0xC4, 0xDB, 0xDD, 0xDA, 0xFE) or 0xE0 <= marker <= 0xEF:
             (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
             if seglen < 2 or pos + seglen > len(buf):
                 raise ValueError("truncated JPEG segment")
             seg = buf[pos + 2 : pos + seglen]
             pos += seglen
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/hierarchical): "
-                "swap in PIL (baseline SOF0/SOF1 supported)"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical/lossless): "
+                "swap in PIL (SOF0/SOF1/SOF2 supported)"
             )
-        elif marker == 0xD9:
-            raise ValueError("JPEG EOI before SOS")
         else:
             raise ValueError(f"unexpected JPEG marker 0xFF{marker:02X}")
 
@@ -347,7 +362,9 @@ def _decode_jpeg_inner(buf: bytes, max_pixels: int) -> tuple[int, int, int, byte
                     i += 128
                 else:
                     raise ValueError(f"bad DQT precision {pq}")
-        elif marker in (0xC0, 0xC1):  # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (progressive)
+            if frame is not None:
+                raise ValueError("multiple JPEG SOF markers")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG: swap in PIL")
@@ -365,6 +382,7 @@ def _decode_jpeg_inner(buf: bytes, max_pixels: int) -> tuple[int, int, int, byte
                     raise NotImplementedError(f"sampling {hf}x{vf}: swap in PIL")
                 comps.append((cid, hf, vf, tq))
             frame = (w, h, comps)
+            progressive = marker == 0xC2
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -384,16 +402,31 @@ def _decode_jpeg_inner(buf: bytes, max_pixels: int) -> tuple[int, int, int, byte
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            n_scans += 1
+            if n_scans > 64:
+                # progressive scripts top out around a dozen scans;
+                # hundreds means a hostile file milking O(blocks) work
+                # per scan
+                raise ValueError("too many JPEG scans")
             ns = seg[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError("multi-scan JPEG: swap in PIL")
+            if not 1 <= ns <= len(frame[2]) or len(seg) < 4 + 2 * ns:
+                raise ValueError("bad JPEG scan header")
             scan_tables = {}
+            scan_cids = []
             for k in range(ns):
                 cs, tt = seg[1 + 2 * k : 3 + 2 * k]
+                if cs in scan_tables:
+                    raise ValueError("duplicate component in JPEG scan")
                 scan_tables[cs] = (tt >> 4, tt & 15)
-            return _decode_scan(
+                scan_cids.append(cs)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if coefs is None:
+                coefs = _alloc_coef_grids(frame)
+            pos = _decode_scan_pass(
                 buf, pos, frame, quant, huff_dc, huff_ac, scan_tables,
-                restart_interval,
+                scan_cids, restart_interval, coefs, progressive,
+                ss, se, ah, al,
             )
 
 
@@ -486,56 +519,314 @@ def _entropy_decode_native(buf, pos, comps, scan_tables, huff_dc, huff_ac,
     )
 
 
-def _decode_scan(buf, pos, frame, quant, huff_dc, huff_ac, scan_tables,
-                 restart_interval):
+def _frame_geometry(frame):
     w, h, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    n_mcus = mcux * mcuy
-    for ci, (cid, hf, vf, tq) in enumerate(comps):
-        if tq not in quant:
-            raise ValueError(f"missing DQT table {tq}")
-        if cid not in scan_tables:
-            raise ValueError(f"scan omits component {cid}")
-        td, ta = scan_tables[cid]
-        if td not in huff_dc or ta not in huff_ac:
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_blocks(w, h, hf, vf, hmax, vmax):
+    """Block grid of one component for a NON-interleaved scan (T.81
+    A.2.2): ceil over the component's own downsampled dims, not over
+    MCU multiples."""
+    cw = -(-(w * hf) // hmax)
+    ch = -(-(h * vf) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _alloc_coef_grids(frame):
+    """Per-component zigzag coefficient grids, padded to MCU multiples
+    (interleaved scans write the padding blocks; non-interleaved scans
+    touch only the real top-left sub-grid)."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * vf, mcux * hf, 64), np.int64)
+        for cid, hf, vf, tq in comps
+    ]
+
+
+def _skip_entropy(buf, pos):
+    """Advance past a scan's entropy-coded bytes to the next real
+    marker (stepping over 0xFF00 stuffing, 0xFF fill bytes, and
+    RSTn)."""
+    while True:
+        i = buf.find(b"\xff", pos)
+        if i < 0 or i + 1 >= len(buf):
+            raise ValueError("truncated JPEG scan data")
+        m = buf[i + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            pos = i + 2
+        elif m == 0xFF:
+            pos = i + 1  # fill byte
+        else:
+            return i
+
+
+def _decode_scan_pass(buf, pos, frame, quant, huff_dc, huff_ac, scan_tables,
+                      scan_cids, restart_interval, coefs, progressive,
+                      ss, se, ah, al):
+    """Decode ONE scan's entropy data into the coefficient grids and
+    return the buffer position of the next marker.  Baseline scans
+    (and sequential multi-scan) ride the native kernel; progressive
+    scans (T.81 G.2) run the python reference loops."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    by_cid = {c[0]: ci for ci, c in enumerate(comps)}
+    scan = []  # (ci, cid, hf, vf, tq) in scan order
+    needs_dc = (not progressive) or (ss == 0 and ah == 0)
+    needs_ac = (not progressive) or ss > 0
+    for cs in scan_cids:
+        if cs not in by_cid:
+            raise ValueError(f"scan names unknown component {cs}")
+        ci = by_cid[cs]
+        td, ta = scan_tables[cs]
+        if needs_dc and td not in huff_dc:
             raise ValueError("missing DHT table")
-    blocks_per_mcu = sum(hf * vf for _, hf, vf, _ in comps)
-    total_blocks = n_mcus * blocks_per_mcu
+        if needs_ac and ta not in huff_ac:
+            raise ValueError("missing DHT table")
+        scan.append((ci,) + comps[ci])
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("bad baseline scan spectral selection")
+        return _baseline_scan_pass(
+            buf, pos, frame, huff_dc, huff_ac, scan, scan_tables,
+            restart_interval, coefs,
+        )
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        return _prog_dc_scan(
+            buf, pos, frame, huff_dc, scan, scan_tables, restart_interval,
+            coefs, ah, al,
+        )
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not ss <= se <= 63:
+        raise ValueError("bad progressive spectral band")
+    return _prog_ac_scan(
+        buf, pos, frame, huff_ac, scan[0], scan_tables, restart_interval,
+        coefs, ss, se, ah, al,
+    )
+
+
+def _baseline_scan_pass(buf, pos, frame, huff_dc, huff_ac, scan, scan_tables,
+                        restart_interval, coefs):
+    """Full-spectrum sequential scan: interleaved when it carries >1
+    component, else raster order over the component's own block grid.
+    Both shapes reduce to the same (n_units x blocks_per_unit) decode
+    the native kernel / python loop already implement."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+        ecomps = [(cid, hf, vf, tq) for _, cid, hf, vf, tq in scan]
+    else:
+        ci, cid, hf, vf, tq = scan[0]
+        cbx, cby = _comp_blocks(w, h, hf, vf, hmax, vmax)
+        n_units = cbx * cby
+        ecomps = [(cid, 1, 1, tq)]
+    total_blocks = n_units * sum(c[1] * c[2] for c in ecomps)
     zz = _entropy_decode_native(
-        buf, pos, comps, scan_tables, huff_dc, huff_ac, n_mcus,
+        buf, pos, ecomps, scan_tables, huff_dc, huff_ac, n_units,
         restart_interval,
     )
     if zz is None:
         zz = _entropy_decode_py(
-            buf, pos, comps, scan_tables, huff_dc, huff_ac, n_mcus,
+            buf, pos, ecomps, scan_tables, huff_dc, huff_ac, n_units,
             restart_interval, total_blocks,
         )
-    # dequantize + batch IDCT per component, assemble planes — all
-    # whole-array ops; the per-MCU block order is (comp0's hf*vf
-    # blocks row-major, comp1's, ...) per T.81 interleave
-    zz3 = zz.reshape(n_mcus, blocks_per_mcu, 64)
+    if interleaved:
+        zz3 = zz.reshape(n_units, -1, 64)
+        off = 0
+        for ci, cid, hf, vf, tq in scan:
+            cnt = hf * vf
+            coefs[ci][:, :, :] = (
+                zz3[:, off : off + cnt, :]
+                .reshape(mcuy, mcux, vf, hf, 64)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(mcuy * vf, mcux * hf, 64)
+            )
+            off += cnt
+    else:
+        coefs[ci][:cby, :cbx, :] = zz.reshape(cby, cbx, 64)
+    return _skip_entropy(buf, pos)
+
+
+def _expect_rst(r):
+    mk = r.align_to_marker()
+    if not 0xD0 <= mk <= 0xD7:
+        raise ValueError(f"expected RST marker, got 0xFF{mk:02X}")
+
+
+def _prog_dc_scan(buf, pos, frame, huff_dc, scan, scan_tables,
+                  restart_interval, coefs, ah, al):
+    """Progressive DC scan (T.81 G.2.1-G.2.2): first pass (Ah=0)
+    Huffman-codes the point-transformed DC differences; refinement
+    passes (Ah>0) append one raw bit per block at position Al."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    r = _BitReader(buf, pos)
+    tables = {}
+    if ah == 0:
+        for _, cid, hf, vf, tq in scan:
+            tables[cid] = _huff_canonical(*huff_dc[scan_tables[cid][0]])[0]
+    preds = [0] * len(scan)
+
+    def unit(si, cid, row):
+        if ah == 0:
+            s = _decode_huff(r, tables[cid])
+            if s > 11:
+                raise ValueError("bad DC category")
+            diff = _extend(r.bits(s), s) if s else 0
+            preds[si] += diff
+            row[0] = preds[si] << al
+        elif r.bit():
+            row[0] |= 1 << al
+
+    if len(scan) > 1:  # interleaved
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                _expect_rst(r)
+                preds = [0] * len(scan)
+            my, mx = divmod(m, mcux)
+            for si, (ci, cid, hf, vf, tq) in enumerate(scan):
+                grid = coefs[ci]
+                for b in range(hf * vf):
+                    by, bx = divmod(b, hf)
+                    unit(si, cid, grid[my * vf + by, mx * hf + bx])
+    else:
+        ci, cid, hf, vf, tq = scan[0]
+        cbx, cby = _comp_blocks(w, h, hf, vf, hmax, vmax)
+        grid = coefs[ci]
+        for m in range(cbx * cby):
+            if restart_interval and m and m % restart_interval == 0:
+                _expect_rst(r)
+                preds = [0]
+            unit(0, cid, grid[m // cbx, m % cbx])
+    return _skip_entropy(buf, pos)
+
+
+def _prog_ac_scan(buf, pos, frame, huff_ac, comp, scan_tables,
+                  restart_interval, coefs, ss, se, ah, al):
+    """Progressive AC scan (always single-component, raster order over
+    the component's own block grid): spectral-selection first pass
+    (Ah=0) with EOB runs, or successive-approximation refinement
+    (Ah>0) with inline correction bits — the walks mirror T.81
+    G.2.2/libjpeg semantics exactly."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    ci, cid, hf, vf, tq = comp
+    act = _huff_canonical(*huff_ac[scan_tables[cid][1]])[0]
+    cbx, cby = _comp_blocks(w, h, hf, vf, hmax, vmax)
+    grid = coefs[ci]
+    r = _BitReader(buf, pos)
+    block = _ac_first_block if ah == 0 else _ac_refine_block
+    eobrun = 0
+    for m in range(cbx * cby):
+        if restart_interval and m and m % restart_interval == 0:
+            _expect_rst(r)
+            eobrun = 0
+        eobrun = block(r, act, grid[m // cbx, m % cbx], ss, se, al, eobrun)
+    return _skip_entropy(buf, pos)
+
+
+def _ac_first_block(r, act, row, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(r, act)
+        run, s = rs >> 4, rs & 15
+        if s == 0:
+            if run < 15:
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.bits(run)
+                break
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        row[k] = _extend(r.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(r, act, row, ss, se, al, eobrun):
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k):
+        c = int(row[k])
+        if c and r.bit() and not (c & p1):
+            row[k] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(r, act)
+            run, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.bits(run)
+                    break  # rest of block via the EOB tail below
+                # run == 15: ZRL, skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refinement magnitude")
+                val = p1 if r.bit() else m1
+            # advance over `run` zero-history coefficients, appending
+            # correction bits to already-nonzero ones along the way
+            while k <= se:
+                if row[k]:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB tail: corrections for the remaining band
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_jpeg(frame, quant, coefs):
+    """Dequantize + batch IDCT every component grid and assemble the
+    RGB raster — all whole-array ops."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
     planes = []
-    offset = 0
     for ci, (cid, hf, vf, tq) in enumerate(comps):
-        cnt = hf * vf
-        czz = zz3[:, offset : offset + cnt, :].reshape(-1, 64)
-        offset += cnt
+        if tq not in quant:
+            raise ValueError(f"missing DQT table {tq}")
+        grid = coefs[ci]
+        bh, bw = grid.shape[:2]
+        czz = grid.reshape(-1, 64)
         nat = np.zeros_like(czz)
         nat[:, _ZIGZAG] = czz  # un-zigzag every block at once
-        q = quant[tq]
         qm = np.zeros(64, np.int64)
-        qm[_ZIGZAG] = q  # q is in zigzag order in the file
+        qm[_ZIGZAG] = quant[tq]  # DQT is in zigzag order in the file
         arr = (nat * qm).reshape(-1, 8, 8)
         sam = _idct_blocks(arr) + 128.0
-        # MCU-major blocks -> raster: (my, mx, by, bx, 8, 8) with the
-        # row dims interleaved as (my, by, row) x (mx, bx, col)
         plane = (
-            sam.reshape(mcuy, mcux, vf, hf, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcuy * vf * 8, mcux * hf * 8)
+            sam.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
         )
         # replicate-upsample to full resolution, crop to (h, w)
         if hf < hmax:
@@ -582,22 +873,24 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def _quantize_block(coef: np.ndarray, qm: np.ndarray, exact_dc_num: int) -> np.ndarray:
-    """Round-half-away quantization; DC comes from the EXACT integer
-    block sum (``exact_dc_num = sum of level-shifted samples``, so the
-    true DC is ``exact_dc_num / 8``) — float DCT noise on a half-integer
-    DC would otherwise make solid-block fixtures knife-edge."""
+def _quantize_blocks(coef: np.ndarray, qm: np.ndarray,
+                     sums: np.ndarray) -> np.ndarray:
+    """Round-half-away quantization of ``(n, 8, 8)`` coefficient
+    blocks; DC comes from the EXACT integer block sums (``sums[i] =
+    sum of level-shifted samples``, so the true DC is ``sums[i] / 8``)
+    — float DCT noise on a half-integer DC would otherwise make
+    solid-block fixtures knife-edge."""
     q = np.where(
         coef >= 0,
         np.floor(coef / qm + 0.5),
         -np.floor(-coef / qm + 0.5),
     ).astype(np.int64)
     q0 = int(qm[0, 0])
-    num = exact_dc_num  # DC * 8
-    if num >= 0:
-        q[0, 0] = (2 * num + 8 * q0) // (16 * q0)
-    else:
-        q[0, 0] = -((-2 * num + 8 * q0) // (16 * q0))
+    q[:, 0, 0] = np.where(
+        sums >= 0,
+        (2 * sums + 8 * q0) // (16 * q0),
+        -((-2 * sums + 8 * q0) // (16 * q0)),
+    )
     return q
 
 
@@ -634,12 +927,237 @@ def _encode_component_block(w: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
+# AC table for progressive scans: the Annex K sequential tables lack
+# the EOBn symbols (0x10..0xE0 never occur in sequential data), so
+# progressive files carry this custom-but-fixed canonical table
+# covering ALL 256 run/size symbols (255 codes of 8 bits + one of 9;
+# Kraft-valid, all-ones codes unassigned).  Suboptimal compression,
+# full coverage — fixtures don't care about size.
+_FLAT_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+class _ScanWriter:
+    """One scan's entropy stream: a _BitWriter plus RSTn segmentation
+    every ``restart_interval`` units.  Callers check ``at_boundary()``
+    BEFORE each unit (flushing any pending EOB run first) and then call
+    ``restart()``."""
+
+    def __init__(self, restart_interval: int):
+        self.ri = restart_interval
+        self.parts: list[bytes] = []
+        self.w = _BitWriter()
+        self.m = 0
+
+    def at_boundary(self) -> bool:
+        return bool(self.ri) and self.m > 0 and self.m % self.ri == 0
+
+    def restart(self) -> None:
+        self.parts.append(self.w.flush())
+        self.parts.append(bytes([0xFF, 0xD0 + (self.m // self.ri - 1) % 8]))
+        self.w = _BitWriter()
+
+    def done(self) -> bytes:
+        self.parts.append(self.w.flush())
+        return b"".join(self.parts)
+
+
+def _flush_eobrun(wtr: _BitWriter, ac_enc, eobrun: int) -> int:
+    """Emit a pending EOB run as EOBn codes (T.81 G.1.2.2: EOBn spans
+    2^n..2^(n+1)-1 blocks via n appended bits)."""
+    while eobrun > 0:
+        r = min(14, eobrun.bit_length() - 1)
+        cnt = min(eobrun, (1 << (r + 1)) - 1)
+        code, ln = ac_enc[r << 4]
+        wtr.write(code, ln)
+        if r:
+            wtr.write(cnt - (1 << r), r)
+        eobrun -= cnt
+    return 0
+
+
+def _emit_dc_scan(grids, dc_encs, ah, al, restart_interval) -> bytes:
+    """Progressive DC scan: first pass (ah=0) codes point-transformed
+    differences; refinement (ah>0) emits one raw bit per block."""
+    sw = _ScanWriter(restart_interval)
+    preds = [0] * len(grids)
+    bh, bw = grids[0].shape[:2]
+    for by in range(bh):
+        for bx in range(bw):
+            if sw.at_boundary():
+                sw.restart()
+                preds = [0] * len(grids)
+            sw.m += 1
+            for ci, g in enumerate(grids):
+                dc = int(g[by, bx, 0])
+                if ah == 0:
+                    t = dc >> al  # arithmetic shift per T.81 G.1.2.1
+                    diff = t - preds[ci]
+                    preds[ci] = t
+                    s = abs(diff).bit_length()
+                    code, ln = dc_encs[ci][s]
+                    sw.w.write(code, ln)
+                    if s:
+                        sw.w.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+                else:
+                    sw.w.write((dc >> al) & 1, 1)
+    return sw.done()
+
+
+def _emit_ac_first_scan(grid, ac_enc, ss, se, al, restart_interval) -> bytes:
+    """Progressive AC spectral-selection scan for one component, with
+    cross-block EOB runs (the decoder's EOBRUN path needs real runs)."""
+    sw = _ScanWriter(restart_interval)
+    eobrun = 0
+    bh, bw = grid.shape[:2]
+    for by in range(bh):
+        for bx in range(bw):
+            if sw.at_boundary():
+                eobrun = _flush_eobrun(sw.w, ac_enc, eobrun)
+                sw.restart()
+            sw.m += 1
+            row = grid[by, bx]
+            vals = [
+                (int(v), abs(int(v)) >> al) for v in row[ss : se + 1]
+            ]
+            nz = [i for i, (_, av) in enumerate(vals) if av]
+            if not nz:
+                eobrun += 1
+                continue
+            eobrun = _flush_eobrun(sw.w, ac_enc, eobrun)
+            run = 0
+            for i in range(nz[-1] + 1):
+                v, av = vals[i]
+                if av == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    sw.w.write(code, ln)
+                    run -= 16
+                s = av.bit_length()
+                code, ln = ac_enc[(run << 4) | s]
+                sw.w.write(code, ln)
+                sw.w.write(av if v >= 0 else (1 << s) - 1 - av, s)
+                run = 0
+            if nz[-1] < len(vals) - 1:
+                eobrun += 1  # trailing zeros close the band via EOB
+    _flush_eobrun(sw.w, ac_enc, eobrun)
+    return sw.done()
+
+
+def _emit_ac_refine_scan(grid, ac_enc, ss, se, al, restart_interval) -> bytes:
+    """Progressive AC successive-approximation refinement for one
+    component, mirroring the decoder walk exactly: newly-significant
+    coefficients as (run,1)+sign, correction bits inline in position
+    order, ZRL splits at the 16th zero, blocks owing nothing extend the
+    EOB run."""
+    sw = _ScanWriter(restart_interval)
+    eobrun = 0
+    bh, bw = grid.shape[:2]
+    for by in range(bh):
+        for bx in range(bw):
+            if sw.at_boundary():
+                eobrun = _flush_eobrun(sw.w, ac_enc, eobrun)
+                sw.restart()
+            sw.m += 1
+            row = grid[by, bx]
+            # per position: 'z' not yet significant, 'n' newly
+            # significant (sign bit), 'c' history (correction bit)
+            events = []
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                av = abs(v) >> al
+                if av == 0:
+                    events.append(("z", 0))
+                elif av == 1:
+                    events.append(("n", 1 if v >= 0 else 0))
+                else:
+                    events.append(("c", av & 1))
+            if all(t == "z" for t, _ in events):
+                eobrun += 1
+                continue
+            eobrun = _flush_eobrun(sw.w, ac_enc, eobrun)
+            gap: list[tuple[str, int]] = []
+            for t, b in events:
+                if t != "n":
+                    gap.append((t, b))
+                    continue
+                zeros = sum(1 for tt, _ in gap if tt == "z")
+                while zeros > 15:
+                    # ZRL consumes the first 16 zeros; corrections
+                    # positioned before its 16th zero ride with it
+                    cnt = 0
+                    for j, (tt, _) in enumerate(gap):
+                        if tt == "z":
+                            cnt += 1
+                            if cnt == 16:
+                                break
+                    code, ln = ac_enc[0xF0]
+                    sw.w.write(code, ln)
+                    for tt, bb in gap[: j + 1]:
+                        if tt == "c":
+                            sw.w.write(bb, 1)
+                    gap = gap[j + 1 :]
+                    zeros -= 16
+                code, ln = ac_enc[(zeros << 4) | 1]
+                sw.w.write(code, ln)
+                sw.w.write(b, 1)  # sign: 1 positive
+                for tt, bb in gap:
+                    if tt == "c":
+                        sw.w.write(bb, 1)
+                gap = []
+            if gap:
+                if any(tt == "c" for tt, _ in gap):
+                    # corrections owed past the last new coefficient:
+                    # close with an explicit EOB(1) + the bits now
+                    code, ln = ac_enc[0x00]
+                    sw.w.write(code, ln)
+                    for tt, bb in gap:
+                        if tt == "c":
+                            sw.w.write(bb, 1)
+                else:
+                    eobrun += 1  # zeros only: extendable EOB run
+    _flush_eobrun(sw.w, ac_enc, eobrun)
+    return sw.done()
+
+
+def _quantized_grids(planes, w, h):
+    """Pad, level-shift, batch-DCT and quantize every plane into a
+    ``(bh, bw, 64)`` zigzag coefficient grid per component."""
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    qms = [_QUANT_LUMA.reshape(8, 8), _QUANT_CHROMA.reshape(8, 8)]
+    grids = []
+    for ci, p in enumerate(planes):
+        pp = np.pad(p, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+        blocks = (
+            (pp.astype(np.int64) - 128)
+            .reshape(bh_, 8, bw_, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        q = _quantize_blocks(
+            _dct_blocks(blocks), qms[min(ci, 1)], blocks.reshape(-1, 64).sum(1)
+        )
+        grids.append(q.reshape(-1, 64)[:, _ZIGZAG].reshape(bh_, bw_, 64))
+    return grids
+
+
 def encode_jpeg(data: bytes, w: int, h: int, gray: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JPEG encoder: grayscale (``gray=True``, ``data`` =
-    ``w*h`` luma bytes) or 4:4:4 YCbCr color (``data`` = ``w*h*3`` RGB),
-    Annex K quantization + Huffman tables, no subsampling.  The DC path
-    is exact-integer (see ``_quantize_block``), which is what makes
+                restart_interval: int = 0, progressive: bool = False) -> bytes:
+    """JPEG encoder: grayscale (``gray=True``, ``data`` = ``w*h`` luma
+    bytes) or 4:4:4 YCbCr color (``data`` = ``w*h*3`` RGB), Annex K
+    quantization, no subsampling.  ``progressive=True`` emits an SOF2
+    file with the full successive-approximation script (interleaved DC
+    first+refine, then per-component AC spectral bands at Al=2 refined
+    down to 0) — the decode dual for every progressive path.  Both
+    modes produce IDENTICAL quantized coefficients, so a progressive
+    re-encode decodes byte-equal to its baseline twin.  The DC path is
+    exact-integer (see ``_quantize_blocks``), which is what makes
     solid-tile fixtures SQL-oracle-able through a lossy codec."""
     n = w * h * (1 if gray else 3)
     if len(data) != n:
@@ -656,48 +1174,11 @@ def encode_jpeg(data: bytes, w: int, h: int, gray: bool = False,
         planes = [
             np.clip(np.rint(p), 0, 255).astype(np.int64) for p in (y, cb, cr)
         ]
+    nc = len(planes)
+    grids = _quantized_grids(planes, w, h)
     _, dc_l_enc = _huff_canonical(*_DC_LUMA_SPEC)
-    _, ac_l_enc = _huff_canonical(*_AC_LUMA_SPEC)
     _, dc_c_enc = _huff_canonical(*_DC_CHROMA_SPEC)
-    _, ac_c_enc = _huff_canonical(*_AC_CHROMA_SPEC)
-    # the table constants are in NATURAL (row-major) order; the file
-    # stores DQT in zigzag order, so reshape here and permute on write
-    qm_l = _QUANT_LUMA.reshape(8, 8)
-    qm_c = _QUANT_CHROMA.reshape(8, 8)
-
-    bw_, bh_ = -(-w // 8), -(-h // 8)
-    writer = _BitWriter()
-    scan_parts: list[bytes] = []
-    preds = [0] * len(planes)
-    # pad planes to block multiples by edge replication
-    padded = []
-    for p in planes:
-        pp = np.pad(p, ((0, bh_ * 8 - h), (0, bw_ * 8 - w)), mode="edge")
-        padded.append(pp.astype(np.int64) - 128)
-    mcu = 0
-    for by in range(bh_):
-        for bx in range(bw_):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                scan_parts.append(writer.flush())
-                scan_parts.append(
-                    bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
-                )
-                writer = _BitWriter()
-                preds = [0] * len(planes)
-            mcu += 1
-            for ci, p in enumerate(padded):
-                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = _dct_blocks(blk[None])[0]
-                qm = qm_l if ci == 0 else qm_c
-                q = _quantize_block(coef, qm, int(blk.sum()))
-                zz = q.reshape(-1)[_ZIGZAG]
-                dc_enc = dc_l_enc if ci == 0 else dc_c_enc
-                ac_enc = ac_l_enc if ci == 0 else ac_c_enc
-                preds[ci] = _encode_component_block(
-                    writer, zz, preds[ci], dc_enc, ac_enc
-                )
-    scan_parts.append(writer.flush())
-    scan = b"".join(scan_parts)
+    dc_encs = [dc_l_enc] + [dc_c_enc] * (nc - 1)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -709,27 +1190,77 @@ def encode_jpeg(data: bytes, w: int, h: int, gray: bool = False,
         out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([0x01]) + bytes(
             int(v) for v in _QUANT_CHROMA[_ZIGZAG]
         )
-    nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += bytes([0xFF, 0xC2 if progressive else 0xC0])
+    out += struct.pack(">H", 2 + len(sof)) + sof
 
     def dht(tc: int, th: int, spec) -> bytes:
         counts, vals = spec
         body = bytes([tc << 4 | th]) + bytes(counts) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
-    out += dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
-    if not gray:
-        out += dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
+    def sos(scan_comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += scan
+
+    if not progressive:
+        out += dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_LUMA_SPEC)
+        if not gray:
+            out += dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_CHROMA_SPEC)
+        _, ac_l_enc = _huff_canonical(*_AC_LUMA_SPEC)
+        _, ac_c_enc = _huff_canonical(*_AC_CHROMA_SPEC)
+        ac_encs = [ac_l_enc] + [ac_c_enc] * (nc - 1)
+        sw = _ScanWriter(restart_interval)
+        preds = [0] * nc
+        bh_, bw_ = grids[0].shape[:2]
+        for by in range(bh_):
+            for bx in range(bw_):
+                if sw.at_boundary():
+                    sw.restart()
+                    preds = [0] * nc
+                sw.m += 1
+                for ci, g in enumerate(grids):
+                    preds[ci] = _encode_component_block(
+                        sw.w, g[by, bx], preds[ci], dc_encs[ci], ac_encs[ci]
+                    )
+        out += sos([(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+                    for ci in range(nc)], 0, 63, 0, 0)
+        out += sw.done()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # progressive: DC tables as baseline, one flat AC table for all
+    # components (the EOBn symbols aren't in the Annex K tables)
+    out += dht(0, 0, _DC_LUMA_SPEC)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_SPEC)
+    out += dht(1, 0, _FLAT_AC_SPEC)
+    _, flat_ac_enc = _huff_canonical(*_FLAT_AC_SPEC)
+    all_comps = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)]
+    out += sos(all_comps, 0, 0, 0, 1)
+    out += _emit_dc_scan(grids, dc_encs, 0, 1, restart_interval)
+    out += sos(all_comps, 0, 0, 1, 0)
+    out += _emit_dc_scan(grids, dc_encs, 1, 0, restart_interval)
+    for ci in range(nc):
+        comp = [(ci + 1, 0, 0)]
+        for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2),
+                               (1, 63, 2, 1), (1, 63, 1, 0)):
+            out += sos(comp, ss, se, ah, al)
+            if ah == 0:
+                out += _emit_ac_first_scan(
+                    grids[ci], flat_ac_enc, ss, se, al, restart_interval
+                )
+            else:
+                out += _emit_ac_refine_scan(
+                    grids[ci], flat_ac_enc, ss, se, al, restart_interval
+                )
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -811,8 +811,9 @@ def _decode_image_full(buf: bytes) -> tuple[str, int, int, bytes]:
     except (struct.error, zlib.error) as e:
         raise ValueError(f"corrupt image blob: {e}") from e
     if buf[:3] == b"\xff\xd8\xff":
-        # real baseline decoder (jpegcodec.py: Huffman + dequant +
-        # batched IDCT, 4:4:4/4:2:2/4:2:0); progressive/arithmetic
+        # real decoder (jpegcodec.py): baseline via the native scan
+        # kernel + progressive/SOF2 (spectral selection, successive
+        # approximation), 4:4:4/4:2:2/4:2:0; arithmetic/12-bit/CMYK
         # modes still raise NotImplementedError toward the PIL seam
         from .jpegcodec import decode_jpeg
 
@@ -1406,8 +1407,8 @@ def binary_metadata(
 
     Decode support behind each sniffed format: png/gif/riff(avi,wav)
     and the netpbm/bmp families decode in this module; ``jpeg``
-    decodes via :mod:`sketch_spark.functions.jpegcodec` (baseline
-    Huffman; progressive keeps the PIL seam); ``pdf`` routes to
+    decodes via :mod:`sketch_spark.functions.jpegcodec` (baseline +
+    progressive; arithmetic/12-bit keep the PIL seam); ``pdf`` routes to
     :mod:`sketch_spark.functions.pdftext` (object scan, FlateDecode,
     text extraction); ``html`` is sniff-only here (text extraction
     lives in ``sources.pages``).

@@ -236,15 +236,16 @@ def test_binary_metadata(spark, pages_dir):
 
 
 def test_decode_image_jpeg_dispatch():
-    # baseline JPEG decodes natively now (jpegcodec.py, r5); a blob
-    # that only LOOKS like a JPEG is corrupt data -> skippable
-    # ValueError, while progressive mode keeps the PIL swap point.
+    # baseline AND progressive JPEG decode natively now (jpegcodec.py,
+    # r5); a blob that only LOOKS like a JPEG is corrupt data ->
+    # skippable ValueError, while arithmetic coding (SOF9) keeps the
+    # PIL swap point.
     from sketch_spark.functions.multimodal import decode_image
 
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xfffakejpeg")
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+        decode_image(b"\xff\xd8\xff\xc9\x00\x04\x00\x00")
 
 
 def test_fake_features_deterministic_and_normalized(spark, pages_dir):

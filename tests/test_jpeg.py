@@ -137,7 +137,11 @@ def test_dispatch_and_unsupported_modes():
     blob = encode_jpeg(gray.tobytes(), 16, 16, gray=True)
     fmt, w, h, rgb = _decode_image_full(blob)
     assert (fmt, w, h) == ("jpeg", 16, 16)
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(blob.replace(b"\xff\xc0", b"\xff\xc9"))  # arithmetic
+    with pytest.raises(ValueError, match="Se=0"):
+        # baseline scan params inside a frame relabeled progressive:
+        # a progressive DC scan must carry Se=0
         decode_jpeg(blob.replace(b"\xff\xc0", b"\xff\xc2"))
     with pytest.raises(ValueError, match="max_pixels"):
         big = bytearray(blob)
@@ -298,3 +302,126 @@ def test_native_scan_kernel_is_fast():
     finally:
         _restore_native_path()
     assert t_python / t_native >= 3, (t_native, t_python)
+
+
+# ------------------------------------------- progressive (SOF2)
+
+
+@given(
+    seed=st.integers(0, 2**31),
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    gray=st.booleans(),
+    ri=st.sampled_from([0, 1, 3]),
+)
+@settings(max_examples=25, deadline=None)
+def test_progressive_equals_baseline(seed, w, h, gray, ri):
+    """A progressive re-encode of the same quantized coefficients must
+    decode byte-identical to its baseline twin — this exercises every
+    progressive path: interleaved DC first+refine, AC spectral bands,
+    successive approximation down to Al=0, EOB runs, and RSTn."""
+    rng = np.random.default_rng(seed)
+    ch = 1 if gray else 3
+    raw = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(raw, w, h, gray=gray))
+    prog = decode_jpeg(
+        encode_jpeg(raw, w, h, gray=gray, progressive=True,
+                    restart_interval=ri)
+    )
+    assert base == prog
+
+
+def test_progressive_smooth_eob_runs_and_solid_exactness():
+    """Smooth/solid rasters produce multi-block EOB runs in every AC
+    scan (the EOBn decode path), and the solid-tile integer oracle
+    formula must hold through the progressive pipeline too."""
+    vals = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    w, h, nc, rgb = decode_jpeg(
+        encode_jpeg(img.tobytes(), 128, 128, gray=True, progressive=True)
+    )
+    assert (w, h, nc) == (128, 128, 1)
+    dec = np.frombuffer(rgb, np.uint8).reshape(128, 128, 3)
+    exp = np.repeat(np.repeat(np.vectorize(_pred)(vals), 8, 0), 8, 1)
+    assert (dec == exp[..., None]).all()
+
+
+def test_progressive_420_dc_only_decode():
+    """Hand-built progressive 4:2:0 file with ONLY an interleaved DC
+    scan (AC never transmitted): subsampled progressive geometry +
+    partial-script tolerance."""
+    from sketch_spark.functions.jpegcodec import (
+        _QUANT_CHROMA,
+        _QUANT_LUMA,
+        _ZIGZAG,
+    )
+
+    v = 200
+    s = v - 128
+    fq = (s + 1) // 2
+    _, dc_l = _huff_canonical(*_DC_LUMA_SPEC)
+    _, dc_c = _huff_canonical(*_DC_CHROMA_SPEC)
+    wtr = _BitWriter()
+
+    def put_dc(diff, enc):
+        ss = abs(diff).bit_length()
+        code, ln = enc[ss]
+        wtr.write(code, ln)
+        if ss:
+            wtr.write(diff if diff >= 0 else diff + (1 << ss) - 1, ss)
+
+    put_dc(fq, dc_l)
+    for _ in range(3):
+        put_dc(0, dc_l)
+    put_dc(0, dc_c)
+    put_dc(0, dc_c)
+    scan = wtr.flush()
+
+    blob = bytearray(b"\xff\xd8")
+    blob += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(x) for x in _QUANT_LUMA[_ZIGZAG]
+    )
+    blob += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+        int(x) for x in _QUANT_CHROMA[_ZIGZAG]
+    )
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    blob += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def dht(tc, th, spec):
+        counts, vals = spec
+        body = bytes([tc << 4 | th]) + bytes(counts) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    blob += dht(0, 0, _DC_LUMA_SPEC) + dht(0, 1, _DC_CHROMA_SPEC)
+    sos = bytes([3, 1, 0x00, 2, 0x10, 3, 0x10]) + bytes([0, 0, 0x00])
+    blob += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    blob += scan + b"\xff\xd9"
+
+    w, h, nc, rgb = decode_jpeg(bytes(blob))
+    assert (w, h, nc) == (16, 16, 3)
+    dec = np.frombuffer(rgb, np.uint8).reshape(16, 16, 3)
+    assert (dec == _pred(v)).all()
+
+
+def test_progressive_truncation_and_bitflip_never_escape():
+    y, x = np.mgrid[0:24, 0:24]
+    col = np.stack([(x * 9) % 256, (y * 5) % 256, ((x * y) + 3) % 256], -1)
+    blob = encode_jpeg(
+        col.astype(np.uint8).tobytes(), 24, 24, progressive=True,
+        restart_interval=2,
+    )
+    for cut in range(0, len(blob), 11):
+        try:
+            decode_jpeg(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    rng = random.Random(23)
+    for _ in range(1200):
+        mutated = bytearray(blob)
+        i = rng.randrange(len(mutated))
+        mutated[i] ^= 1 << rng.randrange(8)
+        try:
+            decode_jpeg(bytes(mutated))
+        except (ValueError, NotImplementedError):
+            pass

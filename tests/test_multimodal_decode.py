@@ -1,7 +1,7 @@
 """REAL multimodal decode paths (VERDICT r3 "What's missing" #2): pure
-python/numpy decoders for PPM/PGM/BMP/PNG images and PCM WAV audio — no
-external image library, hash-oracle-able end-to-end.  JPEG/GIF keep the
-documented PIL swap point (NotImplementedError)."""
+python/numpy decoders for PPM/PGM/BMP/PNG/GIF/JPEG images and PCM WAV
+audio — no external image library, hash-oracle-able end-to-end.  Only
+arithmetic/12-bit JPEG keeps the PIL swap point (NotImplementedError)."""
 
 import base64
 import hashlib
@@ -90,18 +90,23 @@ def test_bmp_unsupported_bpp_raises():
         decode_image(bytes(buf))
 
 
-def test_jpeg_decodes_natively_progressive_keeps_pil_seam():
-    # round 5: baseline JPEG is a real decoder (jpegcodec.py); only
-    # progressive/arithmetic still routes to the PIL swap point
+def test_jpeg_decodes_natively_arithmetic_keeps_pil_seam():
+    # round 5: baseline AND progressive JPEG are real decoders
+    # (jpegcodec.py); only arithmetic/12-bit still routes to the PIL
+    # swap point
     from sketch_spark.functions.jpegcodec import encode_jpeg
 
     img = np.arange(64, dtype=np.uint8).repeat(4).reshape(16, 16)
     w, h, rgb = decode_image(encode_jpeg(img.tobytes(), 16, 16, gray=True))
     assert (w, h, len(rgb)) == (16, 16, 16 * 16 * 3)
+    wp, hp, rgbp = decode_image(
+        encode_jpeg(img.tobytes(), 16, 16, gray=True, progressive=True)
+    )
+    assert (wp, hp, rgbp) == (w, h, rgb)
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xfffake" + b"\x00" * 16)
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+        decode_image(b"\xff\xd8\xff\xc9\x00\x04\x00\x00")
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
