@@ -43,6 +43,7 @@ def make_blobs(spark, rows: int, out_dir: str, size: int = 64) -> None:
     import pandas as pd
     from pyspark.sql import functions as F
 
+    from sketch_spark.functions.jpegcodec import encode_jpeg
     from sketch_spark.functions.multimodal import encode_gif, encode_png
 
     def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -55,7 +56,7 @@ def make_blobs(spark, rows: int, out_dir: str, size: int = 64) -> None:
                 i = int(i)
                 rng = np.random.default_rng(i)
                 w = h = size
-                kind = i % 4
+                kind = i % 5
                 if kind == 0:  # PNG RGB, filter varies
                     rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
                     blobs.append(encode_png(rgb, w, h, filter_type=i % 5))
@@ -74,6 +75,10 @@ def make_blobs(spark, rows: int, out_dir: str, size: int = 64) -> None:
                         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
                     )
                     blobs.append(hdr + dib + body)
+                elif kind == 3:  # JPEG (photographic; native scan kernel)
+                    blobs.append(
+                        encode_jpeg(_photo_rgb(w, h, i).tobytes(), w, h)
+                    )
                 else:  # PPM
                     rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
                     blobs.append(f"P6\n{w} {h}\n255\n".encode() + rgb)
@@ -267,7 +272,7 @@ def main() -> None:
         f.write(
             f"\nMultimodal decode throughput ({stamp}): {args.rows} "
             f"{args.size}x{args.size} blobs "
-            f"(PNG/GIF/BMP/PPM mix, zlib+LZW real), {args.cores} cores: "
+            f"(PNG/GIF/BMP/JPEG/PPM mix, zlib+LZW+Huffman real), {args.cores} cores: "
             f"decode_images_df {res['decode_per_sec']}/s ({res['decode_s']}s), "
             f"image_stats_df {res['stats_per_sec']}/s ({res['stats_s']}s), "
             f"image_exact_duplicates {res['dups_s']}s, "
