@@ -113,6 +113,7 @@ def bench_jpeg(out_path: str, sizes=(64, 256, 1024), reps=5) -> dict:
         for label, blob in (
             ("gray", encode_jpeg(np.ascontiguousarray(img[..., 0]).tobytes(), size, size, gray=True)),
             ("color444", encode_jpeg(img.tobytes(), size, size)),
+            ("prog444", encode_jpeg(img.tobytes(), size, size, progressive=True)),
         ):
             decode_jpeg(blob)  # warm
             best = 9e9
@@ -124,7 +125,8 @@ def bench_jpeg(out_path: str, sizes=(64, 256, 1024), reps=5) -> dict:
         res["sizes"][size] = out
     stamp = _t.strftime("%Y-%m-%d %H:%M UTC", _t.gmtime())
     lines = [
-        f"{s}x{s}: gray={v['gray']}ms color444={v['color444']}ms"
+        f"{s}x{s}: gray={v['gray']}ms color444={v['color444']}ms "
+        f"prog444={v['prog444']}ms"
         for s, v in res["sizes"].items()
     ]
     with open(out_path, "a") as f:

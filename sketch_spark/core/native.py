@@ -40,7 +40,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["jpeg_scan", "png_unfilter"]
+__all__ = ["jpeg_prog_ac", "jpeg_prog_dc", "jpeg_scan", "png_unfilter"]
 
 _SRC = r"""
 #include <stdlib.h>
@@ -182,6 +182,22 @@ static long jb_huff(jbits *r, const int *mincode, const int *maxcode,
 
 #define JB_EXTEND(v, s) (((v) >= (1L << ((s) - 1))) ? (v) : (v) - (1L << (s)) + 1)
 
+/* consume an RSTn marker at a restart boundary (same fill-byte walk
+   as jpegcodec._BitReader.align_to_marker); returns 0 or an error */
+static long jb_rst(jbits *r) {
+    long mk;
+    r->acc = 0;
+    r->n = 0;
+    while (r->pos + 1 < r->len && r->buf[r->pos] == 0xFF &&
+           r->buf[r->pos + 1] == 0xFF)
+        r->pos++; /* fill bytes */
+    if (r->pos + 1 >= r->len || r->buf[r->pos] != 0xFF) return -5;
+    mk = r->buf[r->pos + 1];
+    r->pos += 2;
+    if (mk < 0xD0 || mk > 0xD7) return -5;
+    return 0;
+}
+
 /* comp_spec: ncomp rows of (blocks_per_mcu, dc_slot, ac_slot); table
    slot t owns mincode/maxcode/valptr[t*17..] and huffval[t*256..].
    out: n_mcus * sum(blocks_per_mcu) blocks of 64 int64 coefficients in
@@ -200,16 +216,8 @@ long jpeg_scan(const unsigned char *buf, long len, long pos,
     if (ncomp < 1 || ncomp > 4) return -7;
     for (m = 0; m < n_mcus; m++) {
         if (restart_interval && m && m % restart_interval == 0) {
-            long mk;
-            r.acc = 0;
-            r.n = 0;
-            while (r.pos + 1 < r.len && r.buf[r.pos] == 0xFF &&
-                   r.buf[r.pos + 1] == 0xFF)
-                r.pos++; /* fill bytes */
-            if (r.pos + 1 >= r.len || r.buf[r.pos] != 0xFF) return -5;
-            mk = r.buf[r.pos + 1];
-            r.pos += 2;
-            if (mk < 0xD0 || mk > 0xD7) return -5;
+            long e = jb_rst(&r);
+            if (e) return e;
             for (ci = 0; ci < ncomp; ci++) preds[ci] = 0;
         }
         for (ci = 0; ci < ncomp; ci++) {
@@ -252,6 +260,172 @@ long jpeg_scan(const unsigned char *buf, long len, long pos,
                     k += 1;
                 }
                 o += 64;
+            }
+        }
+    }
+    return 0;
+}
+
+/* Progressive DC scan (T.81 G.2.1-G.2.2): first pass (ah==0) decodes
+   point-transformed DC differences, refinement (ah>0) ORs one raw bit
+   per block at position al.  dc is the gathered DC column in decode
+   order (unit-major, scan-component, block); comp_spec rows are
+   (blocks_per_unit, dc_table_slot). */
+long jpeg_prog_dc(const unsigned char *buf, long len, long pos,
+                  const int * restrict mincode, const int * restrict maxcode,
+                  const int * restrict valptr,
+                  const unsigned char * restrict huffval,
+                  const long * restrict comp_spec, long ncomp,
+                  long n_units, long restart_interval, long ah, long al,
+                  long long * restrict dc) {
+    jbits r = {buf, len, pos, 0, 0, 0};
+    long long preds[4] = {0, 0, 0, 0};
+    long long *o = dc;
+    long m, ci, bi;
+    if (ncomp < 1 || ncomp > 4) return -7;
+    for (m = 0; m < n_units; m++) {
+        if (restart_interval && m && m % restart_interval == 0) {
+            long e = jb_rst(&r);
+            if (e) return e;
+            for (ci = 0; ci < ncomp; ci++) preds[ci] = 0;
+        }
+        for (ci = 0; ci < ncomp; ci++) {
+            long nb = comp_spec[ci * 2];
+            long slot = comp_spec[ci * 2 + 1];
+            for (bi = 0; bi < nb; bi++) {
+                if (ah == 0) {
+                    long s = jb_huff(&r, mincode + slot * 17,
+                                     maxcode + slot * 17, valptr + slot * 17,
+                                     huffval + slot * 256);
+                    if (s < 0) return s;
+                    if (s > 11) return -3;
+                    if (s) {
+                        long v, e = jb_bits(&r, s, &v);
+                        if (e) return e;
+                        preds[ci] += JB_EXTEND(v, s);
+                    }
+                    *o = preds[ci] << al;
+                } else {
+                    long b = jb_bit(&r);
+                    if (b < 0) return b;
+                    if (b) *o |= (1LL << al);
+                }
+                o++;
+            }
+        }
+    }
+    return 0;
+}
+
+/* Progressive AC scan (single component, raster order): spectral
+   selection first pass (ah==0) with EOB runs, or successive
+   approximation refinement (ah>0) with inline correction bits — the
+   walks mirror jpegcodec._ac_first_block/_ac_refine_block exactly.
+   coef: n_units rows of 64 zigzag coefficients, updated in place;
+   the one Huffman table sits at slot 0. */
+long jpeg_prog_ac(const unsigned char *buf, long len, long pos,
+                  const int * restrict mincode, const int * restrict maxcode,
+                  const int * restrict valptr,
+                  const unsigned char * restrict huffval,
+                  long n_units, long restart_interval,
+                  long ss, long se, long ah, long al,
+                  long long * restrict coef) {
+    jbits r = {buf, len, pos, 0, 0, 0};
+    long long eobrun = 0;
+    long long p1 = 1LL << al, m1 = -(1LL << al);
+    long m, k;
+    for (m = 0; m < n_units; m++) {
+        long long *row = coef + m * 64;
+        if (restart_interval && m && m % restart_interval == 0) {
+            long e = jb_rst(&r);
+            if (e) return e;
+            eobrun = 0;
+        }
+        if (ah == 0) {
+            if (eobrun > 0) {
+                eobrun--;
+                continue;
+            }
+            k = ss;
+            while (k <= se) {
+                long rs = jb_huff(&r, mincode, maxcode, valptr, huffval);
+                long run, s, v, e;
+                if (rs < 0) return rs;
+                run = rs >> 4;
+                s = rs & 15;
+                if (s == 0) {
+                    if (run < 15) {
+                        eobrun = (1LL << run) - 1;
+                        if (run) {
+                            e = jb_bits(&r, run, &v);
+                            if (e) return e;
+                            eobrun += v;
+                        }
+                        break;
+                    }
+                    k += 16; /* ZRL */
+                    continue;
+                }
+                k += run;
+                if (k > se) return -4;
+                e = jb_bits(&r, s, &v);
+                if (e) return e;
+                row[k] = (long long)JB_EXTEND(v, s) << al;
+                k++;
+            }
+        } else {
+            k = ss;
+            if (eobrun == 0) {
+                while (k <= se) {
+                    long rs = jb_huff(&r, mincode, maxcode, valptr, huffval);
+                    long run, s, v, e, b;
+                    long long val = 0;
+                    if (rs < 0) return rs;
+                    run = rs >> 4;
+                    s = rs & 15;
+                    if (s == 0) {
+                        if (run < 15) {
+                            eobrun = 1LL << run;
+                            if (run) {
+                                e = jb_bits(&r, run, &v);
+                                if (e) return e;
+                                eobrun += v;
+                            }
+                            break; /* rest of block via the EOB tail */
+                        }
+                        /* run == 15: ZRL, skip 16 zero-history coefs */
+                    } else {
+                        if (s != 1) return -8;
+                        b = jb_bit(&r);
+                        if (b < 0) return b;
+                        val = b ? p1 : m1;
+                    }
+                    while (k <= se) {
+                        if (row[k]) {
+                            b = jb_bit(&r);
+                            if (b < 0) return b;
+                            if (b && !(row[k] & p1))
+                                row[k] += (row[k] >= 0) ? p1 : m1;
+                        } else {
+                            if (run == 0) break;
+                            run--;
+                        }
+                        k++;
+                    }
+                    if (val && k <= se) row[k] = val;
+                    k++;
+                }
+            }
+            if (eobrun > 0) {
+                for (; k <= se; k++) {
+                    if (row[k]) {
+                        long b = jb_bit(&r);
+                        if (b < 0) return b;
+                        if (b && !(row[k] & p1))
+                            row[k] += (row[k] >= 0) ? p1 : m1;
+                    }
+                }
+                eobrun--;
             }
         }
     }
@@ -312,6 +486,20 @@ def _build() -> ctypes.CDLL | None:
         + [ctypes.c_long] * 3
         + [ctypes.c_void_p]
     )
+    lib.jpeg_prog_dc.restype = ctypes.c_long
+    lib.jpeg_prog_dc.argtypes = (
+        [ctypes.c_void_p, ctypes.c_long, ctypes.c_long]
+        + [ctypes.c_void_p] * 5
+        + [ctypes.c_long] * 5
+        + [ctypes.c_void_p]
+    )
+    lib.jpeg_prog_ac.restype = ctypes.c_long
+    lib.jpeg_prog_ac.argtypes = (
+        [ctypes.c_void_p, ctypes.c_long, ctypes.c_long]
+        + [ctypes.c_void_p] * 4
+        + [ctypes.c_long] * 6
+        + [ctypes.c_void_p]
+    )
     return lib
 
 
@@ -368,7 +556,13 @@ _JPEG_SCAN_ERRORS = {
     -5: "expected RST marker in JPEG scan",
     -6: "JPEG scan data exhausted before all MCUs",
     -7: "unsupported JPEG component count",
+    -8: "bad JPEG AC refinement magnitude",
 }
+
+
+def _jpeg_check(rc: int) -> None:
+    if rc:
+        raise ValueError(_JPEG_SCAN_ERRORS.get(int(rc), f"JPEG scan error {rc}"))
 
 
 def jpeg_scan(
@@ -429,6 +623,112 @@ def jpeg_scan(
         int(restart_interval),
         ctypes.c_void_p(out.ctypes.data),
     )
-    if rc:
-        raise ValueError(_JPEG_SCAN_ERRORS.get(int(rc), f"JPEG scan error {rc}"))
+    _jpeg_check(rc)
     return out
+
+
+def jpeg_prog_dc(
+    buf: bytes,
+    pos: int,
+    mincode: np.ndarray,
+    maxcode: np.ndarray,
+    valptr: np.ndarray,
+    huffval: np.ndarray,
+    comp_spec: np.ndarray,
+    n_units: int,
+    restart_interval: int,
+    ah: int,
+    al: int,
+    dc: np.ndarray,
+) -> np.ndarray | None:
+    """Progressive DC scan over the gathered DC column ``dc`` (int64,
+    decode order), updated in place; ``comp_spec`` is int64
+    ``(ncomp, 2)`` rows of (blocks_per_unit, dc_table_slot).  Returns
+    ``dc`` or ``None`` when the kernel is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    mincode = np.ascontiguousarray(mincode, np.int32)
+    maxcode = np.ascontiguousarray(maxcode, np.int32)
+    valptr = np.ascontiguousarray(valptr, np.int32)
+    huffval = np.ascontiguousarray(huffval, np.uint8)
+    comp_spec = np.ascontiguousarray(comp_spec, np.int64)
+    if not (dc.dtype == np.int64 and dc.flags.c_contiguous):
+        raise ValueError("jpeg_prog_dc: dc must be contiguous int64")
+    if len(dc) != int(n_units) * int(comp_spec[:, 0].sum()):
+        raise ValueError("jpeg_prog_dc: dc length mismatch")
+    raw = np.frombuffer(buf, np.uint8)
+    rc = lib.jpeg_prog_dc(
+        ctypes.c_void_p(raw.ctypes.data),
+        len(raw),
+        int(pos),
+        ctypes.c_void_p(mincode.ctypes.data),
+        ctypes.c_void_p(maxcode.ctypes.data),
+        ctypes.c_void_p(valptr.ctypes.data),
+        ctypes.c_void_p(huffval.ctypes.data),
+        ctypes.c_void_p(comp_spec.ctypes.data),
+        comp_spec.shape[0],
+        int(n_units),
+        int(restart_interval),
+        int(ah),
+        int(al),
+        ctypes.c_void_p(dc.ctypes.data),
+    )
+    _jpeg_check(rc)
+    return dc
+
+
+def jpeg_prog_ac(
+    buf: bytes,
+    pos: int,
+    mincode: np.ndarray,
+    maxcode: np.ndarray,
+    valptr: np.ndarray,
+    huffval: np.ndarray,
+    n_units: int,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coef: np.ndarray,
+) -> np.ndarray | None:
+    """Progressive AC scan (single component) over ``coef`` —
+    contiguous int64 ``(n_units, 64)`` zigzag rows updated in place
+    (spectral-selection first pass or refinement per ``ah``).  The one
+    Huffman table sits at flat-table slot 0.  Returns ``coef`` or
+    ``None`` when the kernel is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    mincode = np.ascontiguousarray(mincode, np.int32)
+    maxcode = np.ascontiguousarray(maxcode, np.int32)
+    valptr = np.ascontiguousarray(valptr, np.int32)
+    huffval = np.ascontiguousarray(huffval, np.uint8)
+    if not (
+        coef.dtype == np.int64
+        and coef.flags.c_contiguous
+        and coef.shape == (int(n_units), 64)
+    ):
+        raise ValueError("jpeg_prog_ac: coef must be contiguous (n_units, 64) int64")
+    if not 0 <= ss <= se <= 63:
+        raise ValueError("jpeg_prog_ac: bad spectral band")
+    raw = np.frombuffer(buf, np.uint8)
+    rc = lib.jpeg_prog_ac(
+        ctypes.c_void_p(raw.ctypes.data),
+        len(raw),
+        int(pos),
+        ctypes.c_void_p(mincode.ctypes.data),
+        ctypes.c_void_p(maxcode.ctypes.data),
+        ctypes.c_void_p(valptr.ctypes.data),
+        ctypes.c_void_p(huffval.ctypes.data),
+        int(n_units),
+        int(restart_interval),
+        int(ss),
+        int(se),
+        int(ah),
+        int(al),
+        ctypes.c_void_p(coef.ctypes.data),
+    )
+    _jpeg_check(rc)
+    return coef

@@ -29,14 +29,14 @@ reproduce, while the bitstream still exercises real Huffman coding,
 byte stuffing, zigzag, and the marker walk.
 
 Hot-path note: the Huffman entropy scan is serial by nature (each
-code's position depends on decoding the previous one), so baseline
-scans run in the compiled kernel (``core/native.py jpeg_scan``) when
-a system compiler exists, with the per-bit python loop as the
-property-tested byte-equal fallback; everything after the scan —
-un-zigzag, dequantize, IDCT (batched matmuls), plane assembly,
-upsample, color convert — is whole-array numpy.  Progressive scans
-decode in python reference loops (correctness surface; megapixel
-progressive throughput is what the PIL seam is for).  Same hardening contract as every
+code's position depends on decoding the previous one), so every scan
+type runs in a compiled kernel when a system compiler exists
+(``core/native.py``: ``jpeg_scan`` for sequential scans,
+``jpeg_prog_dc``/``jpeg_prog_ac`` for progressive passes), with the
+per-bit python loops as the property-tested byte-equal fallbacks;
+everything after the scans — un-zigzag, dequantize, IDCT (batched
+matmuls), plane assembly, upsample, color convert — is whole-array
+numpy.  A megapixel progressive color JPEG decodes in ~140 ms.  Same hardening contract as every
 decoder here: struct errors normalize to ValueError, scan bounds are
 checked, fuzzed by tests/test_jpeg.py (truncation + bitflip, zero
 escapes).
@@ -663,13 +663,87 @@ def _expect_rst(r):
         raise ValueError(f"expected RST marker, got 0xFF{mk:02X}")
 
 
+def _dc_block_index(frame, scan):
+    """Per scan component: (rows, cols) int arrays of shape
+    ``(n_units, blocks_per_unit)`` mapping decode order into the
+    component's coefficient grid, plus ``n_units``."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    if len(scan) > 1:  # interleaved: MCU geometry
+        n_units = mcux * mcuy
+        my, mx = np.divmod(np.arange(n_units), mcux)
+        idx = []
+        for ci, cid, hf, vf, tq in scan:
+            by, bx = np.divmod(np.arange(hf * vf), hf)
+            idx.append((my[:, None] * vf + by, mx[:, None] * hf + bx))
+        return idx, n_units
+    ci, cid, hf, vf, tq = scan[0]
+    cbx, cby = _comp_blocks(w, h, hf, vf, hmax, vmax)
+    n_units = cbx * cby
+    m = np.arange(n_units)
+    return [((m // cbx)[:, None], (m % cbx)[:, None])], n_units
+
+
+def _prog_dc_native(buf, pos, frame, huff_dc, scan, scan_tables,
+                    restart_interval, coefs, ah, al):
+    """Gather the DC column, run ``native.jpeg_prog_dc``, scatter back.
+    Returns False (caller runs the python loop) when the kernel is
+    missing or a hostile DHT overflows the flat symbol rows."""
+    slots: dict[int, int] = {}
+    flats = []
+    if ah == 0:
+        for _, cid, hf, vf, tq in scan:
+            td = scan_tables[cid][0]
+            if td not in slots:
+                spec = huff_dc[td]
+                if len(spec[1]) > 256:
+                    return False
+                slots[td] = len(flats)
+                flats.append(_huff_flat(*spec))
+    if not flats:  # refinement reads raw bits; tables never indexed
+        flats.append(_huff_flat([0] * 16, []))
+    idx, n_units = _dc_block_index(frame, scan)
+    comp_spec = np.array(
+        [
+            [hf * vf if len(scan) > 1 else 1,
+             slots.get(scan_tables[cid][0], 0)]
+            for _, cid, hf, vf, tq in scan
+        ],
+        np.int64,
+    )
+    parts = [coefs[c[0]][rows, cols, 0] for c, (rows, cols) in zip(scan, idx)]
+    dc = np.ascontiguousarray(np.concatenate(parts, axis=1).reshape(-1))
+    res = native.jpeg_prog_dc(
+        buf, pos,
+        np.stack([f[0] for f in flats]),
+        np.stack([f[1] for f in flats]),
+        np.stack([f[2] for f in flats]),
+        np.stack([f[3] for f in flats]),
+        comp_spec, n_units, restart_interval, ah, al, dc,
+    )
+    if res is None:
+        return False
+    res = res.reshape(n_units, -1)
+    off = 0
+    for c, (rows, cols) in zip(scan, idx):
+        nb = rows.shape[1]
+        coefs[c[0]][rows, cols, 0] = res[:, off : off + nb]
+        off += nb
+    return True
+
+
 def _prog_dc_scan(buf, pos, frame, huff_dc, scan, scan_tables,
                   restart_interval, coefs, ah, al):
     """Progressive DC scan (T.81 G.2.1-G.2.2): first pass (Ah=0)
     Huffman-codes the point-transformed DC differences; refinement
-    passes (Ah>0) append one raw bit per block at position Al."""
+    passes (Ah>0) append one raw bit per block at position Al.  Runs
+    in the compiled kernel when available; the python loop below is
+    the property-tested byte-equal fallback."""
     w, h, comps = frame
     hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    if _prog_dc_native(buf, pos, frame, huff_dc, scan, scan_tables,
+                       restart_interval, coefs, ah, al):
+        return _skip_entropy(buf, pos)
     r = _BitReader(buf, pos)
     tables = {}
     if ah == 0:
@@ -721,9 +795,21 @@ def _prog_ac_scan(buf, pos, frame, huff_ac, comp, scan_tables,
     w, h, comps = frame
     hmax, vmax, mcux, mcuy = _frame_geometry(frame)
     ci, cid, hf, vf, tq = comp
-    act = _huff_canonical(*huff_ac[scan_tables[cid][1]])[0]
+    spec = huff_ac[scan_tables[cid][1]]
     cbx, cby = _comp_blocks(w, h, hf, vf, hmax, vmax)
     grid = coefs[ci]
+    if len(spec[1]) <= 256:
+        flats = _huff_flat(*spec)
+        sub = np.ascontiguousarray(grid[:cby, :cbx].reshape(-1, 64))
+        res = native.jpeg_prog_ac(
+            buf, pos,
+            flats[0][None], flats[1][None], flats[2][None], flats[3][None],
+            cbx * cby, restart_interval, ss, se, ah, al, sub,
+        )
+        if res is not None:
+            grid[:cby, :cbx] = res.reshape(cby, cbx, 64)
+            return _skip_entropy(buf, pos)
+    act = _huff_canonical(*spec)[0]
     r = _BitReader(buf, pos)
     block = _ac_first_block if ah == 0 else _ac_refine_block
     eobrun = 0

@@ -425,3 +425,50 @@ def test_progressive_truncation_and_bitflip_never_escape():
             decode_jpeg(bytes(mutated))
         except (ValueError, NotImplementedError):
             pass
+
+
+@given(
+    seed=st.integers(0, 2**31),
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    gray=st.booleans(),
+    ri=st.sampled_from([0, 1, 3]),
+)
+@settings(max_examples=20, deadline=None)
+def test_native_prog_scans_equal_python(seed, w, h, gray, ri):
+    """The compiled progressive kernels (jpeg_prog_dc/jpeg_prog_ac)
+    and the python reference loops must produce byte-identical
+    rasters across dims, color, restart markers, and every scan kind
+    in the SOF2 script."""
+    if native._get() is None:
+        pytest.skip("no system compiler in this environment")
+    rng = np.random.default_rng(seed)
+    ch = 1 if gray else 3
+    raw = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    blob = encode_jpeg(raw, w, h, gray=gray, progressive=True,
+                       restart_interval=ri)
+    nat, py = _both_paths(blob)
+    assert nat == py
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_native_prog_mutation_differential(data):
+    """Truncated/bitflipped progressive streams must fail (or succeed)
+    identically on the kernels and the python loops."""
+    if native._get() is None:
+        pytest.skip("no system compiler in this environment")
+    y, x = np.mgrid[0:24, 0:24]
+    col = np.stack([(x * 9) % 256, (y * 5) % 256, ((x * y) + 3) % 256], -1)
+    blob = encode_jpeg(
+        col.astype(np.uint8).tobytes(), 24, 24, progressive=True,
+        restart_interval=data.draw(st.sampled_from([0, 2])),
+    )
+    mutated = bytearray(blob)
+    if data.draw(st.booleans()):
+        mutated = mutated[: data.draw(st.integers(0, len(mutated)))]
+    else:
+        i = data.draw(st.integers(0, len(mutated) - 1))
+        mutated[i] ^= 1 << data.draw(st.integers(0, 7))
+    nat, py = _both_paths(bytes(mutated))
+    assert nat == py
