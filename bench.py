@@ -187,6 +187,7 @@ def main() -> None:
         "video_dups",
         "pdf_text",
         "jpeg_decode",
+        "jpeg_progressive",
         "png_variants",
     ]
     r3_timings: dict[str, float] = {}
