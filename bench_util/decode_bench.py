@@ -57,9 +57,10 @@ def make_blobs(spark, rows: int, out_dir: str, size: int = 64) -> None:
                 rng = np.random.default_rng(i)
                 w = h = size
                 kind = i % 5
-                if kind == 0:  # PNG RGB, filter varies
+                if kind == 0:  # PNG RGB, filter varies (i%5==0 here, so
+                    # mix on i//5 or every blob would be filter 0)
                     rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
-                    blobs.append(encode_png(rgb, w, h, filter_type=i % 5))
+                    blobs.append(encode_png(rgb, w, h, filter_type=(i // 5) % 5))
                 elif kind == 1:  # GIF (LZW), interlace half the time
                     idx = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
                     blobs.append(encode_gif(idx, w, h, gray_palette, interlace=i % 2 == 0))

@@ -653,6 +653,16 @@ def jpeg_prog_dc(
     valptr = np.ascontiguousarray(valptr, np.int32)
     huffval = np.ascontiguousarray(huffval, np.uint8)
     comp_spec = np.ascontiguousarray(comp_spec, np.int64)
+    n_tables = mincode.shape[0]
+    if not (
+        mincode.shape == maxcode.shape == valptr.shape == (n_tables, 17)
+        and huffval.shape == (n_tables, 256)
+        and comp_spec.ndim == 2
+        and comp_spec.shape[1] == 2
+    ):
+        raise ValueError("jpeg_prog_dc: malformed table arrays")
+    if comp_spec[:, 1].min() < 0 or comp_spec[:, 1].max() >= n_tables:
+        raise ValueError("jpeg_prog_dc: table slot out of range")
     if not (dc.dtype == np.int64 and dc.flags.c_contiguous):
         raise ValueError("jpeg_prog_dc: dc must be contiguous int64")
     if len(dc) != int(n_units) * int(comp_spec[:, 0].sum()):
@@ -705,6 +715,11 @@ def jpeg_prog_ac(
     maxcode = np.ascontiguousarray(maxcode, np.int32)
     valptr = np.ascontiguousarray(valptr, np.int32)
     huffval = np.ascontiguousarray(huffval, np.uint8)
+    if not (
+        mincode.shape == maxcode.shape == valptr.shape == (1, 17)
+        and huffval.shape == (1, 256)
+    ):
+        raise ValueError("jpeg_prog_ac: malformed table arrays")
     if not (
         coef.dtype == np.int64
         and coef.flags.c_contiguous

@@ -320,7 +320,11 @@ def _decode_jpeg_inner(buf: bytes, max_pixels: int) -> tuple[int, int, int, byte
     n_scans = 0
     while True:
         if pos + 2 > len(buf):
-            raise ValueError("truncated JPEG before EOI")
+            if coefs is not None:
+                # EOF after >= 1 completed scan: implicit EOI (crawl
+                # files are routinely cut after the scan tail)
+                return _finish_jpeg(frame, quant, coefs)
+            raise ValueError("truncated JPEG before SOS")
         if buf[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = buf[pos + 1]
@@ -424,7 +428,7 @@ def _decode_jpeg_inner(buf: bytes, max_pixels: int) -> tuple[int, int, int, byte
             if coefs is None:
                 coefs = _alloc_coef_grids(frame)
             pos = _decode_scan_pass(
-                buf, pos, frame, quant, huff_dc, huff_ac, scan_tables,
+                buf, pos, frame, huff_dc, huff_ac, scan_tables,
                 scan_cids, restart_interval, coefs, progressive,
                 ss, se, ah, al,
             )
@@ -551,12 +555,15 @@ def _alloc_coef_grids(frame):
 
 def _skip_entropy(buf, pos):
     """Advance past a scan's entropy-coded bytes to the next real
-    marker (stepping over 0xFF00 stuffing, 0xFF fill bytes, and
-    RSTn)."""
+    marker (stepping over 0xFF00 stuffing, 0xFF fill bytes, and RSTn).
+    Returns ``len(buf)`` when the buffer ends first — the caller
+    treats EOF after a completed scan as an implicit EOI, because
+    crawl JPEGs are routinely cut right after the scan tail and every
+    coefficient has already been decoded."""
     while True:
         i = buf.find(b"\xff", pos)
         if i < 0 or i + 1 >= len(buf):
-            raise ValueError("truncated JPEG scan data")
+            return len(buf)
         m = buf[i + 1]
         if m == 0x00 or 0xD0 <= m <= 0xD7:
             pos = i + 2
@@ -566,7 +573,7 @@ def _skip_entropy(buf, pos):
             return i
 
 
-def _decode_scan_pass(buf, pos, frame, quant, huff_dc, huff_ac, scan_tables,
+def _decode_scan_pass(buf, pos, frame, huff_dc, huff_ac, scan_tables,
                       scan_cids, restart_interval, coefs, progressive,
                       ss, se, ah, al):
     """Decode ONE scan's entropy data into the coefficient grids and

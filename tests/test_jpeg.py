@@ -472,3 +472,19 @@ def test_native_prog_mutation_differential(data):
         mutated[i] ^= 1 << data.draw(st.integers(0, 7))
     nat, py = _both_paths(bytes(mutated))
     assert nat == py
+
+
+def test_eof_after_scan_is_implicit_eoi():
+    """Review r5-2: crawl JPEGs are routinely cut right after the scan
+    tail; once every coefficient decoded, missing EOI (or EOI plus
+    trailing bytes stripped) must not fail the blob.  Truncation INSIDE
+    the entropy data must still raise."""
+    y, x = np.mgrid[0:16, 0:16]
+    gray = ((x * 7 + y) % 256).astype(np.uint8)
+    blob = encode_jpeg(gray.tobytes(), 16, 16, gray=True)
+    full = decode_jpeg(blob)
+    assert decode_jpeg(blob[:-2]) == full  # EOI stripped
+    prog = encode_jpeg(gray.tobytes(), 16, 16, gray=True, progressive=True)
+    assert decode_jpeg(prog[:-2]) == decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])  # mid-scan cut still fails
