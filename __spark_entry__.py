@@ -848,6 +848,65 @@ def q_video_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_duplicates(vids, "video", "doc_id", sample_frames=2)
 
 
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL audio near-dup pairs (multimodal.py
+    audio_near_duplicates), completing the multimodal near-dup trio:
+    every doc renders a 16-bit PCM clip from seed = doc_id % 151 in
+    one of three forms — the original (form 0: sample i = (byte_i -
+    128) * 16 of the md5-hex stream), a 2x sample-repeated re-rate
+    (form 1: floor maps nest, so its energy-envelope signature is
+    IDENTICAL — the naive-upsample crawl case decoded-sample exact
+    dedup misses), or a dithered re-quantization (form 2: (byte//2 -
+    64) * 32, flipping only knife-edge bits).  The engine really
+    parses the WAV containers, normalizes widths, signs, bands,
+    bucket-joins, and Hamming-verifies; the oracle recomputes every
+    signature from the md5-hex arithmetic and mirrors the banded join
+    (bucket cap included) and the bit_count verify in pure SQL."""
+    import hashlib as _hl
+    import struct as _s
+    from typing import Iterator as _It
+
+    import pandas as _pd
+
+    from sketch_spark.functions.multimodal import audio_near_duplicates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed, form = did % 151, did % 3
+                n = 96 + seed % 33
+                bs = bytes.fromhex(
+                    (_hl.md5(f"aud-{seed}".encode()).hexdigest() * 8)[: 2 * n]
+                )
+                if form == 1:
+                    vals = [(b - 128) * 16 for b in bs for _ in (0, 1)]
+                elif form == 2:
+                    vals = [(b // 2 - 64) * 32 for b in bs]
+                else:
+                    vals = [(b - 128) * 16 for b in bs]
+                data = b"".join(_s.pack("<h", v) for v in vals)
+                fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                blobs.append(
+                    b"RIFF"
+                    + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + _s.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + _s.pack("<I", len(data))
+                    + data
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "audio": blobs})
+
+    auds = docs.mapInPandas(synth, "doc_id bigint, audio binary")
+    return audio_near_duplicates(auds, "audio", "doc_id")
+
+
 def q_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus brightness distribution (multimodal.py
     corpus_luma_histogram) over the mixed PPM/PGM blobs — the first
@@ -2655,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (never driver-checked) ---
         "image_near_dups": q_image_near_dups,
         "video_dups": q_video_dups,
+        "audio_near_dups": q_audio_near_dups,
         "pdf_text": q_pdf_text,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_progressive": q_jpeg_progressive,
@@ -3251,6 +3311,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_copies,
                    CAST(min(doc_id) AS BIGINT) AS survivor
             FROM sig GROUP BY 1, 2, 3, 4 HAVING count(*) > 1
+        """,
+        # the audio twin of image_near_dups: 256 floor-mapped probes of
+        # |sample| from the md5-hex arithmetic (form 1's doubled stream
+        # collapses back by floor nesting), 64 window energies, strict-
+        # mean bits, 4x16-bit bands, then the SAME capped banded join +
+        # bit_count verify as the image oracle
+        "audio_near_dups": """
+            WITH src AS (
+              SELECT doc_id, doc_id % 151 AS seed, doc_id % 3 AS form FROM documents
+            ), p AS (
+              SELECT doc_id, seed, form, 96 + seed % 33 AS n,
+                     repeat(md5('aud-' || CAST(seed AS VARCHAR)), 8) AS ph
+              FROM src
+            ), mag AS (
+              SELECT doc_id,
+                [ CASE WHEN form = 1 THEN
+                    abs((CAST(concat('0x', substr(ph, 2*(((q*2*n)//256)//2) + 1, 2)) AS INT) - 128) * 16)
+                  WHEN form = 2 THEN
+                    abs((CAST(concat('0x', substr(ph, 2*((q*n)//256) + 1, 2)) AS INT) // 2 - 64) * 32)
+                  ELSE
+                    abs((CAST(concat('0x', substr(ph, 2*((q*n)//256) + 1, 2)) AS INT) - 128) * 16)
+                  END
+                  FOR q IN generate_series(0, 255) ] AS mags
+              FROM p
+            ), env AS (
+              SELECT doc_id,
+                [ mags[4*j+1] + mags[4*j+2] + mags[4*j+3] + mags[4*j+4]
+                  FOR j IN generate_series(0, 63) ] AS e
+              FROM mag
+            ), sig AS (
+              SELECT doc_id, e, list_sum(e) AS total FROM env
+            ), bands AS (
+              SELECT doc_id,
+                [ CAST(list_sum([CASE WHEN 64 * e[16*k + t + 1] > total
+                                      THEN (1 << t) ELSE 0 END
+                                 FOR t IN generate_series(0, 15)]) AS INT)
+                  FOR k IN generate_series(0, 3) ] AS bl
+              FROM sig
+            ), b AS (
+              SELECT doc_id, unnest([0,1,2,3]) AS band_idx, unnest(bl) AS band_val FROM bands
+            ), ok AS (
+              SELECT band_idx, band_val FROM b GROUP BY 1, 2 HAVING count(*) <= 256
+            ), cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM b x
+              JOIN ok o ON x.band_idx = o.band_idx AND x.band_val = o.band_val
+              JOIN b y ON y.band_idx = o.band_idx AND y.band_val = o.band_val
+              WHERE x.doc_id < y.doc_id
+            ), ham AS (
+              SELECT id_a, id_b,
+                     CAST(bit_count(xor(ba.bl[1], bb.bl[1])) + bit_count(xor(ba.bl[2], bb.bl[2]))
+                        + bit_count(xor(ba.bl[3], bb.bl[3])) + bit_count(xor(ba.bl[4], bb.bl[4])) AS INT) AS hamming
+              FROM cand
+              JOIN bands ba ON ba.doc_id = id_a
+              JOIN bands bb ON bb.doc_id = id_b
+            )
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         """,
         # pixel-content groups come straight from the seed arithmetic;
         # the PPM/PNG container split is invisible to the oracle

@@ -1,19 +1,20 @@
 """Multimodal column handling: image/audio/video as opaque binary
 columns with typed metadata.
 
-Decode is REAL for PPM/PGM (netpbm binary), 24-bit BMP, PCM WAV,
-8-bit non-interlaced PNG (stdlib ``zlib`` inflate + the five scanline
-filters, color types 0/2/3/4/6), and GIF87a/89a first frame (full LZW
-with KwKwK and 4096-code dictionary handling, global/local palettes,
-Adam-style 4-pass deinterlace) — pure python/numpy, no image library
-needed — and hash-oracle-able end-to-end (``pixel_md5`` is md5 over
-the RGB buffer's lowercase hex, reproducible in ANSI SQL from the same
-bytes).  Baseline JPEG (SOF0/SOF1 Huffman, 4:4:4/4:2:2/4:2:0) decodes
-natively too (``jpegcodec.py``); only progressive/arithmetic JPEG and
-the exotic PNG variants (Adam7, 16-bit) keep a clearly-marked
-PIL/opencv swap point (``NotImplementedError``) for clusters that have
-the libraries; the deterministic fake feature extractor remains for
-plumbing tests over arbitrary blobs.
+Decode is REAL for PPM/PGM (netpbm binary), 24-bit BMP, PCM WAV
+(8/16/24/32-bit), every legal PNG (all five scanline filters, Adam7
+interlace, 1/2/4/8/16-bit depths, color types 0/2/3/4/6), GIF87a/89a
+first frame (full LZW with KwKwK and 4096-code dictionary handling,
+global/local palettes, 4-pass deinterlace), baseline AND progressive
+JPEG (``jpegcodec.py``: SOF0/SOF1/SOF2, DRI/RSTn, 4:4:4/4:2:2/4:2:0),
+and uncompressed-DIB AVI — pure python/numpy (serial recurrences run
+compiled kernels via ``core.native``, byte-equal python fallbacks), no
+media library needed — and hash-oracle-able end-to-end (``pixel_md5``
+is md5 over the RGB buffer's lowercase hex, reproducible in ANSI SQL
+from the same bytes).  Only arithmetic-coded/12-bit JPEG keeps a
+clearly-marked PIL/opencv swap point (``NotImplementedError``) for
+clusters that have the libraries; the deterministic fake feature
+extractor remains for plumbing tests over arbitrary blobs.
 """
 
 from __future__ import annotations
@@ -32,6 +33,8 @@ from sketch_spark.core import native as _native
 
 __all__ = [
     "ahash_bands",
+    "audio_near_duplicates",
+    "wav_energy_bands",
     "binary_metadata",
     "corpus_luma_histogram",
     "image_near_duplicates",
@@ -1143,6 +1146,56 @@ def ahash_bands(
     ]
 
 
+def _banded_hamming_pairs(
+    sigs: DataFrame, id_col: str, bucket_cap: int, max_hamming: int
+) -> DataFrame:
+    """Shared near-dup candidate+verify tail over a ``(id, bands)``
+    signature table (images: :func:`ahash_bands`; audio:
+    :func:`wav_energy_bands`): banded self-join — rows sharing ANY
+    exact band land in one bucket, so two signatures within Hamming
+    distance ``bands - 1`` are guaranteed a shared band (pigeonhole) —
+    with degenerate buckets (> bucket_cap members) dropped from
+    candidate generation exactly like the LSH bucket cap, then a
+    JVM-side Hamming verify (``bit_count`` over xor'd bands, no second
+    python stage).  Input contract: ``sigs`` is cheap to recompute OR
+    already checkpointed — it is referenced three times (band explode
+    + both pair sides)."""
+    b = sigs.select(id_col, F.posexplode("bands").alias("band_idx", "band_val"))
+    ok = (
+        b.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") <= bucket_cap)
+        .drop("n_members")
+    )
+    inb = b.join(ok, ["band_idx", "band_val"])
+    pairs = (
+        inb.alias("x")
+        .join(inb.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, v) -> acc + v)"
+    ).cast("int")
+    return (
+        pairs.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("bands").alias("bands_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("bands").alias("bands_b")),
+            "id_b",
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def image_near_duplicates(
     df: DataFrame,
     bin_col: str = "image",
@@ -1216,40 +1269,7 @@ def image_near_duplicates(
     # referenced 3x below (band explode + both pair sides): checkpoint
     # once so the decode pass runs once (CLAUDE.md persist discipline)
     sigs = sigs.localCheckpoint(eager=True)
-    b = sigs.select(id_col, F.posexplode("bands").alias("band_idx", "band_val"))
-    ok = (
-        b.groupBy("band_idx", "band_val")
-        .agg(F.count("*").alias("n_members"))
-        .filter(F.col("n_members") <= bucket_cap)
-        .drop("n_members")
-    )
-    inb = b.join(ok, ["band_idx", "band_val"])
-    pairs = (
-        inb.alias("x")
-        .join(inb.alias("y"), ["band_idx", "band_val"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    hamming = F.expr(
-        "aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)), "
-        "0, (acc, v) -> acc + v)"
-    ).cast("int")
-    return (
-        pairs.join(
-            sigs.select(F.col(id_col).alias("id_a"), F.col("bands").alias("bands_a")),
-            "id_a",
-        )
-        .join(
-            sigs.select(F.col(id_col).alias("id_b"), F.col("bands").alias("bands_b")),
-            "id_b",
-        )
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _banded_hamming_pairs(sigs, id_col, bucket_cap, max_hamming)
 
 
 def video_clip_signatures(
@@ -1341,6 +1361,137 @@ def video_duplicates(
         .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("survivor"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+def wav_energy_bands(
+    samples: np.ndarray,
+    n_windows: int = 64,
+    samples_per_window: int = 4,
+    band_bits: int = 16,
+) -> list[int]:
+    """Perceptual energy-envelope signature of a decoded PCM stream
+    (normalized int64 samples, :func:`_pcm_to_i16` scale), integer-exact
+    so two engines and an ANSI-SQL oracle agree bit for bit — the audio
+    twin of :func:`ahash_bands`.  ``n_windows * samples_per_window``
+    probe positions are floor-mapped onto the stream
+    (``idx_p = (p * n) // P``, the :func:`resize_rgb` index map), each
+    window's energy is the sum of ``|sample|`` at its probes, and bit
+    ``j`` is set iff ``n_windows * e_j > sum(e)`` (division-free strict
+    mean compare), packed LSB-first into ``band_bits``-wide unsigned
+    ints.  Because floor division nests (``(a//b)//c == a//(b*c)``), a
+    k-times sample-repeated copy (naive upsample / re-rate) probes the
+    IDENTICAL source samples, and an exact volume scale multiplies
+    every window energy alike — both sign identically; re-quantization
+    (width down-conversion, dither) flips only knife-edge bits, which
+    the Hamming-banded join in :func:`audio_near_duplicates` recovers.
+    An empty stream signs all-zero."""
+    if not 1 <= band_bits <= 32:
+        # > 32 would overflow: the packed band must fit an int64 weight
+        raise ValueError(f"band_bits must be in 1..32, got {band_bits}")
+    if n_windows < 1 or n_windows % band_bits != 0:
+        raise ValueError(
+            f"n_windows ({n_windows}) must be a positive multiple of band_bits"
+        )
+    if samples_per_window < 1:
+        raise ValueError(f"samples_per_window must be >= 1, got {samples_per_window}")
+    n = len(samples)
+    n_bands = n_windows // band_bits
+    if n == 0:
+        return [0] * n_bands
+    probes = n_windows * samples_per_window
+    idx = (np.arange(probes, dtype=np.int64) * n) // probes
+    mag = np.abs(np.asarray(samples, dtype=np.int64)[idx])
+    e = mag.reshape(n_windows, samples_per_window).sum(axis=1)
+    total = int(e.sum())
+    bits = (e * n_windows > total).astype(np.int64)
+    weights = np.int64(1) << np.arange(band_bits, dtype=np.int64)
+    return [
+        int((bits[k * band_bits : (k + 1) * band_bits] * weights).sum())
+        for k in range(n_bands)
+    ]
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    bin_col: str = "audio",
+    id_col: str = "url",
+    n_windows: int = 64,
+    samples_per_window: int = 4,
+    band_bits: int = 16,
+    max_hamming: int | None = None,
+    bucket_cap: int = 256,
+    on_error: str = "skip",
+) -> DataFrame:
+    """PERCEPTUAL audio near-dup pairs: a re-rated (sample-repeated),
+    volume-scaled, or width-re-quantized copy of the same clip — the
+    cases format-level and even decoded-sample exact dedup miss — pairs
+    with its original.  One row per matched pair ``(id_a, id_b,
+    hamming)`` with ``id_a < id_b`` and Hamming distance over the
+    :func:`wav_energy_bands` signature ``<= max_hamming``.  Completes
+    the multimodal near-dup trio (image :func:`image_near_duplicates`,
+    video :func:`video_duplicates`).
+
+    Scale shape (the 100-TB discipline — never all-pairs): the WAV
+    decode + signature pass is map-only python; after it only
+    ``n_windows/band_bits`` small ints per clip exist.  Candidates and
+    the JVM-side Hamming verify run through the same banded self-join
+    as images (:func:`_banded_hamming_pairs`): clips within Hamming
+    ``bands - 1`` are guaranteed a shared exact band (pigeonhole),
+    degenerate buckets (> bucket_cap members, e.g. silence) are dropped
+    like the LSH bucket cap, and PCM bytes never ride any exchange.
+    Signatures are computed over the interleaved normalized stream, so
+    a remux to a different channel layout is out of scope (that's a
+    different sample stream, not a near-dup of this one).
+
+    Recall contract: ``max_hamming`` defaults to ``bands - 1``
+    (``n_windows/band_bits - 1``), the largest distance the banding
+    GUARANTEES to recall; larger values widen the verify filter
+    best-effort, exactly as in :func:`image_near_duplicates`."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    # validate signature params at the driver: inside the UDF these
+    # raise ValueError per clip, which on_error='skip' would silently
+    # swallow into an empty result
+    if not 1 <= band_bits <= 32:
+        raise ValueError(f"band_bits must be in 1..32, got {band_bits}")
+    if n_windows < 1 or n_windows % band_bits != 0:
+        raise ValueError(
+            f"n_windows ({n_windows}) must be a positive multiple of band_bits"
+        )
+    if samples_per_window < 1:
+        raise ValueError(f"samples_per_window must be >= 1, got {samples_per_window}")
+    if max_hamming is None:
+        max_hamming = n_windows // band_bits - 1
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bands_out = [], []
+            for rid, b in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    _ch, _rate, width, data = decode_wav(_blob_bytes(b))
+                    s = _pcm_to_i16(data, width)
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(rid)
+                bands_out.append(
+                    wav_energy_bands(s, n_windows, samples_per_window, band_bits)
+                )
+            # an all-skipped batch yields nothing: an EMPTY pandas frame
+            # defaults its columns to float64, which Arrow cannot cast
+            if ids:
+                yield pd.DataFrame({id_col: ids, "bands": bands_out})
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    sigs = _spread(df.select(id_col, bin_col)).mapInPandas(
+        run, f"{id_col} {id_ddl}, bands array<bigint>"
+    )
+    # referenced 3x by the pair tail: checkpoint so decode runs once
+    sigs = sigs.localCheckpoint(eager=True)
+    return _banded_hamming_pairs(sigs, id_col, bucket_cap, max_hamming)
 
 
 def corpus_luma_histogram(

@@ -1,14 +1,17 @@
-"""Perceptual image near-dup + video clip dedup + native unfilter kernel.
+"""Perceptual image/audio near-dup + video clip dedup + native kernel.
 
 Covers the round-5 additions: ahash_bands (floor-map upscale
 invariance, posterize proximity), image_near_duplicates (planted
 resized/re-quantized twins recalled, bucket cap, corrupt-blob skip),
-video_clip_signatures / video_duplicates (fps invariance, lazy frame
-sampling, prefix-clip separation), and byte-equality of the compiled
-PNG unfilter kernel (core/native.py) against the pure-python scan.
+wav_energy_bands / audio_near_duplicates (repetition + volume + width
+invariance, the same banded-pair tail), video_clip_signatures /
+video_duplicates (fps invariance, lazy frame sampling, prefix-clip
+separation), and byte-equality of the compiled PNG unfilter kernel
+(core/native.py) against the pure-python scan.
 """
 
 import hashlib
+import struct
 
 import numpy as np
 import pytest
@@ -18,12 +21,14 @@ from sketch_spark.core import native
 from sketch_spark.functions.multimodal import (
     _decode_image_full,
     ahash_bands,
+    audio_near_duplicates,
     encode_avi,
     encode_png,
     image_near_duplicates,
     resize_rgb,
     video_clip_signatures,
     video_duplicates,
+    wav_energy_bands,
 )
 
 
@@ -251,6 +256,167 @@ def test_image_near_duplicates_validates_args(spark):
         image_near_duplicates(df, "image", "doc_id", on_error="ignore")
     with pytest.raises(ValueError, match="max_hamming"):
         image_near_duplicates(df, "image", "doc_id", max_hamming=-1)
+
+
+# ------------------------------------------- audio near-duplicates
+
+
+def _wav(samples: np.ndarray, width: int = 2, channels: int = 1, rate: int = 8000) -> bytes:
+    """Minimal PCM WAV container around normalized-scale samples."""
+    s = np.asarray(samples, dtype=np.int64)
+    if width == 1:
+        data = ((s >> 8) + 128).astype(np.uint8).tobytes()
+    elif width == 2:
+        data = s.astype("<i2").tobytes()
+    elif width == 4:
+        data = (s << 16).astype("<i4").tobytes()
+    else:
+        raise ValueError(width)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * width, channels * width, width * 8
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _samples(seed: int, n: int) -> np.ndarray:
+    # headroom so a x2 volume twin never clips; <<8-aligned so 8-bit
+    # width down-conversion is lossless under _pcm_to_i16
+    return (
+        np.random.default_rng(seed).integers(-64, 64, size=n, dtype=np.int64) << 8
+    )
+
+
+@given(seed=st.integers(0, 2**31), n=st.integers(1, 600), k=st.integers(2, 4))
+@settings(max_examples=40, deadline=None)
+def test_energy_bands_repetition_invariance(seed, n, k):
+    # floor division nests, so a k-times sample-repeated copy (naive
+    # upsample) probes the identical source samples
+    s = _samples(seed, n)
+    assert wav_energy_bands(np.repeat(s, k)) == wav_energy_bands(s)
+
+
+@given(seed=st.integers(0, 2**31), n=st.integers(1, 600), c=st.integers(2, 8))
+@settings(max_examples=40, deadline=None)
+def test_energy_bands_volume_scale_invariance(seed, n, c):
+    s = _samples(seed, n)
+    assert wav_energy_bands(c * s) == wav_energy_bands(s)
+
+
+@given(seed=st.integers(0, 2**31), n=st.integers(1, 400))
+@settings(max_examples=30, deadline=None)
+def test_energy_bands_match_python_reference(seed, n):
+    s = _samples(seed, n)
+    W, G, B = 16, 3, 8
+    probes = W * G
+    mags = [abs(int(s[(p * n) // probes])) for p in range(probes)]
+    e = [sum(mags[j * G : (j + 1) * G]) for j in range(W)]
+    bits = [1 if W * e[j] > sum(e) else 0 for j in range(W)]
+    expect = [
+        sum(bits[k * B + t] << t for t in range(B)) for k in range(W // B)
+    ]
+    assert wav_energy_bands(s, n_windows=W, samples_per_window=G, band_bits=B) == expect
+
+
+def test_energy_bands_empty_and_validation():
+    assert wav_energy_bands(np.array([], dtype=np.int64)) == [0, 0, 0, 0]
+    bands = wav_energy_bands(_samples(3, 100))
+    assert len(bands) == 4 and all(0 <= b < 65536 for b in bands)
+    with pytest.raises(ValueError, match="band_bits"):
+        wav_energy_bands(_samples(1, 8), band_bits=64)
+    with pytest.raises(ValueError, match="n_windows"):
+        wav_energy_bands(_samples(1, 8), n_windows=24, band_bits=16)
+    with pytest.raises(ValueError, match="samples_per_window"):
+        wav_energy_bands(_samples(1, 8), samples_per_window=0)
+
+
+def _aud_df(spark, rows):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "audio": [r[1] for r in rows]}),
+        "doc_id long, audio binary",
+    )
+
+
+def test_audio_near_duplicates_recalls_planted_twins(spark):
+    s = _samples(42, 200)
+    rows = [
+        (1, _wav(s)),  # 16-bit original
+        (2, _wav(np.repeat(s, 2))),  # re-rated (2x sample-repeat) copy
+        (3, _wav(s, width=1)),  # 8-bit down-conversion, lossless here
+        (4, _wav(2 * s, width=4)),  # louder 32-bit re-master (fits i32)
+        (5, _wav(_samples(999, 200))),  # unrelated clip
+    ]
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_near_duplicates(_aud_df(spark, rows), "audio", "doc_id").collect()
+    }
+    quad = [1, 2, 3, 4]
+    for i in quad:
+        for j in quad:
+            if i < j:
+                assert got[(i, j)] == 0, (i, j, got)
+    assert not any(5 in p for p in got)
+
+
+def test_audio_near_duplicates_requantization_within_budget(spark):
+    # a dithered-down copy (drop the low bit pre-shift) flips only
+    # knife-edge bits; the banded join still recalls it
+    rng = np.random.default_rng(7)
+    s = rng.integers(-120, 120, size=300, dtype=np.int64) << 8
+    dith = ((s >> 9) << 9).astype(np.int64)
+    rows = [(1, _wav(s)), (2, _wav(dith))]
+    got = audio_near_duplicates(
+        _aud_df(spark, rows), "audio", "doc_id", max_hamming=3
+    ).collect()
+    assert len(got) == 1 and got[0].hamming <= 3
+
+
+def test_audio_near_duplicates_bucket_cap_drops_silence(spark):
+    # 9 identical silent clips with cap 8: every band bucket exceeds
+    # the cap, so candidate generation yields nothing — the silence
+    # guard at crawl scale
+    blob = _wav(np.zeros(64, dtype=np.int64))
+    rows = [(i, blob) for i in range(9)]
+    df = _aud_df(spark, rows)
+    assert audio_near_duplicates(df, "audio", "doc_id", bucket_cap=8).count() == 0
+    assert audio_near_duplicates(df, "audio", "doc_id", bucket_cap=9).count() == 36
+
+
+def test_audio_near_duplicates_skips_corrupt_blobs(spark):
+    s = _samples(5, 150)
+    rows = [
+        (1, _wav(s)),
+        (2, _wav(2 * s)),
+        (3, b"RIFF\x00\x00\x00\x00WAVEnot really audio"),
+        (4, None),
+    ]
+    got = audio_near_duplicates(_aud_df(spark, rows), "audio", "doc_id").collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+    with pytest.raises(Exception):
+        audio_near_duplicates(
+            _aud_df(spark, rows), "audio", "doc_id", on_error="raise"
+        ).collect()
+
+
+def test_audio_near_duplicates_validates_args(spark):
+    df = _aud_df(spark, [(1, b"")])
+    with pytest.raises(ValueError, match="on_error"):
+        audio_near_duplicates(df, "audio", "doc_id", on_error="ignore")
+    with pytest.raises(ValueError, match="max_hamming"):
+        audio_near_duplicates(df, "audio", "doc_id", max_hamming=-1)
+    with pytest.raises(ValueError, match="n_windows"):
+        audio_near_duplicates(df, "audio", "doc_id", n_windows=24, band_bits=16)
 
 
 # ------------------------------------------------------- video dedup
