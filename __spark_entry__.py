@@ -1656,6 +1656,50 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline a training-data user actually
+    runs, as ONE query under the value hash: quality gates -> exact
+    content dedup (clean_corpus: rejects never enter the md5 exchange)
+    -> MinHash-LSH near-dup CLUSTER dedup (dedup_corpus: label
+    propagation over the candidate pair graph, min-id survivor) ->
+    bigram-LM perplexity deciles FIT ON THE SURVIVORS (rank_buckets:
+    no global-order window) -> per-(lang, decile) manifest with BIGINT
+    doc/token counts.  The oracle composes the same four stages in one
+    SQL statement (gates + min-id-per-md5, recursive-CTE connected
+    components over exact all-pairs Jaccard, the add-k perplexity
+    replay over the surviving subset, integer rank-bucket math) — so a
+    single flipped survivor, a perplexity fit contaminated by dropped
+    docs, or an off-by-one in the decile rank moves the hash."""
+    from sketch_spark.operators.dedup import dedup_corpus
+    from sketch_spark.operators.filtering import clean_corpus
+    from sketch_spark.operators.lm import bigram_lm_perplexity
+    from sketch_spark.operators.sampling import rank_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    cleaned = clean_corpus(docs)
+    surv = dedup_corpus(
+        cleaned, "doc_id", "text", threshold=0.4, num_perm=64, bands=16,
+        shingle_k=3, seed=1, store_shingles=False,
+    )
+    # read twice (LM fit + manifest join): checkpoint per CLAUDE.md
+    surv = surv.select("doc_id", "lang", "text").localCheckpoint(eager=True)
+    dec = rank_buckets(
+        bigram_lm_perplexity(surv, add_k=0.5), "ppl", n_buckets=10,
+        bucket_col="decile",
+    )
+    return (
+        surv.withColumn(
+            "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        )
+        .join(dec.select("doc_id", "decile"), "doc_id")
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum/quality deciles: docs bucketed 1..10 by corpus-trained
     bigram-LM perplexity (rounded values — the same hash-checked ones
@@ -2625,6 +2669,70 @@ def _lm_perplexity_oracle_sql() -> str:
     return bigram_lm_perplexity_sql(add_k=0.5)
 
 
+def _corpus_curation_oracle_sql() -> str:
+    """The four curation stages composed into ONE SQL statement: the
+    clean_corpus oracle (gates + min-id-per-md5) feeds the recursive-CTE
+    connected-components dedup (exact all-pairs Jaccard >= 0.4 — the
+    same above-the-LSH-knee fixture property q_dedup_corpus relies on),
+    the surviving subset refits the add-k bigram LM, and the integer
+    rank-bucket formula assigns deciles before the (lang, decile)
+    manifest rollup."""
+    from sketch_spark.operators.filtering import clean_corpus_sql
+    from sketch_spark.operators.lm import bigram_lm_perplexity_sql
+
+    return f"""
+        WITH RECURSIVE cleaned AS (
+          SELECT d.doc_id, d.lang, d.text
+          FROM documents d
+          JOIN ({clean_corpus_sql()}) c ON c.doc_id = d.doc_id
+        ), dtoks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM cleaned
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                         FOR i IN generate_series(1, len(t)-2)]) AS shingle
+          FROM dtoks WHERE len(t) >= 3
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), prs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE ni / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.4
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM prs
+          UNION ALL
+          SELECT id_b, id_a FROM prs
+        ), reach(id, r) AS (
+          SELECT doc_id, doc_id FROM cleaned
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+        ), labels AS (
+          SELECT id, min(r) AS label FROM reach GROUP BY 1
+        ), surv AS (
+          SELECT c.doc_id, c.lang, c.text
+          FROM cleaned c JOIN labels l ON l.id = c.doc_id
+          WHERE l.label = l.id
+        ), ppl_tbl AS ({bigram_lm_perplexity_sql(table_expr="surv", add_k=0.5)}
+        ), dec AS (
+          SELECT doc_id,
+                 CAST((row_number() OVER (ORDER BY ppl, doc_id) - 1) * 10
+                      // (count(*) OVER ()) + 1 AS INT) AS decile
+          FROM ppl_tbl
+        )
+        SELECT s.lang, d.decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(s.text), '\\s+'))) AS BIGINT)
+                 AS n_tokens
+        FROM surv s JOIN dec d ON d.doc_id = s.doc_id
+        GROUP BY 1, 2
+    """
+
+
 def _quality_deciles_oracle_sql() -> str:
     # same rank->bucket integer formula as rank_buckets (NOT ntile,
     # whose remainder rule differs): (rank-1)*10 // N + 1
@@ -2738,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "temperature_sample": q_temperature_sample,
         "quality_deciles": q_quality_deciles,
+        "corpus_curation": q_corpus_curation,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "ivf_topk_exact": q_ivf_topk_exact,
         "lsh_topk_exact": q_lsh_topk_exact,
@@ -3743,6 +3852,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": _dup_span_removal_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
         "quality_deciles": _quality_deciles_oracle_sql(),
+        "corpus_curation": _corpus_curation_oracle_sql(),
         "source_quality": _source_quality_oracle_sql(),
         # replays one Lloyd iteration exactly: init = embeddings of the
         # 8 smallest ids, argmin with (dist, cell) tie order matching

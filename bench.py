@@ -182,13 +182,17 @@ def main() -> None:
         "skewed_host_stats",
         "image_dups",
         "luma_histogram",
-        # round-5 additions: perceptual/video dedup + the new codecs
+        # round-5 additions: perceptual/video/audio dedup + new codecs
         "image_near_dups",
         "video_dups",
+        "audio_near_dups",
         "pdf_text",
         "jpeg_decode",
         "jpeg_progressive",
         "png_variants",
+        # the composed end-to-end curation manifest (gates -> exact
+        # dedup -> LSH cluster dedup -> survivor-fit ppl deciles)
+        "corpus_curation",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}

@@ -148,6 +148,15 @@ def main() -> None:
         "(cores/2 separate executor JVMs)",
     )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    ap.add_argument(
+        "--interleave",
+        action="store_true",
+        help="one fresh subprocess per (level, run), levels alternating: "
+        "this VM's steal bursts last minutes, so a level's contiguous "
+        "run block can lose >half its samples to one burst and drag the "
+        "median; alternating levels decorrelates the noise while keeping "
+        "the median-with-spread statistic intact",
+    )
     ap.add_argument("--single", type=int, default=None, help="internal: run one cores level, print json")
     args = ap.parse_args()
     if args.table is None:
@@ -174,13 +183,13 @@ def main() -> None:
     # lingering python workers, and allocator state can't cross-pollute
     import subprocess
 
-    def run_isolated(cores: int) -> dict:
+    def run_isolated(cores: int, runs: int) -> dict:
         res = subprocess.run(
             [
                 sys.executable, os.path.abspath(__file__),
                 "--single", str(cores),
                 "--table", args.table,
-                "--runs", str(args.runs),
+                "--runs", str(runs),
                 "--mode", args.mode,
             ],
             capture_output=True,
@@ -192,8 +201,20 @@ def main() -> None:
     results = {}
     pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
     cores_needed = sorted({c for p in pairs for c in p})
-    for c in cores_needed:
-        results[c] = run_isolated(c)
+    if args.interleave:
+        per: dict[int, list[dict]] = {c: [] for c in cores_needed}
+        for _ in range(args.runs):
+            for c in cores_needed:
+                per[c].append(run_isolated(c, 1))
+        for c in cores_needed:
+            walls = [r["wall_sec"] for r in per[c]]
+            best = min(per[c], key=lambda r: r["wall_sec"])
+            best["walls"] = walls
+            best["wall_median"] = round(sorted(walls)[len(walls) // 2], 2)
+            results[c] = best
+    else:
+        for c in cores_needed:
+            results[c] = run_isolated(c, args.runs)
     states = {r["cmcu_state"] for r in results.values()}
     tokens = {r["n_tokens"] for r in results.values()}
     assert len(states) == 1, "parallelism changed the merged state!"
@@ -206,6 +227,7 @@ def main() -> None:
         "state_identical_across_parallelism": True,
         "pairs": {},
         "runs_per_level": args.runs,
+        "interleaved": bool(args.interleave),
     }
     best_eff = 0.0
     for n, n4 in pairs:
@@ -249,7 +271,9 @@ def main() -> None:
                     f"| {stamp} | {args.rows} docs / {list(tokens)[0]} tokens ({args.mode}) | "
                     f"{level} | {pr[f'T{n}']}s | {pr[f'T{n4}']}s | "
                     f"{pr[f'tokens_per_sec_{n}']:.0f} | {pr[f'tokens_per_sec_{n4}']:.0f} | "
-                    f"**{pr['efficiency']:.2f}** (median of {args.runs}, spread {lo:.2f}-{hi:.2f}) |\n"
+                    f"**{pr['efficiency']:.2f}** (median of {args.runs}"
+                    f"{', interleaved' if args.interleave else ''}, "
+                    f"spread {lo:.2f}-{hi:.2f}) |\n"
                 )
 
 

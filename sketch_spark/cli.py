@@ -20,6 +20,8 @@ this code); ``sketch_spark.session.package_zip()`` builds the
              remaining buckets).
   estimate   point queries against a written state table.
   dedup      corpus near-dup dedup -> survivors parquet.
+  decode     real multimodal decode / features / media dedup (exact
+             image dups + the image/video/audio near-dup trio).
   warc-ingest  .warc/.warc.gz archives -> pages table (url, warc_ts,
              html, text, lang) with Catalyst text extraction + lang id.
 """
@@ -154,10 +156,14 @@ def cmd_dedup(args) -> None:
 
 def cmd_decode(args) -> None:
     from .functions.multimodal import (
+        audio_near_duplicates,
         decode_avi_frames_df,
         decode_images_df,
         decode_wavs_df,
+        image_exact_duplicates,
+        image_near_duplicates,
         image_stats_df,
+        video_duplicates,
         wav_features_df,
     )
 
@@ -167,6 +173,11 @@ def cmd_decode(args) -> None:
         "wavs": decode_wavs_df,
         "wav-features": wav_features_df,
         "avi-frames": decode_avi_frames_df,
+        # media dedup over decoded content (exact + the near-dup trio)
+        "image-dups": image_exact_duplicates,
+        "image-near-dups": image_near_duplicates,
+        "video-dups": video_duplicates,
+        "audio-near-dups": audio_near_duplicates,
     }[args.kind]
     spark = _spark("multimodal-decode")
     df = spark.read.parquet(args.input)
@@ -323,9 +334,22 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--seed", type=int, default=1)
     d.set_defaults(fn=cmd_dedup)
 
-    dc = sub.add_parser("decode", help="real multimodal decode / feature extraction")
+    dc = sub.add_parser(
+        "decode", help="real multimodal decode / features / media dedup"
+    )
     dc.add_argument(
-        "kind", choices=["images", "image-stats", "wavs", "wav-features", "avi-frames"]
+        "kind",
+        choices=[
+            "images",
+            "image-stats",
+            "wavs",
+            "wav-features",
+            "avi-frames",
+            "image-dups",
+            "image-near-dups",
+            "video-dups",
+            "audio-near-dups",
+        ],
     )
     dc.add_argument("--input", required=True, help="parquet with a binary column")
     dc.add_argument("--out", required=True)

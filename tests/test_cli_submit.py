@@ -202,3 +202,55 @@ def test_cli_decode(spark, tmp_path, capsys):
     want = hashlib.md5(rgb.hex().encode()).hexdigest()
     assert pdf.loc["png"].pixel_md5 == want and pdf.loc["ppm"].pixel_md5 == want
     assert set(pdf.format) == {"png", "ppm"}
+
+
+def test_cli_media_dedup_kinds(spark, tmp_path, capsys):
+    """The decode subcommand's media-dedup kinds: the same pixels
+    through PNG and PPM containers group under image-dups, and a
+    re-rated PCM twin pairs under audio-near-dups."""
+    import struct
+
+    import numpy as np
+
+    from sketch_spark import cli
+    from sketch_spark.functions.multimodal import encode_png
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, size=5 * 4 * 3, dtype=np.uint8).tobytes()
+    img_rows = [
+        ("a", bytearray(encode_png(rgb, 5, 4, filter_type=1))),
+        ("b", bytearray(b"P6\n5 4\n255\n" + rgb)),
+        ("c", bytearray(b"corrupt!")),
+    ]
+    img_src = str(tmp_path / "imgs")
+    spark.createDataFrame(img_rows, "url string, image binary").write.parquet(img_src)
+    out1 = str(tmp_path / "imgdups")
+    cli.main(["decode", "image-dups", "--input", img_src, "--out", out1])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got == {"rows": 1}
+    row = spark.read.parquet(out1).collect()[0]
+    assert row.n_copies == 2 and row.survivor == "a"
+
+    s = (rng.integers(-64, 64, size=120) << 8).astype(np.int64)
+
+    def wav(vals):
+        data = b"".join(struct.pack("<h", int(v)) for v in vals)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return bytearray(
+            b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    aud_rows = [("x", wav(s)), ("y", wav(np.repeat(s, 2))), ("z", bytearray(b"!"))]
+    aud_src = str(tmp_path / "auds")
+    spark.createDataFrame(aud_rows, "url string, audio binary").write.parquet(aud_src)
+    out2 = str(tmp_path / "auddups")
+    cli.main(
+        ["decode", "audio-near-dups", "--input", aud_src, "--out", out2,
+         "--bin-col", "audio"]
+    )
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got == {"rows": 1}
+    pair = spark.read.parquet(out2).collect()[0]
+    assert (pair.id_a, pair.id_b, pair.hamming) == ("x", "y", 0)

@@ -489,6 +489,24 @@ def main() -> None:
         for k, v in saved.items():
             spark.conf.set(k, v)
 
+    # banded-Hamming near-dup tail (shared by image + audio): the
+    # signature pass is the only python stage; pairs come from a banded
+    # self-join on small ints, verify is JVM bit_count
+    df = entrymod.q_audio_near_dups(spark, sf)
+    plan = explain_str(df)
+    n_py = plan.count("MapInPandas")
+    sections.append((
+        "Perceptual near-dup (audio; image shares the banded tail)",
+        plan,
+        f"- exactly one python stage in the whole pipeline: MapInPandas x{n_py} "
+        "(decode + signature; the localCheckpoint caches it, so band explode "
+        "and both pair sides reread signatures, never blobs).\n"
+        "- candidates from a banded self-join on (band_idx, band_val) ints; "
+        "the Hamming verify is JVM-side "
+        f"(bit_count in plan: {'bit_count' in plan}) — PCM/pixels never ride "
+        "any exchange, and degenerate buckets are capped before the join.",
+    ))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan evidence (generated by tools/plan_report.py)\n\n"
