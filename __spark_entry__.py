@@ -1676,7 +1676,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.sampling import rank_buckets
 
     docs = _read(spark, sf_dir, "documents")
-    cleaned = clean_corpus(docs)
+    # dedup_corpus references its input 3x (signatures, candidate text
+    # re-read, anti-join): checkpoint so the gate+md5 pass runs once
+    cleaned = clean_corpus(docs).localCheckpoint(eager=True)
     surv = dedup_corpus(
         cleaned, "doc_id", "text", threshold=0.4, num_perm=64, bands=16,
         shingle_k=3, seed=1, store_shingles=False,

@@ -258,7 +258,18 @@ def main() -> None:
 
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     if os.path.exists(args.out):
+        # appended rows must land under a table header, not as orphan
+        # fragments after whatever prose was written last
+        with open(args.out) as f:
+            tail = [ln for ln in f.read().splitlines() if ln.strip()]
+        needs_header = not (tail and tail[-1].startswith("|"))
         with open(args.out, "a") as f:
+            if needs_header:
+                f.write(
+                    "\n| when | input | levels | T_N | T_4N | "
+                    "tokens/s @N | tokens/s @4N | efficiency |\n"
+                    "|---|---|---|---|---|---|---|---|\n"
+                )
             for n, n4 in pairs:
                 pr = out["pairs"][f"{n}->{n4}"]
                 lo, hi = pr["efficiency_spread"]

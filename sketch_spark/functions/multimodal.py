@@ -1363,6 +1363,24 @@ def video_duplicates(
     )
 
 
+def _validate_band_params(
+    n_windows: int, samples_per_window: int, band_bits: int
+) -> None:
+    """Shared by :func:`wav_energy_bands` (per clip) and
+    :func:`audio_near_duplicates` (at the driver, so on_error='skip'
+    can't silently swallow a bad parameterization into an empty
+    result) — one definition, no drift."""
+    if not 1 <= band_bits <= 32:
+        # > 32 would overflow: the packed band must fit an int64 weight
+        raise ValueError(f"band_bits must be in 1..32, got {band_bits}")
+    if n_windows < 1 or n_windows % band_bits != 0:
+        raise ValueError(
+            f"n_windows ({n_windows}) must be a positive multiple of band_bits"
+        )
+    if samples_per_window < 1:
+        raise ValueError(f"samples_per_window must be >= 1, got {samples_per_window}")
+
+
 def wav_energy_bands(
     samples: np.ndarray,
     n_windows: int = 64,
@@ -1385,15 +1403,7 @@ def wav_energy_bands(
     (width down-conversion, dither) flips only knife-edge bits, which
     the Hamming-banded join in :func:`audio_near_duplicates` recovers.
     An empty stream signs all-zero."""
-    if not 1 <= band_bits <= 32:
-        # > 32 would overflow: the packed band must fit an int64 weight
-        raise ValueError(f"band_bits must be in 1..32, got {band_bits}")
-    if n_windows < 1 or n_windows % band_bits != 0:
-        raise ValueError(
-            f"n_windows ({n_windows}) must be a positive multiple of band_bits"
-        )
-    if samples_per_window < 1:
-        raise ValueError(f"samples_per_window must be >= 1, got {samples_per_window}")
+    _validate_band_params(n_windows, samples_per_window, band_bits)
     n = len(samples)
     n_bands = n_windows // band_bits
     if n == 0:
@@ -1449,17 +1459,7 @@ def audio_near_duplicates(
     best-effort, exactly as in :func:`image_near_duplicates`."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
-    # validate signature params at the driver: inside the UDF these
-    # raise ValueError per clip, which on_error='skip' would silently
-    # swallow into an empty result
-    if not 1 <= band_bits <= 32:
-        raise ValueError(f"band_bits must be in 1..32, got {band_bits}")
-    if n_windows < 1 or n_windows % band_bits != 0:
-        raise ValueError(
-            f"n_windows ({n_windows}) must be a positive multiple of band_bits"
-        )
-    if samples_per_window < 1:
-        raise ValueError(f"samples_per_window must be >= 1, got {samples_per_window}")
+    _validate_band_params(n_windows, samples_per_window, band_bits)
     if max_hamming is None:
         max_hamming = n_windows // band_bits - 1
     if max_hamming < 0:

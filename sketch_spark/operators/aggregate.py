@@ -104,6 +104,35 @@ def bounded_rank(
     return df.groupBy(F.lit("all")).applyInPandas(rank, out_schema)
 
 
+def bounded_prefix_sum(
+    df: DataFrame, key_col: str, value_col: str, out_col: str = "_off"
+) -> DataFrame:
+    """EXCLUSIVE prefix sum (``out[i] = sum(value[key < key_i])``) over
+    a table already PROVEN bounded by the partition/bucket count —
+    the P-row offset table of a distributed rank / prefix-sum operator
+    (sampling.rank_buckets, packing's bucket offsets), never
+    data-scale.  Same rationale as :func:`bounded_rank`: the global
+    cumulative Window is correct here but fires WindowExec's "No
+    Partition Defined" WARN, and ``partitionBy(lit(0))`` constant-folds
+    away in Spark 4 — so the bounded table folds as ONE applyInPandas
+    group with a deterministic stable sort."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    for c in (key_col, value_col):
+        if c not in df.columns:
+            raise ValueError(f"bounded_prefix_sum column not in frame: {c}")
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), False)]
+    )
+
+    def psum(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([key_col], kind="mergesort")
+        pdf[out_col] = (pdf[value_col].cumsum() - pdf[value_col]).astype("int64")
+        return pdf[[f.name for f in out_schema.fields]]
+
+    return df.groupBy(F.lit("all")).applyInPandas(psum, out_schema)
+
+
 def ensure_min_partitions(df: DataFrame) -> DataFrame:
     """Spread an underpartitioned input before a CPU-bound map pass.
 

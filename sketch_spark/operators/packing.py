@@ -60,14 +60,13 @@ def global_prefix_sum(
     span = int(max_id) // n_buckets + 1
     b = df.withColumn("_bkt", (F.col(order_col) / F.lit(span)).cast("long"))
     totals = b.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
-    offsets = totals.select(
-        "_bkt",
-        (
-            F.sum("_tot").over(
-                W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
-            )
-        ).alias("_off"),
-    ).fillna(0, ["_off"])
+    # P-row offset table: bounded_prefix_sum, not a cumulative global
+    # Window — same exclusive sum, no unpartitioned-window WARN
+    from .aggregate import bounded_prefix_sum
+
+    offsets = bounded_prefix_sum(totals, "_bkt", "_tot", "_off").select(
+        "_bkt", "_off"
+    )
     # offsets is P rows — the broadcast join keeps the big side in place
     local = F.sum(value_col).over(
         W.partitionBy("_bkt").orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)

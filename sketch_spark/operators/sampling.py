@@ -370,13 +370,11 @@ def rank_buckets(
         .localCheckpoint(eager=True)
     )
     counts = d.groupBy("_pid").agg(F.count("*").alias("_n"))
-    offs = counts.select(
-        "_pid",
-        F.coalesce(
-            F.sum("_n").over(W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("_off"),
-    )
+    # P-row offset table: bounded_prefix_sum, not a cumulative global
+    # Window — same exclusive sum, no unpartitioned-window WARN
+    from .aggregate import bounded_prefix_sum
+
+    offs = bounded_prefix_sum(counts, "_pid", "_n", "_off").select("_pid", "_off")
     total = counts.agg(F.sum("_n").alias("_N"))
     lw = W.partitionBy("_pid").orderBy(F.col(score_col).asc(), F.col(id_col).asc())
     return (
