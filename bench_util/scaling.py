@@ -113,6 +113,14 @@ def run_at(cores: int, table_dir: str, runs: int = 1, mode: str = "threads") -> 
             yield pa.RecordBatch.from_pydict({"n": pa.array([b.num_rows])})
 
     df.select("lang").repartition(cores * 2).mapInArrow(_noop, "n long").count()
+    # the noop warmup spawns workers but does NOT warm the CMCU
+    # aggregation path itself: measured contiguous runs showed the
+    # first 1-2 build_job walls of a fresh 16-core session at 2-3x the
+    # steady state (24.85/14.03 s vs 7.5 s settled — JIT of the hot
+    # fold, Arrow buffer pools, numpy per-worker state), which made
+    # every --interleave sample a cold-start measurement.  One untimed
+    # build_job brings every TIMED run to steady state in both modes.
+    build_job(spark, table_dir)
     # VERDICT r2 #8: keep EVERY run's wall — the median-of-runs with
     # spread is the headline (single runs on this VM vary 0.54-1.38 on
     # the same pair; a best-of hides that, a median with reported
