@@ -43,6 +43,16 @@ def compact_line(detail: dict) -> str:
     scaling = {
         k: scal[k] for k in ("value", "spread", "mode", "rows") if k in scal
     }
+    if "measured_at" in scal:
+        scaling["at"] = scal["measured_at"][:16]
+    # this VM's contention is bursty (per-run steal_pct arrays in the
+    # detail sidecar): the LAST measurement can be a storm artifact, so
+    # the dated BEST one rides alongside as the demonstrated capability
+    bst = detail.get("scaling_best") or {}
+    if bst.get("value") is not None:
+        scaling["best"] = bst["value"]
+        if "measured_at" in bst:
+            scaling["best_at"] = bst["measured_at"][:16]
     pairs = scal.get("pairs") or {}
     if pairs:
         best = max(
@@ -277,6 +287,10 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             detail["scaling_efficiency"] = json.load(f)
+    best_path = os.path.join(REPO, "bench_util", "scaling_best.json")
+    if os.path.exists(best_path):
+        with open(best_path) as f:
+            detail["scaling_best"] = json.load(f)
     # same for the heavy-hitter skew-balance measurement (bench_util/skew.py)
     skew_path = os.path.join(REPO, "bench_util", "skew_last.json")
     if os.path.exists(skew_path):

@@ -83,12 +83,17 @@ def test_bench_line_fits_driver_capture():
             "spread": [0.999, 99.999],
             "mode": "local-cluster-processes",
             "rows": 999999999,
+            "measured_at": "2099-12-31T23:59:59Z",
             "pairs": {
                 "4->16": {
                     "tokens_per_sec_4": 99999999999.9,
                     "tokens_per_sec_16": 99999999999.9,
                 }
             },
+        },
+        "scaling_best": {
+            "value": 0.999,
+            "measured_at": "2099-12-31T23:59:59Z",
         },
         "skew_balance": {
             "naive": {"factor": 99999.99},
