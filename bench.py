@@ -41,7 +41,9 @@ def compact_line(detail: dict) -> str:
     # 500k-doc throughput; the comparable number rides in the scaling
     # block (tokens/s at the measurement's higher parallelism level)
     scaling = {
-        k: scal[k] for k in ("value", "spread", "mode", "rows") if k in scal
+        k: scal[k]
+        for k in ("value", "value_clean", "spread", "mode", "rows")
+        if k in scal
     }
     if "measured_at" in scal:
         scaling["at"] = scal["measured_at"][:16]
@@ -50,7 +52,7 @@ def compact_line(detail: dict) -> str:
     # the dated BEST one rides alongside as the demonstrated capability
     bst = detail.get("scaling_best") or {}
     if bst.get("value") is not None:
-        scaling["best"] = bst["value"]
+        scaling["best"] = max(bst["value"], bst.get("value_clean") or 0.0)
         if "measured_at" in bst:
             scaling["best_at"] = bst["measured_at"][:16]
     pairs = scal.get("pairs") or {}

@@ -80,6 +80,7 @@ def test_bench_line_fits_driver_capture():
         "pipeline_total": 99999.999,
         "scaling_efficiency": {
             "value": 0.999,
+            "value_clean": 0.999,
             "spread": [0.999, 99.999],
             "mode": "local-cluster-processes",
             "rows": 999999999,
@@ -93,6 +94,7 @@ def test_bench_line_fits_driver_capture():
         },
         "scaling_best": {
             "value": 0.999,
+            "value_clean": 0.999,
             "measured_at": "2099-12-31T23:59:59Z",
         },
         "skew_balance": {
