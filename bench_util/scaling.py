@@ -94,11 +94,15 @@ def _clean_median(walls: list[float], steals: list[float]) -> tuple[float | None
     job's scaling look like on hardware that isn't being stolen from" —
     using each run's own /proc/stat steal window as the filter, so no
     hand-picking is involved.  Returns (None, n_clean) when fewer than
-    two quiet runs exist at the level."""
-    clean = sorted(w for w, s in zip(walls, steals) if s <= CLEAN_STEAL_PCT)
+    two quiet runs exist at the level.  True median (the even-count case
+    averages the two middles — taking the upper-middle let one slow
+    quiet run drag a 4-run clean median 40% above the raw one)."""
+    import statistics
+
+    clean = [w for w, s in zip(walls, steals) if s <= CLEAN_STEAL_PCT]
     if len(clean) < 2:
         return None, len(clean)
-    return clean[len(clean) // 2], len(clean)
+    return statistics.median(clean), len(clean)
 
 
 def _process_session(cores: int):
