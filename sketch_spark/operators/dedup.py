@@ -355,7 +355,9 @@ def verify_jaccard_pairs_from_text(
     candidate docs instead of carrying stored shingle arrays through
     the pipeline — the scale path (store_shingles=False): shingle
     serde volume drops ~20x and only candidate-touched rows ever
-    re-tokenize (a left-semi join prunes the text scan).  Shingles are
+    re-tokenize (a left-semi join prunes the text scan).  ``pairs``
+    rows must be distinct (both callers emit groupBy-deduped pairs):
+    the single-join verify re-groups by (id_a, id_b).  Shingles are
     the space-joined word k-grams (Catalyst), so the Jaccard values
     match the hashed-shingle path's up to 63-bit shingle-hash
     collisions (the stored path hashes shingles to 63 bits before
@@ -384,13 +386,32 @@ def verify_jaccard_pairs_from_text(
             F.array_distinct(word_ngrams_col(text_col, shingle_k)).alias("shingles"),
         )
     )
-    # the verify join references sh TWICE (id_a side and id_b side) and
-    # Catalyst does not CSE across self-joins: without a cut each side
-    # re-scans and re-tokenizes every candidate doc.  Materialize the
-    # candidate-restricted shingle sets ONCE — the table is candidate-
-    # sized (bucket-mates only), never corpus-sized
-    sh = sh.localCheckpoint(eager=True)
-    return verify_jaccard_pairs(pairs, sh, id_col, threshold)
+    # verify via ONE join: explode each pair into its two (pair, doc)
+    # sides, join sh once, re-group by pair and intersect the two
+    # collected arrays.  sh is referenced a single time, so the
+    # candidate-restricted tokenize needs no localCheckpoint job (the
+    # earlier two-sided join form re-tokenized per side unless a cut
+    # materialized sh first — one whole extra job on the bench wall).
+    # Shuffle volume matches the join form: candidate shingle arrays
+    # cross the wire once for the join, once pair-keyed for the group.
+    sides = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
+    )
+    both = (
+        sides.join(sh, id_col)
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("shingles").alias("_shs"), F.count("*").alias("_n"))
+        # inner-join semantics of the two-sided form: a pair missing
+        # either side's doc row never surfaces
+        .filter(F.col("_n") == 2)
+    )
+    inter = F.size(F.array_intersect(F.col("_shs")[0], F.col("_shs")[1]))
+    union = F.size(F.col("_shs")[0]) + F.size(F.col("_shs")[1]) - inter
+    return (
+        both.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_near_duplicates(
