@@ -907,6 +907,88 @@ def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_duplicates(auds, "audio", "doc_id")
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over a deterministic
+    synthetic link graph: 3 out-links per document, dst =
+    md5(doc_id:j)[:8] as int mod n_docs — the md5-hex-source pattern,
+    so the DuckDB oracle regenerates the identical graph and replays
+    the identical BIGINT power iteration (unrolled 6 rounds).  Every
+    arithmetic step is integer multiply / floor division: ranks are
+    bit-identical across engines, partitionings, and merge orders."""
+    from sketch_spark.operators.graph import pagerank_fixed_point
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    edges = docs.select(
+        "doc_id", F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("j")
+    ).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(n_docs)
+        ).alias("dst"),
+    )
+    return pagerank_fixed_point(edges, n_iter=6)
+
+
+def _pagerank_oracle_sql(n_iter: int = 6, damping: int = 85, unit: int = 10**12) -> str:
+    """DuckDB twin of q_link_pagerank: same synthetic graph, same BIGINT
+    recurrence, iterations unrolled (aggregates are not legal in a
+    recursive CTE's recursive term)."""
+    chain = ""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        chain += f""",
+        i{i} AS (
+            SELECT n.node,
+                   (SELECT CAST((100 - {damping}) * ({unit} // cnt) // 100 AS BIGINT) FROM nnodes)
+                   + CAST({damping} * COALESCE(inf.s, 0) // 100 AS BIGINT) AS rank_units
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, CAST(SUM(r.rank_units // o.od) AS BIGINT) AS s
+                FROM edges e
+                JOIN {prev} r ON r.node = e.src
+                JOIN outdeg o ON o.src = e.src
+                GROUP BY e.dst
+            ) inf ON inf.node = n.node
+        )"""
+        prev = f"i{i}"
+    return f"""
+        WITH ndocs AS (SELECT COUNT(*) AS cnt FROM documents),
+        edges AS (
+            SELECT doc_id AS src,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % (SELECT cnt FROM ndocs) AS dst
+            FROM documents, (SELECT UNNEST(generate_series(0, 2)) AS j)
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        nnodes AS (SELECT COUNT(*) AS cnt FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        r0 AS (
+            SELECT node, (SELECT CAST({unit} // cnt AS BIGINT) FROM nnodes) AS rank_units
+            FROM nodes
+        ){chain}
+        SELECT node, rank_units FROM {prev}
+    """
+
+
 def q_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus brightness distribution (multimodal.py
     corpus_luma_histogram) over the mixed PPM/PGM blobs — the first
@@ -2825,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": q_image_near_dups,
         "video_dups": q_video_dups,
         "audio_near_dups": q_audio_near_dups,
+        "link_pagerank": q_link_pagerank,
         "pdf_text": q_pdf_text,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_progressive": q_jpeg_progressive,
@@ -3002,6 +3085,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "link_pagerank": _pagerank_oracle_sql(n_iter=6, damping=85, unit=10**12),
         "token_counts": """
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)

@@ -1,0 +1,161 @@
+"""Iterative link-graph scoring: fixed-point PageRank power iteration.
+
+Link authority (PageRank over the host/page graph) is a standard
+web-corpus curation signal — Common-Crawl-scale pipelines rank hosts by
+it to weight sampling and to gate low-authority boilerplate farms.  The
+engine already covers one iterative-graph class (pointer-jumping
+connected components, operators/dedup.py); this adds the other one a
+curation stack needs, the damped power iteration, with the same
+per-round lineage discipline.
+
+Exactness across engines (the repo's fixed-point rule, CLAUDE.md): all
+rank mass is carried as BIGINT units.  Floating-point PageRank sums are
+order-dependent and would eventually land on a rounding knife-edge
+under the driver's value hash; instead
+
+- every node starts with ``unit_total // n_nodes`` units,
+- an edge's contribution is ``rank DIV out_degree`` (floor division),
+- the damped update is ``(100 - damping_pct) * base DIV 100 +
+  damping_pct * inflow DIV 100`` — all integer multiply/floor-divide,
+
+so partition order, merge order, and engine (Spark, DuckDB, numpy) all
+produce bit-identical ranks.  Truncation loses a bounded trickle of
+mass per round (< 1 unit per edge + 1 per node); with
+``unit_total = 10**12`` the relative quantization is ~1e-9 per hop —
+far below any ranking-relevant difference.  Dangling nodes (no
+out-edges) simply evaporate their mass, the standard simplification
+when the redistribution term isn't needed for ranking.
+
+Scale story (the 100-TB question): the edge table — the only
+corpus-scale side — is joined on ``src`` every round but NEVER changes,
+so it is hash-repartitioned on src ONCE and persisted; each iteration
+then costs (a) one node-scale exchange of the (node, rank) table to the
+src partitioning, (b) an edge-local join + projection, and (c) one
+groupBy(dst) whose map-side combine reduces the wire volume to
+O(nodes-per-partition x partitions) rows of two BIGINTs.  Ranks are one
+row per node — never corpus-scale text, never arrays.  Lineage is cut
+with an eager localCheckpoint per round (the pointer-jumping pattern),
+so the plan does not grow with ``n_iter``.
+
+Reference analog: none — the C++ reference (HansLehnert/sketch) is a
+k-mer frequency engine with no graph surface; this belongs to the
+training-data battery built alongside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank_fixed_point", "pagerank_reference"]
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    unit_total: int = 10**12,
+) -> DataFrame:
+    """Damped PageRank power iteration in exact BIGINT arithmetic.
+
+    ``edges`` is one row per directed edge (parallel edges count once
+    each; self-loops are legal).  Returns (node, rank_units) for every
+    node that appears as a src or dst, after ``n_iter`` rounds.
+
+    rank_0(v)   = unit_total DIV n
+    contrib(e)  = rank(src(e)) DIV out_deg(src(e))      -- per edge row
+    rank_i+1(v) = (100-damping_pct) * (unit_total DIV n) DIV 100
+                  + damping_pct * sum(contrib(e) : dst(e)=v) DIV 100
+
+    Every operation is integer multiply / floor division, so the result
+    is independent of partitioning, join order, and engine; overflow is
+    impossible for unit_total <= ~9e16 (damping_pct * unit_total must
+    fit in int64).
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    if damping_pct * unit_total >= 2**63:
+        raise ValueError("damping_pct * unit_total overflows int64")
+
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        # node-scale table, re-read every round (base term + left join)
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
+    base0 = unit_total // n  # uniform start AND the teleport base term
+    base_term = (100 - damping_pct) * base0 // 100
+
+    # the corpus-scale side: attach out-degree once, pin the src
+    # partitioning once, reuse it every round (edges never re-shuffle)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_od"))
+    edges_w = e.join(outdeg, "src").repartition(shuffle_n, "src").persist()
+    edges_w.count()  # materialize: referenced once per round below
+
+    ranks = nodes.withColumn("rank_units", F.lit(base0).cast("long"))
+    try:
+        for _ in range(n_iter):
+            inflow = (
+                edges_w.join(
+                    ranks.withColumnRenamed("node", "src"), "src"
+                )
+                .select(
+                    "dst", F.expr("rank_units DIV _od").alias("_contrib")
+                )
+                .groupBy("dst")
+                .agg(F.sum("_contrib").alias("_inflow"))
+            )
+            ranks = (
+                nodes.join(
+                    inflow.withColumnRenamed("dst", "node"), "node", "left"
+                )
+                .select(
+                    "node",
+                    (
+                        F.lit(base_term).cast("long")
+                        + F.expr(
+                            f"{damping_pct} * coalesce(_inflow, 0L) DIV 100"
+                        )
+                    ).alias("rank_units"),
+                )
+                # cut lineage per round or the plan grows with n_iter
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges_w.unpersist()
+    return ranks
+
+
+def pagerank_reference(
+    edge_list: list[tuple[int, int]],
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    unit_total: int = 10**12,
+) -> dict[int, int]:
+    """Pure-python twin of ``pagerank_fixed_point`` for differential
+    tests — same integer recurrence, exact python ints."""
+    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    base0 = unit_total // n
+    base_term = (100 - damping_pct) * base0 // 100
+    od: dict[int, int] = {}
+    for s, _ in edge_list:
+        od[s] = od.get(s, 0) + 1
+    rank = {v: base0 for v in nodes}
+    for _ in range(n_iter):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            inflow[d] += rank[s] // od[s]
+        rank = {v: base_term + damping_pct * inflow[v] // 100 for v in nodes}
+    return rank

@@ -1,0 +1,78 @@
+"""Fixed-point PageRank (operators/graph.py): exact-integer differential
+vs the pure-python twin, partition invariance, graph edge cases."""
+
+import random
+
+import pytest
+
+from sketch_spark.operators.graph import pagerank_fixed_point, pagerank_reference
+
+
+def _run(spark, edge_list, partitions=None, **kw):
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    if partitions:
+        df = df.repartition(partitions)
+    out = pagerank_fixed_point(df, **kw)
+    return {r["node"]: r["rank_units"] for r in out.collect()}
+
+
+def test_matches_python_reference_random_graph(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    got = _run(spark, edges, n_iter=8)
+    want = pagerank_reference(edges, n_iter=8)
+    assert got == want
+
+
+def test_partition_invariance(spark):
+    rng = random.Random(11)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(120)]
+    a = _run(spark, edges, partitions=1, n_iter=6)
+    b = _run(spark, edges, partitions=13, n_iter=6)
+    assert a == b
+
+
+def test_dangling_and_sink_nodes(spark):
+    # 0 -> 1 -> 2; 2 has no out-edges (dangling: its mass evaporates);
+    # 0 has no in-edges (rank decays toward the teleport base term)
+    edges = [(0, 1), (1, 2)]
+    got = _run(spark, edges, n_iter=10)
+    want = pagerank_reference(edges, n_iter=10)
+    assert got == want
+    # sink keeps receiving, source only keeps the base term
+    assert got[2] > got[0]
+    base0 = 10**12 // 3
+    assert got[0] == (100 - 85) * base0 // 100  # no in-edges: pure teleport
+
+
+def test_self_loops_and_parallel_edges(spark):
+    edges = [(0, 0), (0, 1), (0, 1), (1, 0)]
+    got = _run(spark, edges, n_iter=7)
+    assert got == pagerank_reference(edges, n_iter=7)
+
+
+def test_mass_never_created(spark):
+    rng = random.Random(3)
+    edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(60)]
+    got = _run(spark, edges, n_iter=5)
+    # floor division only loses units; total mass can never exceed start
+    assert sum(got.values()) <= 10**12
+
+
+def test_hub_authority_ordering(spark):
+    # bidirectional star: every spoke links to the hub, the hub links
+    # back to every spoke — the hub aggregates 11 whole ranks while
+    # each spoke gets 1/11 of the hub's, so the hub must dominate
+    edges = [(i, 0) for i in range(1, 12)] + [(0, i) for i in range(1, 12)]
+    got = _run(spark, edges, n_iter=10)
+    assert got == pagerank_reference(edges, n_iter=10)
+    assert got[0] == max(got.values())
+    assert all(got[0] > got[i] for i in range(1, 12))
+
+
+def test_param_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(df, damping_pct=101)
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(df, unit_total=2**60, damping_pct=85)
