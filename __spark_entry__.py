@@ -918,8 +918,14 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketch_spark.operators.graph import pagerank_fixed_point
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return pagerank_fixed_point(_synthetic_link_edges(docs), n_iter=6)
+
+
+def _synthetic_link_edges(docs: DataFrame) -> DataFrame:
+    """3 deterministic out-links per document: dst = md5(doc_id:j)[:8]
+    as int mod n_docs — regenerable bit-for-bit in DuckDB."""
     n_docs = docs.count()
-    edges = docs.select(
+    return docs.select(
         "doc_id", F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("j")
     ).select(
         F.col("doc_id").alias("src"),
@@ -942,20 +948,45 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.lit(n_docs)
         ).alias("dst"),
     )
-    return pagerank_fixed_point(edges, n_iter=6)
 
 
-def _pagerank_oracle_sql(n_iter: int = 6, damping: int = 85, unit: int = 10**12) -> str:
-    """DuckDB twin of q_link_pagerank: same synthetic graph, same BIGINT
-    recurrence, iterations unrolled (aggregates are not legal in a
-    recursive CTE's recursive term)."""
+def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyongyi et al., VLDB 2004): PageRank with the
+    teleport term personalized to a trusted seed set — here every 16th
+    document — so authority only flows out of the seed neighborhood and
+    link-farm islands starve.  Same synthetic md5 graph and BIGINT
+    recurrence as link_pagerank; the oracle swaps the uniform teleport
+    CASE for the seed predicate."""
+    from sketch_spark.operators.graph import pagerank_fixed_point
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    seeds = docs.filter(F.col("doc_id") % 16 == 0)
+    return pagerank_fixed_point(
+        _synthetic_link_edges(docs), n_iter=6, teleport=seeds
+    )
+
+
+def _pagerank_oracle_sql(
+    n_iter: int = 6,
+    damping: int = 85,
+    unit: int = 10**12,
+    seed_tmpl: str = "TRUE",
+) -> str:
+    """DuckDB twin of q_link_pagerank / q_trust_rank: same synthetic
+    graph, same BIGINT recurrence, iterations unrolled (aggregates are
+    not legal in a recursive CTE's recursive term).  ``seed_tmpl`` is a
+    SQL boolean over the teleport-seed membership of node column ``{c}``
+    ("TRUE" = uniform teleport = classic PageRank)."""
     chain = ""
     prev = "r0"
     for i in range(1, n_iter + 1):
+        seed_n = seed_tmpl.format(c="n.node")
         chain += f""",
         i{i} AS (
             SELECT n.node,
-                   (SELECT CAST((100 - {damping}) * ({unit} // cnt) // 100 AS BIGINT) FROM nnodes)
+                   CASE WHEN {seed_n}
+                        THEN (SELECT CAST((100 - {damping}) * ({unit} // cnt) // 100 AS BIGINT) FROM nseeds)
+                        ELSE 0 END
                    + CAST({damping} * COALESCE(inf.s, 0) // 100 AS BIGINT) AS rank_units
             FROM nodes n LEFT JOIN (
                 SELECT e.dst AS node, CAST(SUM(r.rank_units // o.od) AS BIGINT) AS s
@@ -966,6 +997,7 @@ def _pagerank_oracle_sql(n_iter: int = 6, damping: int = 85, unit: int = 10**12)
             ) inf ON inf.node = n.node
         )"""
         prev = f"i{i}"
+    seed_node = seed_tmpl.format(c="node")
     return f"""
         WITH ndocs AS (SELECT COUNT(*) AS cnt FROM documents),
         edges AS (
@@ -979,10 +1011,13 @@ def _pagerank_oracle_sql(n_iter: int = 6, damping: int = 85, unit: int = 10**12)
                 SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
             )
         ),
-        nnodes AS (SELECT COUNT(*) AS cnt FROM nodes),
+        nseeds AS (SELECT COUNT(*) AS cnt FROM nodes WHERE {seed_node}),
         outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
         r0 AS (
-            SELECT node, (SELECT CAST({unit} // cnt AS BIGINT) FROM nnodes) AS rank_units
+            SELECT node,
+                   CASE WHEN {seed_node}
+                        THEN (SELECT CAST({unit} // cnt AS BIGINT) FROM nseeds)
+                        ELSE 0 END AS rank_units
             FROM nodes
         ){chain}
         SELECT node, rank_units FROM {prev}
@@ -2908,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dups": q_video_dups,
         "audio_near_dups": q_audio_near_dups,
         "link_pagerank": q_link_pagerank,
+        "trust_rank": q_trust_rank,
         "pdf_text": q_pdf_text,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_progressive": q_jpeg_progressive,
@@ -3086,6 +3122,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "link_pagerank": _pagerank_oracle_sql(n_iter=6, damping=85, unit=10**12),
+        "trust_rank": _pagerank_oracle_sql(
+            n_iter=6, damping=85, unit=10**12, seed_tmpl="({c} % 16 = 0)"
+        ),
         "token_counts": """
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)

@@ -56,6 +56,7 @@ def pagerank_fixed_point(
     n_iter: int = 10,
     damping_pct: int = 85,
     unit_total: int = 10**12,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Damped PageRank power iteration in exact BIGINT arithmetic.
 
@@ -66,6 +67,16 @@ def pagerank_fixed_point(
     rank_0(v)   = unit_total DIV n
     contrib(e)  = rank(src(e)) DIV out_deg(src(e))      -- per edge row
     rank_i+1(v) = (100-damping_pct) * (unit_total DIV n) DIV 100
+                  + damping_pct * sum(contrib(e) : dst(e)=v) DIV 100
+
+    ``teleport`` (a one-column DataFrame of node ids) switches the
+    uniform teleport term to a personalized one — TrustRank when the
+    set is trusted seed hosts (Gyongyi et al., VLDB 2004), the standard
+    crawl spam-demotion signal: authority can then only flow OUT of the
+    seed neighborhood, so link-farm islands starve.  With a seed set S:
+
+    rank_0(v)   = unit_total DIV |S|  if v in S else 0
+    rank_i+1(v) = [v in S] * (100-damping_pct) * (unit_total DIV |S|) DIV 100
                   + damping_pct * sum(contrib(e) : dst(e)=v) DIV 100
 
     Every operation is integer multiply / floor division, so the result
@@ -89,10 +100,28 @@ def pagerank_fixed_point(
         # node-scale table, re-read every round (base term + left join)
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
-    base0 = unit_total // n  # uniform start AND the teleport base term
+    if teleport is not None:
+        # flag seed membership once; a seed outside the graph is a
+        # caller error surfaced by the count below
+        seed_ids = teleport.select(
+            F.col(teleport.columns[0]).alias("node")
+        ).distinct()
+        nodes = (
+            nodes.join(seed_ids.withColumn("_seed", F.lit(True)), "node", "left")
+            .select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+            .localCheckpoint(eager=True)
+        )
+        n = nodes.filter("_seed").count()
+        if n == 0:
+            raise ValueError("teleport set shares no node with the edge list")
+    else:
+        nodes = nodes.withColumn("_seed", F.lit(True))
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                "node", F.lit(0).cast("long").alias("rank_units")
+            )
+    base0 = unit_total // n  # per-seed start AND teleport base term
     base_term = (100 - damping_pct) * base0 // 100
 
     # the corpus-scale side: attach out-degree once, pin the src
@@ -101,7 +130,14 @@ def pagerank_fixed_point(
     edges_w = e.join(outdeg, "src").repartition(shuffle_n, "src").persist()
     edges_w.count()  # materialize: referenced once per round below
 
-    ranks = nodes.withColumn("rank_units", F.lit(base0).cast("long"))
+    node_base = F.when(F.col("_seed"), F.lit(base_term)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_seed"), F.lit(base0))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_units"),
+    )
     try:
         for _ in range(n_iter):
             inflow = (
@@ -121,7 +157,7 @@ def pagerank_fixed_point(
                 .select(
                     "node",
                     (
-                        F.lit(base_term).cast("long")
+                        node_base.cast("long")
                         + F.expr(
                             f"{damping_pct} * coalesce(_inflow, 0L) DIV 100"
                         )
@@ -140,22 +176,28 @@ def pagerank_reference(
     n_iter: int = 10,
     damping_pct: int = 85,
     unit_total: int = 10**12,
+    teleport: set[int] | None = None,
 ) -> dict[int, int]:
     """Pure-python twin of ``pagerank_fixed_point`` for differential
     tests — same integer recurrence, exact python ints."""
     nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
     if not nodes:
         return {}
-    n = len(nodes)
+    seeds = set(nodes) if teleport is None else teleport & set(nodes)
+    n = len(seeds)
     base0 = unit_total // n
     base_term = (100 - damping_pct) * base0 // 100
     od: dict[int, int] = {}
     for s, _ in edge_list:
         od[s] = od.get(s, 0) + 1
-    rank = {v: base0 for v in nodes}
+    rank = {v: base0 if v in seeds else 0 for v in nodes}
     for _ in range(n_iter):
         inflow = {v: 0 for v in nodes}
         for s, d in edge_list:
             inflow[d] += rank[s] // od[s]
-        rank = {v: base_term + damping_pct * inflow[v] // 100 for v in nodes}
+        rank = {
+            v: (base_term if v in seeds else 0)
+            + damping_pct * inflow[v] // 100
+            for v in nodes
+        }
     return rank

@@ -70,6 +70,45 @@ def test_hub_authority_ordering(spark):
     assert all(got[0] > got[i] for i in range(1, 12))
 
 
+def test_teleport_matches_reference(spark):
+    rng = random.Random(19)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    seeds = {v for v in range(30) if v % 5 == 0}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seed_df = spark.createDataFrame([(v,) for v in seeds], "doc_id long")
+    from sketch_spark.operators.graph import pagerank_fixed_point
+
+    out = pagerank_fixed_point(df, n_iter=7, teleport=seed_df)
+    got = {r["node"]: r["rank_units"] for r in out.collect()}
+    assert got == pagerank_reference(edges, n_iter=7, teleport=seeds)
+
+
+def test_teleport_starves_disconnected_island(spark):
+    # trusted component 0-1-2 (seed 0) vs an island 10-11 with no
+    # in-link from the trusted side: the island's rank must decay to 0
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)]
+    from sketch_spark.operators.graph import pagerank_fixed_point
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seed_df = spark.createDataFrame([(0,)], "doc_id long")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_fixed_point(df, n_iter=12, teleport=seed_df).collect()
+    }
+    assert got == pagerank_reference(edges, n_iter=12, teleport={0})
+    assert got[10] == 0 and got[11] == 0  # link farm starved
+    assert min(got[0], got[1], got[2]) > 0
+
+
+def test_teleport_disjoint_seed_raises(spark):
+    from sketch_spark.operators.graph import pagerank_fixed_point
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seed_df = spark.createDataFrame([(99,)], "doc_id long")
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(df, teleport=seed_df)
+
+
 def test_param_validation(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
