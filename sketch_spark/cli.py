@@ -20,6 +20,8 @@ this code); ``sketch_spark.session.package_zip()`` builds the
              remaining buckets).
   estimate   point queries against a written state table.
   dedup      corpus near-dup dedup -> survivors parquet.
+  pagerank   fixed-point link PageRank over an edge parquet
+             (--teleport seed parquet switches to TrustRank).
   decode     real multimodal decode / features / media dedup (exact
              image dups + the image/video/audio near-dup trio).
   warc-ingest  .warc/.warc.gz archives -> pages table (url, warc_ts,
@@ -152,6 +154,32 @@ def cmd_dedup(args) -> None:
     )
     out.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"survivors": spark.read.parquet(args.out).count()}))
+
+
+def cmd_pagerank(args) -> None:
+    from .operators.graph import pagerank_fixed_point
+
+    spark = _spark("link-pagerank")
+    edges = spark.read.parquet(args.input)
+    teleport = spark.read.parquet(args.teleport) if args.teleport else None
+    out = pagerank_fixed_point(
+        edges,
+        src_col=args.src_col,
+        dst_col=args.dst_col,
+        n_iter=args.iters,
+        damping_pct=args.damping_pct,
+        teleport=teleport,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    written = spark.read.parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "nodes": written.count(),
+                "zero_rank": written.filter("rank_units = 0").count(),
+            }
+        )
+    )
 
 
 def cmd_decode(args) -> None:
@@ -333,6 +361,19 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--seed", type=int, default=1)
     d.set_defaults(fn=cmd_dedup)
+
+    pr = sub.add_parser(
+        "pagerank",
+        help="fixed-point link PageRank; --teleport seeds give TrustRank",
+    )
+    pr.add_argument("--input", required=True, help="edge parquet (src,dst)")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--src-col", default="src")
+    pr.add_argument("--dst-col", default="dst")
+    pr.add_argument("--iters", type=int, default=10)
+    pr.add_argument("--damping-pct", type=int, default=85)
+    pr.add_argument("--teleport", default=None, help="seed-node parquet")
+    pr.set_defaults(fn=cmd_pagerank)
 
     dc = sub.add_parser(
         "decode", help="real multimodal decode / features / media dedup"

@@ -254,3 +254,31 @@ def test_cli_media_dedup_kinds(spark, tmp_path, capsys):
     assert got == {"rows": 1}
     pair = spark.read.parquet(out2).collect()[0]
     assert (pair.id_a, pair.id_b, pair.hamming) == ("x", "y", 0)
+
+
+def test_cli_pagerank(spark, tmp_path, capsys):
+    from sketch_spark import cli
+    from sketch_spark.operators.graph import pagerank_reference
+
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)]
+    edges_pq = str(tmp_path / "edges")
+    seeds_pq = str(tmp_path / "seeds")
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(edges_pq)
+    spark.createDataFrame([(0,)], "node long").write.parquet(seeds_pq)
+
+    out = str(tmp_path / "ranks")
+    cli.main(["pagerank", "--input", edges_pq, "--out", out, "--iters", "8"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"nodes": 5, "zero_rank": 0}
+    got = {r["node"]: r["rank_units"] for r in spark.read.parquet(out).collect()}
+    assert got == pagerank_reference(edges, n_iter=8)
+
+    out2 = str(tmp_path / "trust")
+    cli.main([
+        "pagerank", "--input", edges_pq, "--out", out2,
+        "--iters", "8", "--teleport", seeds_pq,
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"nodes": 5, "zero_rank": 2}  # the 10-11 island starves
+    got = {r["node"]: r["rank_units"] for r in spark.read.parquet(out2).collect()}
+    assert got == pagerank_reference(edges, n_iter=8, teleport={0})
