@@ -380,10 +380,23 @@ def verify_jaccard_pairs_from_text(
     # the scan's partitioning (possibly ONE split on a small file), so
     # spread before the projection (no-op on a well-split corpus scan)
     sh = (
-        ensure_min_partitions(df.join(cand_ids, id_col, "left_semi"))
+        # dropDuplicates: one shingle row per candidate id even if the
+        # caller's doc table carries replayed copies (the incremental
+        # probe path unions new batch + stored docs — a re-probed id
+        # would otherwise give every touching pair 3+ joined rows and
+        # fail the _n == 2 presence check below)
+        ensure_min_partitions(
+            df.join(cand_ids, id_col, "left_semi").dropDuplicates([id_col])
+        )
         .select(
             F.col(id_col),
-            F.array_distinct(word_ngrams_col(text_col, shingle_k)).alias("shingles"),
+            # NULL text -> NULL gram array; coalesce to empty so the
+            # pair survives to a 0.0 jaccard instead of tripping the
+            # ANSI out-of-bounds index on a 1-element collect_list
+            F.coalesce(
+                F.array_distinct(word_ngrams_col(text_col, shingle_k)),
+                F.array().cast("array<string>"),
+            ).alias("shingles"),
         )
     )
     # verify via ONE join: explode each pair into its two (pair, doc)

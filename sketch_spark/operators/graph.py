@@ -81,13 +81,15 @@ def pagerank_fixed_point(
 
     Every operation is integer multiply / floor division, so the result
     is independent of partitioning, join order, and engine; overflow is
-    impossible for unit_total <= ~9e16 (damping_pct * unit_total must
-    fit in int64).
+    impossible for unit_total <= ~9.2e16 (the guard bounds
+    100 * unit_total to int64, which covers every product in the
+    recurrence: damping_pct and 100-damping_pct are both <= 100, and
+    inflow never exceeds the starting mass).
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
-    if damping_pct * unit_total >= 2**63:
-        raise ValueError("damping_pct * unit_total overflows int64")
+    if 100 * unit_total >= 2**63:
+        raise ValueError("unit_total too large: 100 * unit_total must fit in int64")
 
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -97,30 +99,28 @@ def pagerank_fixed_point(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        # node-scale table, re-read every round (base term + left join)
-        .localCheckpoint(eager=True)
     )
     if teleport is not None:
-        # flag seed membership once; a seed outside the graph is a
-        # caller error surfaced by the count below
+        # flag seed membership; a seed outside the graph is a caller
+        # error surfaced by the count below
         seed_ids = teleport.select(
             F.col(teleport.columns[0]).alias("node")
         ).distinct()
-        nodes = (
-            nodes.join(seed_ids.withColumn("_seed", F.lit(True)), "node", "left")
-            .select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
-            .localCheckpoint(eager=True)
-        )
-        n = nodes.filter("_seed").count()
-        if n == 0:
-            raise ValueError("teleport set shares no node with the edge list")
+        nodes = nodes.join(
+            seed_ids.withColumn("_seed", F.lit(True)), "node", "left"
+        ).select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
     else:
         nodes = nodes.withColumn("_seed", F.lit(True))
-        n = nodes.count()
-        if n == 0:
-            return nodes.select(
-                "node", F.lit(0).cast("long").alias("rank_units")
-            )
+    # node-scale table, re-read every round (base term + left join):
+    # ONE checkpoint, placed after the seed flag so the teleport path
+    # doesn't materialize a throwaway intermediate
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.filter("_seed").count()
+    if n == 0:
+        if teleport is not None and nodes.count() > 0:
+            raise ValueError("teleport set shares no node with the edge list")
+        # empty graph: same empty (node, rank_units) frame on both paths
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_units"))
     base0 = unit_total // n  # per-seed start AND teleport base term
     base_term = (100 - damping_pct) * base0 // 100
 

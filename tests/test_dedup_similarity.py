@@ -643,3 +643,44 @@ def test_incremental_semantic_dedup_empty_batch(spark, emb, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     for nprobe in (1, "all"):
         assert incremental_semantic_dedup(empty, idx, nprobe=nprobe).count() == 0
+
+
+def test_verify_from_text_duplicate_doc_rows(spark):
+    """A doc id replayed into the verify's doc table (the incremental
+    probe path unions new batch + stored docs) must not inflate the
+    per-pair presence count: one shingle row per candidate id."""
+    from pyspark.sql import functions as F
+
+    from sketch_spark.operators.dedup import verify_jaccard_pairs_from_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (1, "a b c d e"),  # replayed copy, identical text
+            (2, "a b c d x"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = verify_jaccard_pairs_from_text(
+        pairs, docs, "doc_id", "text", threshold=0.1, shingle_k=3
+    ).collect()
+    assert len(out) == 1
+    # trigrams: {abc,bcd,cde} vs {abc,bcd,cdx} -> J = 2/4
+    assert out[0]["jaccard"] == 0.5
+
+
+def test_verify_from_text_null_text_candidate(spark):
+    """A NULL-text candidate yields an empty shingle set (jaccard 0,
+    filtered) — not an ANSI out-of-bounds crash on the collected pair
+    arrays and not a silent engine-dependent NULL."""
+    from sketch_spark.operators.dedup import verify_jaccard_pairs_from_text
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = verify_jaccard_pairs_from_text(
+        pairs, docs, "doc_id", "text", threshold=0.1, shingle_k=3
+    ).collect()
+    assert out == []

@@ -115,3 +115,15 @@ def test_param_validation(spark):
         pagerank_fixed_point(df, damping_pct=101)
     with pytest.raises(ValueError):
         pagerank_fixed_point(df, unit_total=2**60, damping_pct=85)
+    # the guard must not be defeated by damping_pct=0 (the base-term
+    # side multiplies by 100-damping_pct)
+    with pytest.raises(ValueError):
+        pagerank_fixed_point(df, unit_total=2**60, damping_pct=0)
+
+
+def test_empty_graph_both_paths(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    seed_df = spark.createDataFrame([(0,)], "doc_id long")
+    assert pagerank_fixed_point(empty, n_iter=3).count() == 0
+    # teleport over an empty graph: same empty frame, not a seed error
+    assert pagerank_fixed_point(empty, n_iter=3, teleport=seed_df).count() == 0
