@@ -950,6 +950,76 @@ def _synthetic_link_edges(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py hits_fixed_point) over
+    the same md5-synthesized 3-out-link graph as link_pagerank: the
+    float L2 normalization is replaced by an integer rescale (score DIV
+    (1 + max DIV unit)), so the whole alternating recurrence is BIGINT
+    arithmetic the DuckDB oracle replays exactly, scalar-subquery
+    maxima included."""
+    from sketch_spark.operators.graph import hits_fixed_point
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return hits_fixed_point(_synthetic_link_edges(docs), n_iter=5)
+
+
+def _hits_oracle_sql(n_iter: int = 5, unit: int = 10**9) -> str:
+    """DuckDB twin of q_link_hits: same synthetic graph, same integer
+    rescale recurrence, iterations unrolled."""
+    chain = ""
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        chain += f""",
+        a{i}_raw AS MATERIALIZED (
+            SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS v
+                FROM edges e JOIN {prev_h} h ON h.node = e.src
+                GROUP BY e.dst
+            ) s ON s.node = n.node
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT node,
+                   v // (1 + (SELECT MAX(v) FROM a{i}_raw) // {unit}) AS v
+            FROM a{i}_raw
+        ),
+        h{i}_raw AS MATERIALIZED (
+            SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS v
+                FROM edges e JOIN a{i} a ON a.node = e.dst
+                GROUP BY e.src
+            ) s ON s.node = n.node
+        ),
+        h{i} AS MATERIALIZED (
+            SELECT node,
+                   v // (1 + (SELECT MAX(v) FROM h{i}_raw) // {unit}) AS v
+            FROM h{i}_raw
+        )"""
+        prev_h = f"h{i}"
+    return f"""
+        WITH ndocs AS (SELECT COUNT(*) AS cnt FROM documents),
+        edges AS MATERIALIZED (
+            SELECT doc_id AS src,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % (SELECT cnt FROM ndocs) AS dst
+            FROM documents, (SELECT UNNEST(generate_series(0, 2)) AS j)
+        ),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        h0 AS (SELECT node, CAST({unit} AS BIGINT) AS v FROM nodes){chain}
+        SELECT n.node,
+               CAST(a.v AS BIGINT) AS authority_units,
+               CAST(h.v AS BIGINT) AS hub_units
+        FROM nodes n
+        JOIN a{n_iter} a ON a.node = n.node
+        JOIN {prev_h} h ON h.node = n.node
+    """
+
+
 def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank (Gyongyi et al., VLDB 2004): PageRank with the
     teleport term personalized to a trusted seed set — here every 16th
@@ -2944,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": q_audio_near_dups,
         "link_pagerank": q_link_pagerank,
         "trust_rank": q_trust_rank,
+        "link_hits": q_link_hits,
         "pdf_text": q_pdf_text,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_progressive": q_jpeg_progressive,
@@ -3125,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         "trust_rank": _pagerank_oracle_sql(
             n_iter=6, damping=85, unit=10**12, seed_tmpl="({c} % 16 = 0)"
         ),
+        "link_hits": _hits_oracle_sql(n_iter=5, unit=10**9),
         "token_counts": """
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)

@@ -46,7 +46,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank_fixed_point", "pagerank_reference"]
+__all__ = [
+    "pagerank_fixed_point",
+    "pagerank_reference",
+    "hits_fixed_point",
+    "hits_reference",
+]
 
 
 def pagerank_fixed_point(
@@ -169,6 +174,141 @@ def pagerank_fixed_point(
     finally:
         edges_w.unpersist()
     return ranks
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    unit: int = 10**9,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) in exact BIGINT units —
+    the other classic link-authority signal beside PageRank: a page is
+    a good AUTHORITY if good hubs link to it, a good HUB if it links
+    to good authorities (directory/link-farm pages score as hubs, not
+    authorities — useful for separating the two in crawl curation).
+
+    Integer recurrence per iteration (replacing HITS' float L2
+    normalization with an integer rescale — same fixed point ordering):
+
+        a_raw(v) = sum(h(u) : u->v)
+        a(v)     = a_raw(v) DIV (1 + max(a_raw) DIV unit)
+        h_raw(u) = sum(a(v) : u->v)
+        h(u)     = h_raw(u) DIV (1 + max(h_raw) DIV unit)
+
+    The rescale bounds every post-scale score below ``unit`` (proof in
+    source), so sums stay under n_nodes * unit — int64-safe for
+    n_nodes * unit < 2**63 (~9.2e9 nodes at the default unit).  The
+    two max() scalars per iteration are bounded driver collects of one
+    row each.  All arithmetic is integer: results are bit-identical
+    across engines and partitionings.
+
+    Scale shape: TWO persisted layouts of the edge table — one
+    partitioned by src (the hub-sum join), one by dst (the authority-
+    sum join) — so the corpus-scale side never re-shuffles across
+    iterations; each round exchanges only node-scale score tables, and
+    both groupBys map-side combine.  Returns (node, authority_units,
+    hub_units).
+    """
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.count() == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("authority_units"),
+            F.lit(0).cast("long").alias("hub_units"),
+        )
+
+    e_by_src = e.repartition(shuffle_n, "src").persist()
+    e_by_dst = e.repartition(shuffle_n, "dst").persist()
+    e_by_src.count()
+    e_by_dst.count()
+
+    def _rescale(raw: DataFrame, col: str) -> DataFrame:
+        # raw is checkpointed, so the max scan and the projection both
+        # read materialized rows; the scale is a bounded 1-row collect.
+        # Bound: scale = 1 + floor(mx/unit) > mx/unit, so every
+        # rescaled score < raw * unit / mx <= unit.
+        mx = raw.agg(F.max(col)).collect()[0][0] or 0
+        scale = 1 + mx // unit
+        return raw.select("node", F.expr(f"{col} DIV {scale}").alias(col))
+
+    hub = nodes.withColumn("h", F.lit(unit).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            nodes.join(
+                e_by_src.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("h").alias("a"))
+                .withColumnRenamed("dst", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("a", F.lit(0)).cast("long").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        auth = _rescale(a_raw, "a")
+        h_raw = (
+            nodes.join(
+                e_by_dst.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("a").alias("h"))
+                .withColumnRenamed("src", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        hub = _rescale(h_raw, "h")
+    out = (
+        nodes.join(auth, "node")
+        .join(hub, "node")
+        .select(
+            "node",
+            F.col("a").alias("authority_units"),
+            F.col("h").alias("hub_units"),
+        )
+    )
+    e_by_src.unpersist()
+    e_by_dst.unpersist()
+    return out
+
+
+def hits_reference(
+    edge_list: list[tuple[int, int]],
+    n_iter: int = 5,
+    unit: int = 10**9,
+) -> dict[int, tuple[int, int]]:
+    """Pure-python twin of ``hits_fixed_point`` — same integer
+    recurrence; returns {node: (authority_units, hub_units)}."""
+    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+    if not nodes:
+        return {}
+    hub = {v: unit for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        a_raw = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            a_raw[d] += hub[s]
+        scale_a = 1 + max(a_raw.values()) // unit
+        auth = {v: a_raw[v] // scale_a for v in nodes}
+        h_raw = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            h_raw[s] += auth[d]
+        scale_h = 1 + max(h_raw.values()) // unit
+        hub = {v: h_raw[v] // scale_h for v in nodes}
+    return {v: (auth[v], hub[v]) for v in nodes}
 
 
 def pagerank_reference(

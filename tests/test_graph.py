@@ -127,3 +127,50 @@ def test_empty_graph_both_paths(spark):
     assert pagerank_fixed_point(empty, n_iter=3).count() == 0
     # teleport over an empty graph: same empty frame, not a seed error
     assert pagerank_fixed_point(empty, n_iter=3, teleport=seed_df).count() == 0
+
+
+def test_hits_matches_python_reference(spark):
+    from sketch_spark.operators.graph import hits_fixed_point, hits_reference
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(35), rng.randrange(35)) for _ in range(180)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["authority_units"], r["hub_units"])
+        for r in hits_fixed_point(df, n_iter=5).collect()
+    }
+    assert got == hits_reference(edges, n_iter=5)
+
+
+def test_hits_partition_invariance(spark):
+    from sketch_spark.operators.graph import hits_fixed_point
+
+    rng = random.Random(29)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(90)]
+    outs = []
+    for parts in (1, 11):
+        df = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        outs.append({
+            r["node"]: (r["authority_units"], r["hub_units"])
+            for r in hits_fixed_point(df, n_iter=4).collect()
+        })
+    assert outs[0] == outs[1]
+
+
+def test_hits_star_semantics(spark):
+    # spokes all link to the hub: the hub is the top AUTHORITY with
+    # zero hub score, the spokes are the top HUBS with zero authority
+    from sketch_spark.operators.graph import hits_fixed_point, hits_reference
+
+    edges = [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["authority_units"], r["hub_units"])
+        for r in hits_fixed_point(df, n_iter=5).collect()
+    }
+    assert got == hits_reference(edges, n_iter=5)
+    a0, h0 = got[0]
+    assert a0 == max(a for a, _ in got.values()) and h0 == 0
+    for i in range(1, 9):
+        ai, hi = got[i]
+        assert ai == 0 and hi > 0
