@@ -2033,6 +2033,96 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, n=10, min_count=2, key="arrow")
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/vocab design curve: minimal number of highest-frequency
+    token types covering 50/90/99/99.9% of all token occurrences, plus
+    the frequency cutoff and exact covered mass.  Integer-exact
+    throughout (needed mass = ceil(total*ppm/1e6) in BIGINTs; partial
+    take = integer ceil-division), so the curve sits under the value
+    hash; identities never matter — the cumulative step runs over the
+    frequency-of-frequencies table only (<= sqrt(2N) rows at N
+    occurrences)."""
+    from sketch_spark.operators.frequent import vocab_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_coverage(docs)
+
+
+def _vocab_coverage_oracle_sql() -> str:
+    from sketch_spark.operators.frequent import vocab_coverage_sql
+
+    return vocab_coverage_sql()
+
+
+_BP_HEADER = "please accept our cookie policy before reading"
+_BP_FOOTER = "subscribe to the newsletter for updates"
+_BP_LINE_RE = r"((?:\S+ ){6}\S+) "
+
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus is single-line; decorate it into the
+    multi-line web pages the line-dedup family targets (the pii_scan
+    planting trick): body split into 7-token lines, plus deterministic
+    cross-doc boilerplate — a cookie header on 2/3 of docs, a
+    per-source copyright footer on every doc, a newsletter plea on 2/5,
+    and a df=1 marker line that must never be removed.  DuckDB mirrors
+    the construction exactly (``_multiline_docs_cte``)."""
+    docs = _read(spark, sf_dir, "documents")
+    body = F.regexp_replace(F.col("text"), _BP_LINE_RE, "$1\n")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 3 != 2, F.lit(_BP_HEADER)),
+            body,
+            F.concat(F.lit("copyright "), F.col("source"), F.lit(" all rights reserved")),
+            F.when(F.col("doc_id") % 5 < 2, F.lit(_BP_FOOTER)),
+            F.concat(F.lit("doc marker "), F.md5(F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+
+
+def _multiline_docs_table() -> str:
+    """DuckDB twin of :func:`_multiline_docs` as a parenthesized
+    subquery usable as a table expression."""
+    return f"""(
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                   CASE WHEN doc_id % 3 <> 2 THEN '{_BP_HEADER}' END,
+                   regexp_replace(text, '{_BP_LINE_RE}', '\\1' || chr(10), 'g'),
+                   'copyright ' || source || ' all rights reserved',
+                   CASE WHEN doc_id % 5 < 2 THEN '{_BP_FOOTER}' END,
+                   'doc marker ' || md5(CAST(doc_id AS VARCHAR))
+                 ) AS text
+          FROM documents
+        )"""
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate-line detector: trimmed lines >= 10
+    chars appearing in >= 20 distinct documents of the decorated
+    multi-line corpus.  Exchange carries per-partition-unique line keys
+    only (per-doc array_distinct runs map-side).  String-keyed here so
+    the lines themselves sit under the value hash."""
+    from sketch_spark.operators.dedup import boilerplate_lines
+
+    docs = _multiline_docs(spark, sf_dir)
+    return boilerplate_lines(docs, min_docs=20, min_chars=10, key="gram")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with every boilerplate line (df >= 20) removed — the C4
+    'line appears three-plus times' rule at corpus scale: (doc_id,
+    clean_text, n_lines, n_removed) with clean text byte-checked.  Runs
+    the xxhash64-keyed scale path (8-byte df exchange; hit positions
+    collapse per affected doc; cut is a codegen filter) — the hash-green
+    row certifies it against the string-keyed DuckDB reconstruction."""
+    from sketch_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = _multiline_docs(spark, sf_dir)
+    return remove_boilerplate_lines(docs, min_docs=20, min_chars=10, key="hash")
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (lowercase, accent fold, whitespace
     collapse) checked by md5 byte-identity.  The synthetic corpus is
@@ -2954,6 +3044,22 @@ def _dup_span_removal_oracle_sql() -> str:
     return remove_duplicate_spans_sql(n=10, min_count=2)
 
 
+def _boilerplate_lines_oracle_sql() -> str:
+    from sketch_spark.operators.dedup import boilerplate_lines_sql
+
+    return boilerplate_lines_sql(
+        table_expr=_multiline_docs_table(), min_docs=20, min_chars=10
+    )
+
+
+def _line_dedup_oracle_sql() -> str:
+    from sketch_spark.operators.dedup import remove_boilerplate_lines_sql
+
+    return remove_boilerplate_lines_sql(
+        table_expr=_multiline_docs_table(), min_docs=20, min_chars=10
+    )
+
+
 def _text_normalize_oracle_sql() -> str:
     from sketch_spark.functions.text import normalize_text_sql
 
@@ -3053,6 +3159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dups": q_passage_dups,
         "dup_span_report": q_dup_span_report,
         "dup_span_removal": q_dup_span_removal,
+        "boilerplate_lines": q_boilerplate_lines,
+        "line_dedup": q_line_dedup,
+        "vocab_coverage": q_vocab_coverage,
         "lm_perplexity": q_lm_perplexity,
         "source_quality": q_source_quality,
         "incremental_dedup": q_incremental_dedup,
@@ -4047,6 +4156,9 @@ def oracle_sql() -> dict[str, str]:
         "passage_dups": _passage_dups_oracle_sql(),
         "dup_span_report": _dup_span_report_oracle_sql(),
         "dup_span_removal": _dup_span_removal_oracle_sql(),
+        "boilerplate_lines": _boilerplate_lines_oracle_sql(),
+        "line_dedup": _line_dedup_oracle_sql(),
+        "vocab_coverage": _vocab_coverage_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
         "quality_deciles": _quality_deciles_oracle_sql(),
         "corpus_curation": _corpus_curation_oracle_sql(),

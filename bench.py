@@ -205,6 +205,10 @@ def main() -> None:
         # the composed end-to-end curation manifest (gates -> exact
         # dedup -> LSH cluster dedup -> survivor-fit ppl deciles)
         "corpus_curation",
+        # round-5 session-4: line-level boilerplate dedup (report form —
+        # same rationale as dup_span_report: removal's unique-key left
+        # join lets a bare count() eliminate the subtree)
+        "boilerplate_lines",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}

@@ -53,6 +53,10 @@ __all__ = [
     "remove_duplicate_spans",
     "duplicate_ngram_spans_sql",
     "remove_duplicate_spans_sql",
+    "boilerplate_lines",
+    "remove_boilerplate_lines",
+    "boilerplate_lines_sql",
+    "remove_boilerplate_lines_sql",
 ]
 
 
@@ -1468,4 +1472,190 @@ def near_duplicates_against_keys(
         F.col("id_a").alias("id_new"),
         F.col("id_b").alias("id_old"),
         "jaccard",
+    )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup (CCNet / C4 "line appears in >= N documents")
+
+
+def _trimmed_lines(text_col: str | F.Column) -> F.Column:
+    """Raw '\\n'-split lines of ``text_col`` with per-line trim applied —
+    the normalization under which line equality is judged."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(F.split(col, "\n"), lambda x: F.trim(x))
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_chars: int = 10,
+    key: str = "hash",
+) -> DataFrame:
+    """(line_key, n_docs): trimmed lines of >= ``min_chars`` characters
+    that appear in >= ``min_docs`` DISTINCT documents — the CCNet /
+    C4-style boilerplate-line detector ("Exploring the Limits of
+    Transfer Learning", Raffel et al. 2020 removed any line occurring
+    three or more times; CCNet, Wenzek et al. 2020 dedups at paragraph/
+    line granularity).  Whole-document and span dedup both miss the
+    cookie-banner / nav-menu / copyright-footer lines that repeat across
+    otherwise-unique pages; this finds exactly those.
+
+    Key modes (same discipline as :func:`duplicate_ngram_spans`):
+      "gram" — line STRINGS as keys (the oracle form; output column
+        ``line_key`` carries the line itself).
+      "hash" — xxhash64 keys: the corpus-scale path, the document-
+        frequency exchange carries 8-byte rows.
+
+    Plan shape (the 100-TB question): per-document ``array_distinct``
+    runs map-side, so the ONE exchange is the partial-aggregated
+    groupBy of per-partition-unique line keys — document frequency is
+    exact-distinct-by-construction with no (doc, line) distinct
+    shuffle, and the text itself never rides any exchange.
+    """
+    if min_docs < 2:
+        raise ValueError("boilerplate_lines needs min_docs >= 2")
+    eligible = F.filter(
+        _trimmed_lines(text_col), lambda x: F.length(x) >= min_chars
+    )
+    occ = docs.select(F.explode(F.array_distinct(eligible)).alias("_line"))
+    key_col = F.xxhash64("_line") if key == "hash" else F.col("_line")
+    return (
+        occ.select(key_col.alias("line_key"))
+        .groupBy("line_key")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_chars: int = 10,
+    key: str = "hash",
+    lines: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_removed): documents with every
+    corpus-boilerplate line (see :func:`boilerplate_lines`) dropped and
+    the surviving raw lines re-joined with '\\n'.  Removal cuts EVERY
+    in-document copy of a boilerplate line; lines shorter than
+    ``min_chars`` after trim are never candidates, so blank separators
+    survive.
+
+    Join shape mirrors :func:`remove_duplicate_spans`: hit positions
+    collapse to one array row per AFFECTED document (most documents
+    have none, and the hit groupBy shuffles (id, pos) rows only),
+    left-joined back to the corpus; the line cut is a codegen
+    higher-order filter — no Python, and unaffected documents shuffle
+    only in the join exchange (gone entirely when AQE broadcasts the
+    affected-doc side).
+    """
+    dup = (
+        lines
+        if lines is not None
+        else boilerplate_lines(docs, text_col, id_col, min_docs, min_chars, key)
+    )
+    raw = F.split(F.col(text_col), "\n")
+    occ = (
+        docs.select(id_col, F.posexplode(raw).alias("_p", "_raw"))
+        .select(id_col, "_p", F.trim("_raw").alias("_t"))
+        .filter(F.length("_t") >= min_chars)
+    )
+    key_col = F.xxhash64("_t") if key == "hash" else F.col("_t")
+    hits = occ.select(id_col, "_p", key_col.alias("line_key")).join(
+        dup.select("line_key"), "line_key", "left_semi"
+    )
+    cuts = hits.groupBy(id_col).agg(F.collect_list("_p").alias("_cut"))
+    joined = (
+        docs.select(id_col, text_col)
+        .join(cuts, id_col, "left")
+        .select(
+            id_col,
+            raw.alias("_l"),
+            F.coalesce("_cut", F.array().cast("array<int>")).alias("_cut"),
+        )
+    )
+    kept = F.filter("_l", lambda x, i: ~F.exists("_cut", lambda z: z == i))
+    return joined.select(
+        id_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size("_l").cast("long").alias("n_lines"),
+        F.size("_cut").cast("long").alias("n_removed"),
+    )
+
+
+def _line_cte(
+    table_expr: str, text_col: str, id_col: str, min_docs: int, min_chars: int
+) -> str:
+    """Shared DuckDB CTE chain: per-doc lines, distinct eligible keys,
+    and the boilerplate (df >= min_docs) line set."""
+    return f"""
+        WITH ln AS (
+          SELECT {id_col}, string_split({text_col}, chr(10)) AS ls
+          FROM {table_expr}
+        ), keys AS (
+          SELECT {id_col},
+                 list_distinct(list_filter([trim(x) FOR x IN ls],
+                                           x -> len(x) >= {min_chars})) AS ks
+          FROM ln
+        ), occ AS (
+          SELECT {id_col}, unnest(ks) AS line FROM keys
+        ), dup AS (
+          SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+          FROM occ GROUP BY line HAVING count(*) >= {min_docs}
+        )
+    """
+
+
+def boilerplate_lines_sql(
+    table_expr: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_chars: int = 10,
+) -> str:
+    """DuckDB oracle for ``boilerplate_lines`` (line-string keyed — the
+    hash-keyed Spark path matches it up to xxhash64 collisions)."""
+    return (
+        _line_cte(table_expr, text_col, id_col, min_docs, min_chars)
+        + "SELECT line AS line_key, n_docs FROM dup"
+    )
+
+
+def remove_boilerplate_lines_sql(
+    table_expr: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_chars: int = 10,
+) -> str:
+    """DuckDB oracle for ``remove_boilerplate_lines``: rebuild each
+    document from its non-boilerplate raw lines in position order."""
+    return (
+        _line_cte(table_expr, text_col, id_col, min_docs, min_chars)
+        + f"""
+        , pos AS (
+          SELECT {id_col}, unnest(ls) AS raw,
+                 generate_subscripts(ls, 1) - 1 AS p
+          FROM ln
+        ), hits AS (
+          SELECT pos.{id_col}, pos.p
+          FROM pos JOIN dup
+            ON len(trim(pos.raw)) >= {min_chars} AND trim(pos.raw) = dup.line
+        ), joined AS (
+          SELECT pos.{id_col} AS _id, pos.raw, pos.p, hits.p AS hp
+          FROM pos LEFT JOIN hits
+            ON pos.{id_col} = hits.{id_col} AND pos.p = hits.p
+        )
+        SELECT _id AS {id_col},
+               coalesce(string_agg(raw, chr(10) ORDER BY p)
+                          FILTER (WHERE hp IS NULL), '') AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(hp) AS BIGINT) AS n_removed
+        FROM joined GROUP BY _id
+    """
     )

@@ -131,3 +131,97 @@ def test_misra_gries_summary_rows(spark):
     for r in rows:
         true = int(exact.get(r["token"], 0))
         assert r["est"] <= true <= r["est"] + err
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage: minimal-vocab coverage curve
+
+
+def _coverage_brute(freqs, ppm):
+    """Greedy python reference: take types highest-frequency-first until
+    ceil(total*ppm/1e6) occurrences are covered."""
+    total = sum(freqs)
+    need = -(-(total * ppm) // 1_000_000)
+    cum = taken = 0
+    for f in sorted(freqs, reverse=True):
+        if cum >= need:
+            break
+        cum += f
+        taken += 1
+    return taken, cum
+
+
+def test_vocab_coverage_hand_computed(spark):
+    # counts: a=6, b=3, c=1 -> total 10
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a a b b c")], "doc_id long, text string"
+    )
+    from sketch_spark.operators.frequent import vocab_coverage
+
+    got = {
+        r["coverage_ppm"]: (r["vocab_size"], r["cutoff_count"], r["covered_occ"])
+        for r in vocab_coverage(df, coverages_ppm=(500000, 600000, 900000, 1000000)).collect()
+    }
+    # 50% needs 5 -> 'a' alone (6 covered); 60% needs 6 -> 'a' exactly;
+    # 90% needs 9 -> a+b; 100% needs all 10 -> a+b+c
+    assert got == {
+        500000: (1, 6, 6),
+        600000: (1, 6, 6),
+        900000: (2, 3, 9),
+        1000000: (3, 1, 10),
+    }
+
+
+def test_vocab_coverage_matches_greedy_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, p=None, size=rng.integers(1, 40))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from collections import Counter
+
+    freqs = list(Counter(t for _, s in rows for t in s.split()).values())
+    from sketch_spark.operators.frequent import vocab_coverage
+
+    ppms = (250000, 500000, 750000, 990000, 1000000)
+    got = {
+        r["coverage_ppm"]: (r["vocab_size"], r["covered_occ"])
+        for r in vocab_coverage(df, coverages_ppm=ppms).collect()
+    }
+    for ppm in ppms:
+        assert got[ppm] == _coverage_brute(freqs, ppm), f"ppm={ppm}"
+
+
+def test_vocab_coverage_duckdb_parity(spark):
+    import duckdb
+    import numpy as np
+
+    from sketch_spark.operators.frequent import vocab_coverage, vocab_coverage_sql
+
+    rng = np.random.default_rng(6)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(0, 25)))) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = sorted(tuple(r) for r in vocab_coverage(df).collect())
+    want = sorted(tuple(r) for r in con.execute(vocab_coverage_sql()).fetchall())
+    assert got == want
+
+
+def test_vocab_coverage_validates_ppm(spark):
+    import pytest as _pytest
+
+    from sketch_spark.operators.frequent import vocab_coverage
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for bad in (0, -5, 1_000_001):
+        with _pytest.raises(ValueError, match="coverage_ppm"):
+            vocab_coverage(df, coverages_ppm=(bad,))
