@@ -262,6 +262,75 @@ def _url_norm_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL crawl dedup: many fetches of the same page under
+    presentation junk (case, default port, tracking params, param
+    order, fragments) collapse to one canonical key; keep the smallest
+    doc_id.  Page identity k = doc_id % 120 (so ~4 fetches share each
+    page at sf0.01); the junk varies per doc_id and must ALL normalize
+    away.  One partial-aggregated exchange on the canonical key — the
+    url-level twin of exact_dedup."""
+    from sketch_spark.functions.urls import normalize_url_col
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = d % 120
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+        (k % 4 + 1).cast("int"),
+    )
+    u = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.Host")).otherwise(
+            F.lit("https://www.host")
+        ),
+        (k % 7).cast("string"),
+        F.lit(".Example."),
+        tld,
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        k.cast("string"),
+        F.when(d % 3 == 0, F.concat(F.lit("?a=1&id="), k.cast("string"))).otherwise(
+            F.concat(F.lit("?id="), k.cast("string"), F.lit("&a=1"))
+        ),
+        F.concat(F.lit("&utm_source=s"), (d % 10).cast("string")),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(d.alias("doc_id"), normalize_url_col(u).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+_SYNTH_DUP_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Host' ELSE 'https://www.host' END || "
+    "CAST(doc_id % 120 % 7 AS VARCHAR) || '.Example.' || "
+    "['com','org','net','io'][CAST(doc_id % 120 % 4 AS INT) + 1] || "
+    "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+    "'/p/' || CAST(doc_id % 120 AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?a=1&id=' || CAST(doc_id % 120 AS VARCHAR) "
+    "ELSE '?id=' || CAST(doc_id % 120 AS VARCHAR) || '&a=1' END || "
+    "'&utm_source=s' || CAST(doc_id % 10 AS VARCHAR) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _url_dedup_oracle_sql() -> str:
+    from sketch_spark.functions.urls import url_sql_exprs
+
+    e = url_sql_exprs("url")
+    return f"""
+        WITH u AS (SELECT doc_id, {_SYNTH_DUP_URL_SQL} AS url FROM documents),
+        norm AS (SELECT doc_id, {e['normalized']} AS url_norm FROM u)
+        SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM norm GROUP BY url_norm
+    """
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL pass: codegen'd regex/array expressions, zero
     shuffle — the crawl-dedup key derivation."""
@@ -2033,6 +2102,22 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, n=10, min_count=2, key="arrow")
 
 
+def q_fd_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent Directions (Liberty 2013) corpus-embedding spectrum:
+    top-8 singular values from an ell=16 merged FD state built in one
+    Arrow pass over partition-local vectors (core/fd.py; the
+    linear-algebra member of the mergeable family).  Rows-only by
+    design, like KLL/t-digest: estimates are merge-order-dependent
+    WITHIN the published spectral bound ||A||_F^2/ell — the sandwich
+    0 <= A^TA - B^TB <= bound*I and Weyl per-component accuracy are
+    pinned in tests/test_fd.py, incl. the distributed path at multiple
+    partitionings."""
+    from sketch_spark.operators.aggregate import fd_spectrum
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return fd_spectrum(emb, vec_col="embedding", ell=16, k=8)
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer/vocab design curve: minimal number of highest-frequency
     token types covering 50/90/99/99.9% of all token occurrences, plus
@@ -3162,6 +3247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "line_dedup": q_line_dedup,
         "vocab_coverage": q_vocab_coverage,
+        "fd_spectrum": q_fd_spectrum,
+        "url_dedup": q_url_dedup,
         "lm_perplexity": q_lm_perplexity,
         "source_quality": q_source_quality,
         "incremental_dedup": q_incremental_dedup,
@@ -3388,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": repetition_sql(),
         "pii_scan": _pii_oracle_sql(),
         "url_normalize": _url_oracle_sql(rollup=False),
+        "url_dedup": _url_dedup_oracle_sql(),
         "domain_rollup": _url_oracle_sql(rollup=True),
         "token_chunks": """
             WITH c AS (

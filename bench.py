@@ -207,8 +207,12 @@ def main() -> None:
         "corpus_curation",
         # round-5 session-4: line-level boilerplate dedup (report form —
         # same rationale as dup_span_report: removal's unique-key left
-        # join lets a bare count() eliminate the subtree)
+        # join lets a bare count() eliminate the subtree), vocab
+        # coverage curve, FD spectrum, canonical-URL dedup
         "boilerplate_lines",
+        "vocab_coverage",
+        "fd_spectrum",
+        "url_dedup",
     ]
     r3_timings: dict[str, float] = {}
     r3_rowcounts: dict[str, int] = {}

@@ -9,6 +9,7 @@ from .base import Sketch, sketch_from_bytes, unique_with_counts
 from .bloom import BloomFilter
 from .countmin import CountMin, CountMinCU
 from .countsketch import CountSketch
+from .fd import FrequentDirections
 from .misragries import MisraGries
 from .hll import HyperLogLog
 from .kll import KLL
@@ -27,6 +28,7 @@ __all__ = [
     "BloomFilter",
     "CountSketch",
     "MisraGries",
+    "FrequentDirections",
     "hashing",
 ]
 
@@ -39,6 +41,7 @@ KINDS = {
     "kll": KLL,
     "tdigest": TDigest,
     "bloom": BloomFilter,
+    "fd": FrequentDirections,
 }
 
 

@@ -57,6 +57,7 @@ __all__ = [
     "salted_spread",
     "partition_histogram",
     "bounded_rank",
+    "fd_spectrum",
 ]
 
 
@@ -172,6 +173,9 @@ class SketchSpec:
       "value"   — update with one hash per row (string or numeric
                   column): distinct urls, per-row keys, etc.
       "numeric" — feed raw numeric values (KLL quantiles).
+      "vector"  — feed a list<float> column as a (rows, d) float64
+                  matrix batch (Frequent Directions); null vectors are
+                  skipped, ragged lengths raise.
     """
 
     name: str
@@ -207,6 +211,21 @@ class SketchSpec:
             v = np.asarray(v, dtype=np.float64)
             sketch.update_values(v)
             return len(v)
+        if self.mode == "vector":
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            col = col.drop_null()
+            if len(col) == 0:
+                return 0
+            flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if len(widths) and (widths != widths[0]).any():
+                raise ValueError("vector mode needs fixed-length vectors")
+            mat = flat[offs[0]: offs[-1]].reshape(len(col), -1)
+            sketch.update_values(mat)
+            return len(mat)
         if self.mode == "tokens_str":
             key = ("tokstr", self.column, self.lowercase)
             if cache is not None and key in cache:
@@ -883,4 +902,69 @@ def distinct_overlap_estimates(
             ),
         )
         .select("group_a", "group_b", "est_a", "est_b", "est_union", "est_intersection")
+    )
+
+
+def fd_spectrum(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    d: int | None = None,
+    ell: int = 16,
+    k: int = 8,
+) -> DataFrame:
+    """(component, singular_value, err_bound, n_rows): top-k singular
+    values of the corpus embedding matrix estimated by a merged
+    Frequent Directions sketch (core/fd.py), plus the published
+    spectral bound ``||A||_F^2 / ell`` and the exact row count — the
+    streaming-PCA readout (subspace drift monitoring, whitening,
+    rank-k energy) without ever shuffling a vector.
+
+    Scale shape: one Arrow pass folds each partition into an
+    ``ell x d`` state (``build_partials`` with the "vector" spec
+    mode), states tree-merge executor-side (``merge_partials``), and
+    the spectrum is unpacked from the one merged row via mapInArrow —
+    vectors never leave their scan partition, the shuffle carries
+    O(partitions) small matrices, the driver sees nothing.
+
+    Estimates are merge-order-dependent WITHIN the published bound
+    (|sigma_i(B)^2 - sigma_i(A)^2| <= bound by Weyl's inequality) —
+    a rows-only contract query with the bound pinned in pytests, like
+    the KLL/t-digest rows.
+    """
+    if d is None:
+        row = df.select(F.size(vec_col).alias("_d")).filter(F.col("_d") > 0).head()
+        if row is None:
+            raise ValueError("cannot infer d from an empty/all-null vector column")
+        d = int(row["_d"])
+    spec = SketchSpec("fd", "fd", vec_col, mode="vector", params={"d": d, "ell": ell})
+    merged = merge_partials(build_partials(df.select(vec_col), [spec]), [])
+
+    def unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            for spec_name, blob in zip(
+                tbl.column("spec").to_pylist(),
+                tbl.column("state").to_pylist(),
+            ):
+                if spec_name != "fd":
+                    continue
+                fd = sketch_from_bytes(blob)
+                sv = fd.singular_values()[:k]
+                # vectors actually consumed (null rows skipped), from
+                # the state itself — the partial-row n_rows counts
+                # input rows including nulls
+                n_rows = fd.n
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "component": pa.array(range(1, len(sv) + 1), pa.int64()),
+                        "singular_value": pa.array(
+                            [float(x) for x in sv], pa.float64()
+                        ),
+                        "err_bound": pa.array([fd.bound] * len(sv), pa.float64()),
+                        "n_rows": pa.array([int(n_rows)] * len(sv), pa.int64()),
+                    }
+                )
+
+    return merged.mapInArrow(
+        unpack, "component long, singular_value double, err_bound double, n_rows long"
     )

@@ -193,8 +193,15 @@ def vocab_coverage(
             "_total",
         )
         .withColumn(
+            # ceil(total*ppm/1e6) WITHOUT the total*ppm product: at
+            # 10^14 occurrences the naive BIGINT multiply overflows
+            # (ANSI raises); split total = q*1e6 + r keeps every
+            # intermediate <= total + 1e12
             "_need",
-            F.expr("(_total * coverage_ppm + 999999) DIV 1000000").cast("long"),
+            F.expr(
+                "(_total DIV 1000000) * coverage_ppm"
+                " + ((_total % 1000000) * coverage_ppm + 999999) DIV 1000000"
+            ).cast("long"),
         )
     )
     j = fof.crossJoin(F.broadcast(cov))
@@ -248,7 +255,9 @@ def vocab_coverage_sql(
           SELECT CAST(sum(occ) AS BIGINT) AS total FROM fof
         ), cov AS (
           SELECT CAST(coverage_ppm AS BIGINT) AS coverage_ppm,
-                 CAST((total * coverage_ppm + 999999) // 1000000 AS BIGINT) AS need
+                 CAST((total // 1000000) * coverage_ppm
+                      + ((total % 1000000) * coverage_ppm + 999999) // 1000000
+                      AS BIGINT) AS need
           FROM (SELECT unnest([{ppm_list}]) AS coverage_ppm), tot
         )
         SELECT coverage_ppm,

@@ -35,6 +35,7 @@ def test_oracle_keys_subset_of_queries():
         "bpe_train_encode",  # iterative merge state; fast==naive ref by pytest
         "hll_lang_overlap",  # estimates; error bound asserted in pytest
         "checkpoint_resume",  # kill/resume orchestration; byte-equality asserted in-query + test_checkpoint
+        "fd_spectrum",  # FD singular values: merge-order-dependent within the published spectral bound (test_fd)
     }
     assert qs - oracles == allowed_rows_only
 

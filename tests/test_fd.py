@@ -1,0 +1,127 @@
+"""Frequent Directions matrix sketch: published-bound guarantees,
+any-merge-order mergeability, serialization, the Spark vector-mode
+aggregation path, and Weyl singular-value accuracy."""
+
+import numpy as np
+import pytest
+
+from sketch_spark.core import make_sketch, sketch_from_bytes
+from sketch_spark.core.fd import FrequentDirections
+
+
+def _lowrank(rng, n, d, r, noise=0.1):
+    return rng.normal(size=(n, r)) @ rng.normal(size=(r, d)) + noise * rng.normal(
+        size=(n, d)
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fd_covariance_sandwich(seed):
+    """0 <= x^T (A^T A - B^T B) x <= ||A||_F^2 / ell (Liberty 2013)."""
+    rng = np.random.default_rng(seed)
+    d, ell = 24, 8
+    A = _lowrank(rng, 1500, d, 3)
+    fd = FrequentDirections(d=d, ell=ell)
+    fd.update_values(A)
+    diff = A.T @ A - fd.covariance()
+    ev = np.linalg.eigvalsh(diff)
+    assert ev.min() >= -1e-6, "B^T B must never overestimate"
+    assert ev.max() <= fd.bound + 1e-6, "spectral error above published bound"
+    assert fd.n == 1500
+    assert abs(fd.sq_frob - (A * A).sum()) < 1e-5
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_fd_merge_any_order_within_bound(seed):
+    rng = np.random.default_rng(seed)
+    d, ell = 16, 6
+    A = _lowrank(rng, 2000, d, 2)
+    parts = np.array_split(A, 9)
+    sks = []
+    for p in parts:
+        s = FrequentDirections(d=d, ell=ell)
+        s.update_values(p)
+        sks.append(sketch_from_bytes(s.to_bytes()))
+    order = rng.permutation(9)
+    m = sks[order[0]]
+    for i in order[1:]:
+        m = m.merge(sks[i])
+    assert m.n == 2000
+    diff = A.T @ A - m.covariance()
+    ev = np.linalg.eigvalsh(diff)
+    assert ev.min() >= -1e-6 and ev.max() <= m.bound + 1e-6
+
+
+def test_fd_weyl_singular_values():
+    """|sigma_i(B)^2 - sigma_i(A)^2| <= bound for every component."""
+    rng = np.random.default_rng(7)
+    d, ell = 20, 10
+    A = _lowrank(rng, 1200, d, 4)
+    fd = FrequentDirections(d=d, ell=ell)
+    fd.update_values(A)
+    sa = np.linalg.svd(A, compute_uv=False)
+    sb = fd.singular_values()
+    sb = np.pad(sb, (0, max(0, len(sa) - len(sb))))
+    assert (np.abs(sb[: len(sa)] ** 2 - sa**2) <= fd.bound + 1e-6).all()
+
+
+def test_fd_roundtrip_and_validation():
+    rng = np.random.default_rng(9)
+    fd = FrequentDirections(d=8, ell=4)
+    fd.update_values(rng.normal(size=(100, 8)))
+    rt = sketch_from_bytes(fd.to_bytes())
+    assert np.allclose(rt.covariance(), fd.covariance())
+    assert (rt.n, rt.sq_frob) == (fd.n, fd.sq_frob)
+    with pytest.raises(ValueError):
+        fd.update_values(rng.normal(size=(3, 5)))  # wrong width
+    with pytest.raises(ValueError):
+        FrequentDirections(d=8, ell=1)
+    with pytest.raises(ValueError):
+        fd.merge(FrequentDirections(d=8, ell=8))
+    with pytest.raises(TypeError):
+        fd.merge(make_sketch("hll", p=10))
+
+
+def test_fd_exact_below_capacity():
+    """Fewer than 2*ell rows: no compaction ever fires, covariance exact."""
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(7, 12))
+    fd = FrequentDirections(d=12, ell=8)
+    fd.update_values(A)
+    assert np.allclose(fd.covariance(), A.T @ A)
+
+
+def test_fd_spectrum_spark(spark):
+    """The distributed path: per-partition partials + tree merge must
+    satisfy the same bound vs the exact matrix, at any partitioning."""
+    from sketch_spark.operators.aggregate import fd_spectrum
+
+    rng = np.random.default_rng(13)
+    d, n = 12, 400
+    A = _lowrank(rng, n, d, 2).astype(np.float32)
+    rows = [(i, [float(x) for x in A[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sa = np.linalg.svd(A.astype(np.float64), compute_uv=False)
+    for parts in (1, 7):
+        out = fd_spectrum(df.repartition(parts), ell=8, k=5).collect()
+        assert len(out) == 5
+        assert out[0]["n_rows"] == n
+        bound = out[0]["err_bound"]
+        for r in out:
+            assert abs(r["singular_value"] ** 2 - sa[r["component"] - 1] ** 2) <= bound + 1e-6
+
+
+def test_fd_spectrum_null_and_ragged(spark):
+    from sketch_spark.operators.aggregate import fd_spectrum
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = fd_spectrum(df, ell=2, k=2).collect()
+    assert out and out[0]["n_rows"] == 2  # null vector skipped
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="fixed-length|expected d"):
+        fd_spectrum(ragged, ell=2, k=2).collect()
