@@ -83,14 +83,18 @@ class FrequentDirections(Sketch):
             return
         # economy SVD of the 2ell x d buffer; 2ell << d is fine too
         _, s, vt = np.linalg.svd(self.rows[: self.n_buf], full_matrices=False)
-        k = min(self.ell, len(s))
-        delta = s[k - 1] ** 2 if len(s) >= k else 0.0
+        # shrink by the ell-th singular value ONLY when one exists: with
+        # rank < ell (e.g. d < ell) delta must be 0 or the compaction
+        # over-shrinks and the ||A||_F^2/ell sandwich breaks (and at
+        # rank <= ell-1 zero shrinkage keeps the summary EXACT)
+        delta = s[self.ell - 1] ** 2 if len(s) >= self.ell else 0.0
         s2 = np.maximum(s**2 - delta, 0.0)
-        keep = np.sqrt(s2[: k - 1])[:, None] * vt[: k - 1]
+        nz = int(np.count_nonzero(s2))  # <= ell-1 by construction
+        keep = np.sqrt(s2[:nz])[:, None] * vt[:nz]
         self.rows[:] = 0.0
         self.rows[: len(keep)] = keep
         self.n_buf = len(keep)
-        self.shrunk += float(delta) * min(len(s), 2 * self.ell - k + 1)
+        self.shrunk += float(delta) * (len(s) - nz)
 
     def update_values(self, mat: np.ndarray) -> None:
         """Consume a batch of rows (2-D float array, shape (m, d))."""

@@ -214,16 +214,19 @@ class SketchSpec:
         if self.mode == "vector":
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            col = col.drop_null()
+            col = col.drop_null()  # null LISTS are skipped ...
             if len(col) == 0:
                 return 0
-            flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
-                              dtype=np.float64)
-            offs = col.offsets.to_numpy(zero_copy_only=False)
-            widths = np.diff(offs)
+            vals = col.flatten()  # ... valid slots only, rebased to 0
+            if vals.null_count:
+                # a null ELEMENT inside a vector would flow through as
+                # NaN and poison/crash the SVD compaction — reject loud
+                raise ValueError("vector mode: null element inside a vector")
+            widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
             if len(widths) and (widths != widths[0]).any():
                 raise ValueError("vector mode needs fixed-length vectors")
-            mat = flat[offs[0]: offs[-1]].reshape(len(col), -1)
+            flat = np.asarray(vals.to_numpy(zero_copy_only=False), dtype=np.float64)
+            mat = flat.reshape(len(col), -1)
             sketch.update_values(mat)
             return len(mat)
         if self.mode == "tokens_str":

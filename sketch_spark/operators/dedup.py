@@ -1650,12 +1650,21 @@ def remove_boilerplate_lines_sql(
           SELECT pos.{id_col} AS _id, pos.raw, pos.p, hits.p AS hp
           FROM pos LEFT JOIN hits
             ON pos.{id_col} = hits.{id_col} AND pos.p = hits.p
+        ), agg AS (
+          SELECT _id,
+                 coalesce(string_agg(raw, chr(10) ORDER BY p)
+                            FILTER (WHERE hp IS NULL), '') AS ct,
+                 count(*) AS nl, count(hp) AS nr
+          FROM joined GROUP BY _id
         )
-        SELECT _id AS {id_col},
-               coalesce(string_agg(raw, chr(10) ORDER BY p)
-                          FILTER (WHERE hp IS NULL), '') AS clean_text,
-               CAST(count(*) AS BIGINT) AS n_lines,
-               CAST(count(hp) AS BIGINT) AS n_removed
-        FROM joined GROUP BY _id
+        -- emit from the corpus so NULL-text docs keep their row (the
+        -- Spark operator left-joins cuts onto docs): clean_text/n_lines
+        -- NULL, n_removed 0 — string_split(NULL) has no pos rows
+        SELECT ln.{id_col},
+               CASE WHEN ln.ls IS NULL THEN NULL ELSE agg.ct END AS clean_text,
+               CAST(CASE WHEN ln.ls IS NULL THEN NULL ELSE agg.nl END
+                    AS BIGINT) AS n_lines,
+               CAST(coalesce(agg.nr, 0) AS BIGINT) AS n_removed
+        FROM ln LEFT JOIN agg ON ln.{id_col} = agg._id
     """
     )

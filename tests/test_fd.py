@@ -125,3 +125,43 @@ def test_fd_spectrum_null_and_ragged(spark):
     )
     with pytest.raises(Exception, match="fixed-length|expected d"):
         fd_spectrum(ragged, ell=2, k=2).collect()
+
+
+def test_fd_low_dim_exact_and_bounded():
+    """d < ell (rank < ell): compaction must not shrink at all — the
+    summary stays EXACT and the sandwich holds trivially (review
+    finding: delta was taken from the rank-th singular value and
+    over-shrank 3.5x past the published bound)."""
+    rng = np.random.default_rng(21)
+    d, ell = 4, 16
+    A = rng.normal(size=(2000, d))
+    fd = FrequentDirections(d=d, ell=ell)
+    fd.update_values(A)
+    assert np.allclose(fd.covariance(), A.T @ A, rtol=1e-8, atol=1e-6)
+    # d == 1 degenerate: the buffer must never be annihilated
+    one = FrequentDirections(d=1, ell=8)
+    one.update_values(np.ones((100, 1)))
+    assert np.allclose(one.covariance(), [[100.0]])
+
+
+def test_fd_rank_equals_ell_boundary():
+    """rank == ell exactly: shrinkage fires with delta = s_ell^2 and the
+    sandwich still holds."""
+    rng = np.random.default_rng(22)
+    d, ell = 6, 6
+    A = rng.normal(size=(500, d))
+    fd = FrequentDirections(d=d, ell=ell)
+    fd.update_values(A)
+    diff = A.T @ A - fd.covariance()
+    ev = np.linalg.eigvalsh(diff)
+    assert ev.min() >= -1e-6 and ev.max() <= fd.bound + 1e-6
+
+
+def test_fd_vector_mode_null_element_raises(spark):
+    from sketch_spark.operators.aggregate import fd_spectrum
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, None])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="null element"):
+        fd_spectrum(df, ell=2, k=2).collect()

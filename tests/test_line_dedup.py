@@ -158,3 +158,21 @@ def test_no_python_in_plan(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_null_text_docs_keep_their_row(spark):
+    """NULL-text documents must survive BOTH engines with
+    (NULL clean_text, NULL n_lines, 0 removed) — review finding: the
+    oracle's GROUP BY dropped them while Spark's left join kept them."""
+    rows = [(1, "the shared banner line\nalpha"),
+            (2, "the shared banner line\nbeta"),
+            (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+           for r in remove_boilerplate_lines(df, min_docs=2, min_chars=10).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3] == (None, None, 0)
+    con = _duck(rows)
+    want = {r[0]: tuple(r[1:]) for r in con.execute(
+        remove_boilerplate_lines_sql(min_docs=2, min_chars=10)).fetchall()}
+    assert want == out
