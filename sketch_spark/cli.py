@@ -156,6 +156,57 @@ def cmd_dedup(args) -> None:
     print(json.dumps({"survivors": spark.read.parquet(args.out).count()}))
 
 
+def cmd_line_dedup(args) -> None:
+    from .operators.dedup import remove_boilerplate_lines
+
+    spark = _spark("line-dedup")
+    df = spark.read.parquet(args.input)
+    out = remove_boilerplate_lines(
+        df,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_docs=args.min_docs,
+        min_chars=args.min_chars,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    import pyspark.sql.functions as F
+
+    stats = (
+        spark.read.parquet(args.out)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_removed").alias("lines_removed"),
+        )
+        .collect()[0]
+    )
+    print(json.dumps({"docs": stats["docs"], "lines_removed": int(stats["lines_removed"] or 0)}))
+
+
+def cmd_vocab_coverage(args) -> None:
+    from .operators.frequent import vocab_coverage
+
+    spark = _spark("vocab-coverage")
+    df = spark.read.parquet(args.input)
+    ppm = tuple(int(x) for x in args.ppm.split(","))
+    out = vocab_coverage(df, coverages_ppm=ppm, text_col=args.text_col)
+    rows = [r.asDict() for r in out.orderBy("coverage_ppm").collect()]
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"curve": rows}))
+
+
+def cmd_fd_spectrum(args) -> None:
+    from .operators.aggregate import fd_spectrum
+
+    spark = _spark("fd-spectrum")
+    df = spark.read.parquet(args.input)
+    out = fd_spectrum(df, vec_col=args.vec_col, ell=args.ell, k=args.k)
+    rows = [r.asDict() for r in out.orderBy("component").collect()]
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"spectrum": rows}))
+
+
 def cmd_pagerank(args) -> None:
     from .operators.graph import pagerank_fixed_point
 
@@ -361,6 +412,38 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--seed", type=int, default=1)
     d.set_defaults(fn=cmd_dedup)
+
+    ld = sub.add_parser(
+        "line-dedup",
+        help="C4/CCNet line-level boilerplate removal (line in >= N docs)",
+    )
+    ld.add_argument("--input", required=True)
+    ld.add_argument("--out", required=True)
+    ld.add_argument("--id-col", default="doc_id")
+    ld.add_argument("--text-col", default="text")
+    ld.add_argument("--min-docs", type=int, default=3)
+    ld.add_argument("--min-chars", type=int, default=10)
+    ld.set_defaults(fn=cmd_line_dedup)
+
+    vc = sub.add_parser(
+        "vocab-coverage", help="minimal-vocab coverage curve (integer-exact)"
+    )
+    vc.add_argument("--input", required=True)
+    vc.add_argument("--out", default=None)
+    vc.add_argument("--text-col", default="text")
+    vc.add_argument("--ppm", default="500000,900000,990000,999000")
+    vc.set_defaults(fn=cmd_vocab_coverage)
+
+    fs = sub.add_parser(
+        "fd-spectrum",
+        help="Frequent Directions corpus embedding spectrum (streaming PCA)",
+    )
+    fs.add_argument("--input", required=True)
+    fs.add_argument("--out", default=None)
+    fs.add_argument("--vec-col", default="embedding")
+    fs.add_argument("--ell", type=int, default=16)
+    fs.add_argument("--k", type=int, default=8)
+    fs.set_defaults(fn=cmd_fd_spectrum)
 
     pr = sub.add_parser(
         "pagerank",

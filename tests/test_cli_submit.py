@@ -282,3 +282,37 @@ def test_cli_pagerank(spark, tmp_path, capsys):
     assert summary == {"nodes": 5, "zero_rank": 2}  # the 10-11 island starves
     got = {r["node"]: r["rank_units"] for r in spark.read.parquet(out2).collect()}
     assert got == pagerank_reference(edges, n_iter=8, teleport={0})
+
+
+def test_cli_line_dedup_vocab_fd(spark, tmp_path, capsys):
+    from sketch_spark import cli
+
+    docs = [
+        (1, "the shared banner line here\nalpha beta"),
+        (2, "the shared banner line here\ngamma delta"),
+        (3, "unique page body entirely"),
+    ]
+    docs_pq = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(docs_pq)
+
+    out = str(tmp_path / "clean")
+    cli.main([
+        "line-dedup", "--input", docs_pq, "--out", out,
+        "--min-docs", "2", "--min-chars", "10",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"docs": 3, "lines_removed": 2}
+    got = {r["doc_id"]: r["clean_text"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == "alpha beta" and got[3] == "unique page body entirely"
+
+    cli.main(["vocab-coverage", "--input", docs_pq, "--ppm", "1000000"])
+    curve = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["curve"]
+    n_types = len({t for _, s in docs for t in s.replace("\n", " ").split()})
+    assert curve[0]["vocab_size"] == n_types  # 100% coverage = whole vocab
+
+    vecs = [(i, [float(i), 1.0]) for i in range(10)]
+    vec_pq = str(tmp_path / "vecs")
+    spark.createDataFrame(vecs, "vec_id long, embedding array<float>").write.parquet(vec_pq)
+    cli.main(["fd-spectrum", "--input", vec_pq, "--ell", "4", "--k", "2"])
+    spec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["spectrum"]
+    assert spec[0]["n_rows"] == 10 and spec[0]["component"] == 1
