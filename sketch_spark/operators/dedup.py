@@ -1479,11 +1479,13 @@ def near_duplicates_against_keys(
 # line-level boilerplate dedup (CCNet / C4 "line appears in >= N documents")
 
 
-def _trimmed_lines(text_col: str | F.Column) -> F.Column:
-    """Raw '\\n'-split lines of ``text_col`` with per-line trim applied —
-    the normalization under which line equality is judged."""
+def _trimmed_lines(text_col: str | F.Column, sep: str = "\n") -> F.Column:
+    """Raw ``sep``-split units of ``text_col`` with per-unit trim applied —
+    the normalization under which unit equality is judged.  ``sep`` must
+    be a literal (no regex metacharacters): Spark splits by regex,
+    DuckDB's string_split is literal, and the two must agree."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.transform(F.split(col, "\n"), lambda x: F.trim(x))
+    return F.transform(F.split(col, sep), lambda x: F.trim(x))
 
 
 def boilerplate_lines(
@@ -1493,8 +1495,9 @@ def boilerplate_lines(
     min_docs: int = 3,
     min_chars: int = 10,
     key: str = "hash",
+    sep: str = "\n",
 ) -> DataFrame:
-    """(line_key, n_docs): trimmed lines of >= ``min_chars`` characters
+    """(line_key, n_docs): trimmed units of >= ``min_chars`` characters
     that appear in >= ``min_docs`` DISTINCT documents — the CCNet /
     C4-style boilerplate-line detector ("Exploring the Limits of
     Transfer Learning", Raffel et al. 2020 removed any line occurring
@@ -1517,8 +1520,9 @@ def boilerplate_lines(
     """
     if min_docs < 2:
         raise ValueError("boilerplate_lines needs min_docs >= 2")
+    _check_sep(sep)
     eligible = F.filter(
-        _trimmed_lines(text_col), lambda x: F.length(x) >= min_chars
+        _trimmed_lines(text_col, sep), lambda x: F.length(x) >= min_chars
     )
     occ = docs.select(F.explode(F.array_distinct(eligible)).alias("_line"))
     key_col = F.xxhash64("_line") if key == "hash" else F.col("_line")
@@ -1538,6 +1542,7 @@ def remove_boilerplate_lines(
     min_chars: int = 10,
     key: str = "hash",
     lines: DataFrame | None = None,
+    sep: str = "\n",
 ) -> DataFrame:
     """(doc_id, clean_text, n_lines, n_removed): documents with every
     corpus-boilerplate line (see :func:`boilerplate_lines`) dropped and
@@ -1554,12 +1559,13 @@ def remove_boilerplate_lines(
     only in the join exchange (gone entirely when AQE broadcasts the
     affected-doc side).
     """
+    _check_sep(sep)
     dup = (
         lines
         if lines is not None
-        else boilerplate_lines(docs, text_col, id_col, min_docs, min_chars, key)
+        else boilerplate_lines(docs, text_col, id_col, min_docs, min_chars, key, sep)
     )
-    raw = F.split(F.col(text_col), "\n")
+    raw = F.split(F.col(text_col), sep)
     occ = (
         docs.select(id_col, F.posexplode(raw).alias("_p", "_raw"))
         .select(id_col, "_p", F.trim("_raw").alias("_t"))
@@ -1582,20 +1588,36 @@ def remove_boilerplate_lines(
     kept = F.filter("_l", lambda x, i: ~F.exists("_cut", lambda z: z == i))
     return joined.select(
         id_col,
-        F.array_join(kept, "\n").alias("clean_text"),
+        F.array_join(kept, sep).alias("clean_text"),
         F.size("_l").cast("long").alias("n_lines"),
         F.size("_cut").cast("long").alias("n_removed"),
     )
 
 
+def _check_sep(sep: str) -> None:
+    """Literal separators only — the Spark side splits by REGEX while the
+    DuckDB oracle's string_split is literal, so a metacharacter would
+    silently diverge the two engines."""
+    if not sep or any(c in ".^$*+?()[]{}|\\'" for c in sep):
+        raise ValueError(f"sep must be a non-empty regex-free literal: {sep!r}")
+
+
+def _sep_sql(sep: str) -> str:
+    """The separator as a DuckDB expression (newlines via chr)."""
+    return " || ".join(
+        f"chr({ord(c)})" if c in "\n\r\t" else f"'{c}'" for c in sep
+    )
+
+
 def _line_cte(
-    table_expr: str, text_col: str, id_col: str, min_docs: int, min_chars: int
+    table_expr: str, text_col: str, id_col: str, min_docs: int, min_chars: int,
+    sep: str = "\n",
 ) -> str:
     """Shared DuckDB CTE chain: per-doc lines, distinct eligible keys,
     and the boilerplate (df >= min_docs) line set."""
     return f"""
         WITH ln AS (
-          SELECT {id_col}, string_split({text_col}, chr(10)) AS ls
+          SELECT {id_col}, string_split({text_col}, {_sep_sql(sep)}) AS ls
           FROM {table_expr}
         ), keys AS (
           SELECT {id_col},
@@ -1617,11 +1639,12 @@ def boilerplate_lines_sql(
     id_col: str = "doc_id",
     min_docs: int = 3,
     min_chars: int = 10,
+    sep: str = "\n",
 ) -> str:
     """DuckDB oracle for ``boilerplate_lines`` (line-string keyed — the
     hash-keyed Spark path matches it up to xxhash64 collisions)."""
     return (
-        _line_cte(table_expr, text_col, id_col, min_docs, min_chars)
+        _line_cte(table_expr, text_col, id_col, min_docs, min_chars, sep)
         + "SELECT line AS line_key, n_docs FROM dup"
     )
 
@@ -1632,11 +1655,12 @@ def remove_boilerplate_lines_sql(
     id_col: str = "doc_id",
     min_docs: int = 3,
     min_chars: int = 10,
+    sep: str = "\n",
 ) -> str:
     """DuckDB oracle for ``remove_boilerplate_lines``: rebuild each
     document from its non-boilerplate raw lines in position order."""
     return (
-        _line_cte(table_expr, text_col, id_col, min_docs, min_chars)
+        _line_cte(table_expr, text_col, id_col, min_docs, min_chars, sep)
         + f"""
         , pos AS (
           SELECT {id_col}, unnest(ls) AS raw,
@@ -1652,7 +1676,7 @@ def remove_boilerplate_lines_sql(
             ON pos.{id_col} = hits.{id_col} AND pos.p = hits.p
         ), agg AS (
           SELECT _id,
-                 coalesce(string_agg(raw, chr(10) ORDER BY p)
+                 coalesce(string_agg(raw, {_sep_sql(sep)} ORDER BY p)
                             FILTER (WHERE hp IS NULL), '') AS ct,
                  count(*) AS nl, count(hp) AS nr
           FROM joined GROUP BY _id

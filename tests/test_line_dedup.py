@@ -176,3 +176,42 @@ def test_null_text_docs_keep_their_row(spark):
     want = {r[0]: tuple(r[1:]) for r in con.execute(
         remove_boilerplate_lines_sql(min_docs=2, min_chars=10)).fetchall()}
     assert want == out
+
+
+def test_paragraph_unit_dedup(spark):
+    """sep='\\n\\n' dedups at CCNet's paragraph granularity: a repeated
+    multi-line paragraph is removed whole, single-newline breaks inside
+    paragraphs survive, and the DuckDB oracle agrees byte-for-byte."""
+    para = "first line of the footer\nsecond line of the footer"
+    rows = [
+        (1, f"intro text one\n\n{para}"),
+        (2, f"different body two\n\n{para}\n\ntrailer two"),
+        (3, "no shared paragraphs here\nat all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            df, min_docs=2, min_chars=10, sep="\n\n"
+        ).collect()
+    }
+    assert got[1] == ("intro text one", 2, 1)
+    assert got[2] == ("different body two\n\ntrailer two", 3, 1)
+    assert got[3] == ("no shared paragraphs here\nat all", 1, 0)
+    con = _duck(rows)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            remove_boilerplate_lines_sql(min_docs=2, min_chars=10, sep="\n\n")
+        ).fetchall()
+    }
+    assert want == got
+    rep = boilerplate_lines(df, min_docs=2, min_chars=10, key="gram", sep="\n\n")
+    assert [(r["line_key"], r["n_docs"]) for r in rep.collect()] == [(para, 2)]
+
+
+def test_sep_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for bad in ("", ".", "a|b", "'"):
+        with pytest.raises(ValueError, match="sep"):
+            boilerplate_lines(df, min_docs=2, sep=bad)
