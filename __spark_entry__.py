@@ -2118,6 +2118,20 @@ def q_fd_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_spectrum(emb, vec_col="embedding", ell=16, k=8)
 
 
+def q_fd_spectrum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed Frequent Directions: one ell=8 FD state PER LABEL in the
+    same fused Arrow pass (build_partials group_cols), per-cluster
+    subspace spectra — drift monitoring per language/source/cluster.
+    Rows-only like fd_spectrum; per-group Weyl accuracy pinned in
+    tests/test_fd.py::test_fd_spectrum_grouped."""
+    from sketch_spark.operators.aggregate import fd_spectrum
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return fd_spectrum(
+        emb, vec_col="embedding", ell=8, k=3, group_cols=["label"]
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer/vocab design curve: minimal number of highest-frequency
     token types covering 50/90/99/99.9% of all token occurrences, plus
@@ -3248,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "vocab_coverage": q_vocab_coverage,
         "fd_spectrum": q_fd_spectrum,
+        "fd_spectrum_by_label": q_fd_spectrum_by_label,
         "url_dedup": q_url_dedup,
         "lm_perplexity": q_lm_perplexity,
         "source_quality": q_source_quality,

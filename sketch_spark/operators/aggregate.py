@@ -494,7 +494,13 @@ def _fold_states(group_cols: list[str]):
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: dict[tuple, Sketch] = {}
         meta: dict[tuple, list] = {}
+        key_fields = None
         for batch in batches:
+            if key_fields is None:
+                # non-string group keys (int labels etc.) must keep the
+                # INPUT Arrow type: from_pylist would re-infer int64 and
+                # desync from the declared mapInArrow schema
+                key_fields = [batch.schema.field(c) for c in keys]
             rows = pa.Table.from_batches([batch]).to_pylist()
             for r in rows:
                 key = tuple(r[c] for c in keys)
@@ -520,7 +526,16 @@ def _fold_states(group_cols: list[str]):
                 wall_ms=meta[key][2],
             )
             out.append(row)
-        yield pa.RecordBatch.from_pylist(out)
+        out_schema = pa.schema(
+            list(key_fields)
+            + [
+                pa.field("state", pa.binary()),
+                pa.field("n_rows", pa.int64()),
+                pa.field("n_values", pa.int64()),
+                pa.field("wall_ms", pa.float64()),
+            ]
+        )
+        yield pa.RecordBatch.from_pylist(out, schema=out_schema)
 
     return fold
 
@@ -914,6 +929,7 @@ def fd_spectrum(
     d: int | None = None,
     ell: int = 16,
     k: int = 8,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """(component, singular_value, err_bound, n_rows): top-k singular
     values of the corpus embedding matrix estimated by a merged
@@ -933,21 +949,28 @@ def fd_spectrum(
     (|sigma_i(B)^2 - sigma_i(A)^2| <= bound by Weyl's inequality) —
     a rows-only contract query with the bound pinned in pytests, like
     the KLL/t-digest rows.
+
+    ``group_cols`` (low-cardinality keys: lang, label, source) builds
+    one FD state PER GROUP in the same fused pass — per-cluster
+    subspace monitoring; output gains the group columns.
     """
     if d is None:
         row = df.select(F.size(vec_col).alias("_d")).filter(F.col("_d") > 0).head()
         if row is None:
             raise ValueError("cannot infer d from an empty/all-null vector column")
         d = int(row["_d"])
+    group_cols = list(group_cols or [])
     spec = SketchSpec("fd", "fd", vec_col, mode="vector", params={"d": d, "ell": ell})
-    merged = merge_partials(build_partials(df.select(vec_col), [spec]), [])
+    partials = build_partials(df.select(*(group_cols + [vec_col])), [spec], group_cols)
+    merged = merge_partials(partials, group_cols)
+    gschema = merged.select(*group_cols).schema if group_cols else None
 
     def unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
-            for spec_name, blob in zip(
-                tbl.column("spec").to_pylist(),
-                tbl.column("state").to_pylist(),
+            groups = [tbl.column(g).to_pylist() for g in group_cols]
+            for i, (spec_name, blob) in enumerate(
+                zip(tbl.column("spec").to_pylist(), tbl.column("state").to_pylist())
             ):
                 if spec_name != "fd":
                     continue
@@ -957,7 +980,16 @@ def fd_spectrum(
                 # the state itself — the partial-row n_rows counts
                 # input rows including nulls
                 n_rows = fd.n
-                yield pa.RecordBatch.from_pydict(
+                cols = {
+                    # preserve the input Arrow type (e.g. int32 labels):
+                    # re-inference would widen to int64 and crash the
+                    # declared-schema ArrowColumnVector accessor
+                    g: pa.array(
+                        [groups[j][i]] * len(sv), type=tbl.schema.field(g).type
+                    )
+                    for j, g in enumerate(group_cols)
+                }
+                cols.update(
                     {
                         "component": pa.array(range(1, len(sv) + 1), pa.int64()),
                         "singular_value": pa.array(
@@ -967,7 +999,14 @@ def fd_spectrum(
                         "n_rows": pa.array([int(n_rows)] * len(sv), pa.int64()),
                     }
                 )
+                yield pa.RecordBatch.from_pydict(cols)
 
+    gddl = (
+        "".join(
+            f"{f.name} {f.dataType.simpleString()}, " for f in (gschema.fields if gschema else [])
+        )
+    )
     return merged.mapInArrow(
-        unpack, "component long, singular_value double, err_bound double, n_rows long"
+        unpack,
+        gddl + "component long, singular_value double, err_bound double, n_rows long",
     )

@@ -165,3 +165,29 @@ def test_fd_vector_mode_null_element_raises(spark):
     )
     with pytest.raises(Exception, match="null element"):
         fd_spectrum(df, ell=2, k=2).collect()
+
+
+def test_fd_spectrum_grouped(spark):
+    """group_cols: one FD state per group in the same fused pass; each
+    group's spectrum must match its own exact singular values within
+    its own bound."""
+    from sketch_spark.operators.aggregate import fd_spectrum
+
+    rng = np.random.default_rng(31)
+    d = 8
+    mats = {"a": rng.normal(size=(120, d)), "b": 5.0 * rng.normal(size=(80, d))}
+    rows = [
+        (lab, [float(x) for x in m[i]]) for lab, m in mats.items() for i in range(len(m))
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    out = fd_spectrum(
+        df.repartition(5), ell=6, k=3, group_cols=["label"]
+    ).collect()
+    assert {r["label"] for r in out} == {"a", "b"}
+    for lab, m in mats.items():
+        mine = [r for r in out if r["label"] == lab]
+        assert mine[0]["n_rows"] == len(m)
+        sa = np.linalg.svd(np.float32(m).astype(np.float64), compute_uv=False)
+        bound = mine[0]["err_bound"]
+        for r in mine:
+            assert abs(r["singular_value"] ** 2 - sa[r["component"] - 1] ** 2) <= bound + 1e-6
