@@ -2132,6 +2132,20 @@ def q_fd_spectrum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC via FD subspace residuals: per-vector distance from
+    the corpus's dominant rank-8 subspace (fd_residuals — pass 1 builds
+    the merged FD state with vectors never shuffling, pass 2 broadcasts
+    V_k and scores map-only with one numpy gemm per batch).  Rows-only:
+    residual VALUES inherit FD's merge-order dependence; the subspace
+    properties (in-subspace ~0 at any partitioning, orthogonal outlier
+    ratio ~1, zero-vector guard) are pinned in test_fd."""
+    from sketch_spark.operators.aggregate import fd_residuals
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return fd_residuals(emb, vec_col="embedding", id_col="vec_id", ell=16, k=8)
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer/vocab design curve: minimal number of highest-frequency
     token types covering 50/90/99/99.9% of all token occurrences, plus
@@ -3263,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "fd_spectrum": q_fd_spectrum,
         "fd_spectrum_by_label": q_fd_spectrum_by_label,
+        "embedding_outliers": q_embedding_outliers,
         "url_dedup": q_url_dedup,
         "lm_perplexity": q_lm_perplexity,
         "source_quality": q_source_quality,

@@ -58,6 +58,7 @@ __all__ = [
     "partition_histogram",
     "bounded_rank",
     "fd_spectrum",
+    "fd_residuals",
 ]
 
 
@@ -1010,3 +1011,82 @@ def fd_spectrum(
         unpack,
         gddl + "component long, singular_value double, err_bound double, n_rows long",
     )
+
+
+def fd_residuals(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    d: int | None = None,
+    ell: int = 16,
+    k: int = 8,
+) -> DataFrame:
+    """(id, sq_norm, residual, ratio): distance of every vector from the
+    corpus's dominant rank-``k`` subspace, read off a merged Frequent
+    Directions state — the embedding-QC readout (corrupt/outlier vector
+    detection, the SemDeDup-style prune signal) as two map passes.
+
+    residual = ||x||^2 - ||V_k x||^2 >= 0 (V_k = FD top-k right
+    singular vectors); ratio = residual / ||x||^2 in [0, 1] — 0 for
+    vectors inside the dominant subspace, -> 1 for orthogonal outliers.
+    Zero vectors get ratio 0 (guarded division — the ANSI rule).
+
+    Scale shape: pass 1 is :func:`fd_spectrum`'s build (vectors never
+    shuffle; one k x d matrix reaches the driver); pass 2 broadcasts
+    V_k and scores each partition with one numpy gemm — map-only, no
+    exchange.  Values inherit FD's merge-order dependence (the
+    SUBSPACE is stable for separated spectra; in-subspace residuals
+    are ~0 under any order — property-tested), so this is a rows-only
+    query like fd_spectrum.
+    """
+    if d is None:
+        row = df.select(F.size(vec_col).alias("_d")).filter(F.col("_d") > 0).head()
+        if row is None:
+            raise ValueError("cannot infer d from an empty/all-null vector column")
+        d = int(row["_d"])
+    spec = SketchSpec("fd", "fd", vec_col, mode="vector", params={"d": d, "ell": ell})
+    merged = merge_partials(build_partials(df.select(vec_col), [spec]), [])
+    blob = merged.filter(F.col("spec") == "fd").select("state").head()
+    if blob is None:
+        raise ValueError("no FD state built (empty input?)")
+    fd = sketch_from_bytes(bytes(blob["state"]))
+    _, vt = fd.top_directions(k)
+    sc = df.sparkSession.sparkContext
+    bvt = sc.broadcast(np.ascontiguousarray(vt))
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        v = bvt.value
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            valid = col.drop_null()
+            if len(valid) != len(col):
+                raise ValueError("fd_residuals: null vector (filter first)")
+            if valid.flatten().null_count:
+                raise ValueError("fd_residuals: null element inside a vector")
+            flat = np.asarray(
+                valid.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+            )
+            mat = flat.reshape(len(col), -1)
+            if mat.shape[1] != v.shape[1]:
+                raise ValueError(
+                    f"expected d={v.shape[1]} columns, got {mat.shape[1]}"
+                )
+            sq = np.einsum("ij,ij->i", mat, mat)
+            proj = mat @ v.T
+            res = np.maximum(sq - np.einsum("ij,ij->i", proj, proj), 0.0)
+            ratio = np.divide(res, sq, out=np.zeros_like(res), where=sq > 0)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "_id": ids,
+                    "sq_norm": pa.array(sq, pa.float64()),
+                    "residual": pa.array(res, pa.float64()),
+                    "ratio": pa.array(ratio, pa.float64()),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    out = df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        score, f"_id {id_type}, sq_norm double, residual double, ratio double"
+    )
+    return out.withColumnRenamed("_id", id_col)

@@ -37,6 +37,7 @@ def test_oracle_keys_subset_of_queries():
         "checkpoint_resume",  # kill/resume orchestration; byte-equality asserted in-query + test_checkpoint
         "fd_spectrum",  # FD singular values: merge-order-dependent within the published spectral bound (test_fd)
         "fd_spectrum_by_label",  # keyed FD: same declared-rows-only rationale, per-group Weyl pytest
+        "embedding_outliers",  # FD subspace residuals: values merge-order-dependent; subspace properties pytest-pinned
     }
     assert qs - oracles == allowed_rows_only
 

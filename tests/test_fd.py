@@ -191,3 +191,47 @@ def test_fd_spectrum_grouped(spark):
         bound = mine[0]["err_bound"]
         for r in mine:
             assert abs(r["singular_value"] ** 2 - sa[r["component"] - 1] ** 2) <= bound + 1e-6
+
+
+def test_fd_residuals_subspace_properties(spark):
+    """Vectors inside a planted rank-2 subspace score ~0 residual under
+    ANY partitioning; an orthogonal outlier scores ratio ~1; zero
+    vectors get ratio 0 (guarded division)."""
+    from sketch_spark.operators.aggregate import fd_residuals
+
+    rng = np.random.default_rng(41)
+    d = 10
+    basis = np.linalg.qr(rng.normal(size=(d, 2)))[0].T  # 2 x d orthonormal
+    inside = rng.normal(size=(200, 2)) @ basis
+    # orthogonal direction: complete the basis
+    full = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    ortho = full[:, -1]
+    ortho -= basis.T @ (basis @ ortho)
+    ortho /= np.linalg.norm(ortho)
+    rows = [(i, [float(x) for x in inside[i]]) for i in range(200)]
+    rows.append((900, [float(x) for x in 3.0 * ortho]))
+    rows.append((901, [0.0] * d))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for parts in (1, 6):
+        out = {
+            r["vec_id"]: r
+            for r in fd_residuals(df.repartition(parts), ell=6, k=2).collect()
+        }
+        assert len(out) == 202
+        for i in range(200):
+            assert out[i]["ratio"] < 1e-5, f"in-subspace vector {i} flagged"
+        assert out[900]["ratio"] > 0.99, "orthogonal outlier not flagged"
+        assert out[901] == out[901]  # present
+        assert out[901]["ratio"] == 0.0 and out[901]["residual"] == 0.0
+
+
+def test_fd_residuals_validation(spark):
+    from sketch_spark.operators.aggregate import fd_residuals
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="null vector"):
+        fd_residuals(df.filter("vec_id >= 0"), ell=2, k=1).collect()
+    ok = fd_residuals(df.filter("embedding is not null"), ell=2, k=1).collect()
+    assert len(ok) == 1
