@@ -189,9 +189,12 @@ def cmd_vocab_coverage(args) -> None:
     df = spark.read.parquet(args.input)
     ppm = tuple(int(x) for x in args.ppm.split(","))
     out = vocab_coverage(df, coverages_ppm=ppm, text_col=args.text_col)
-    rows = [r.asDict() for r in out.orderBy("coverage_ppm").collect()]
     if args.out:
+        # write once, summarize from the written parquet — never
+        # recompute the corpus-scale job for the printed summary
         out.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+    rows = [r.asDict() for r in out.orderBy("coverage_ppm").collect()]
     print(json.dumps({"curve": rows}))
 
 
@@ -201,9 +204,10 @@ def cmd_fd_spectrum(args) -> None:
     spark = _spark("fd-spectrum")
     df = spark.read.parquet(args.input)
     out = fd_spectrum(df, vec_col=args.vec_col, ell=args.ell, k=args.k)
-    rows = [r.asDict() for r in out.orderBy("component").collect()]
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+    rows = [r.asDict() for r in out.orderBy("component").collect()]
     print(json.dumps({"spectrum": rows}))
 
 

@@ -924,6 +924,20 @@ def distinct_overlap_estimates(
     )
 
 
+def _fd_merged_state(
+    df: DataFrame, vec_col: str, d: int | None, ell: int
+) -> tuple[DataFrame, int]:
+    """Shared FD preamble: infer d if needed, build per-partition FD
+    partials in one Arrow pass, tree-merge — (merged 1-row frame, d)."""
+    if d is None:
+        row = df.select(F.size(vec_col).alias("_d")).filter(F.col("_d") > 0).head()
+        if row is None:
+            raise ValueError("cannot infer d from an empty/all-null vector column")
+        d = int(row["_d"])
+    spec = SketchSpec("fd", "fd", vec_col, mode="vector", params={"d": d, "ell": ell})
+    return merge_partials(build_partials(df.select(vec_col), [spec]), []), d
+
+
 def fd_spectrum(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -955,15 +969,22 @@ def fd_spectrum(
     one FD state PER GROUP in the same fused pass — per-cluster
     subspace monitoring; output gains the group columns.
     """
-    if d is None:
-        row = df.select(F.size(vec_col).alias("_d")).filter(F.col("_d") > 0).head()
-        if row is None:
-            raise ValueError("cannot infer d from an empty/all-null vector column")
-        d = int(row["_d"])
     group_cols = list(group_cols or [])
-    spec = SketchSpec("fd", "fd", vec_col, mode="vector", params={"d": d, "ell": ell})
-    partials = build_partials(df.select(*(group_cols + [vec_col])), [spec], group_cols)
-    merged = merge_partials(partials, group_cols)
+    if not group_cols:
+        merged, d = _fd_merged_state(df, vec_col, d, ell)
+    else:
+        if d is None:
+            row = df.select(F.size(vec_col).alias("_d")).filter(F.col("_d") > 0).head()
+            if row is None:
+                raise ValueError("cannot infer d from an empty/all-null vector column")
+            d = int(row["_d"])
+        spec = SketchSpec(
+            "fd", "fd", vec_col, mode="vector", params={"d": d, "ell": ell}
+        )
+        partials = build_partials(
+            df.select(*(group_cols + [vec_col])), [spec], group_cols
+        )
+        merged = merge_partials(partials, group_cols)
     gschema = merged.select(*group_cols).schema if group_cols else None
 
     def unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -1039,13 +1060,7 @@ def fd_residuals(
     are ~0 under any order — property-tested), so this is a rows-only
     query like fd_spectrum.
     """
-    if d is None:
-        row = df.select(F.size(vec_col).alias("_d")).filter(F.col("_d") > 0).head()
-        if row is None:
-            raise ValueError("cannot infer d from an empty/all-null vector column")
-        d = int(row["_d"])
-    spec = SketchSpec("fd", "fd", vec_col, mode="vector", params={"d": d, "ell": ell})
-    merged = merge_partials(build_partials(df.select(vec_col), [spec]), [])
+    merged, d = _fd_merged_state(df, vec_col, d, ell)
     blob = merged.filter(F.col("spec") == "fd").select("state").head()
     if blob is None:
         raise ValueError("no FD state built (empty input?)")
@@ -1062,11 +1077,10 @@ def fd_residuals(
             valid = col.drop_null()
             if len(valid) != len(col):
                 raise ValueError("fd_residuals: null vector (filter first)")
-            if valid.flatten().null_count:
+            vals = valid.flatten()
+            if vals.null_count:
                 raise ValueError("fd_residuals: null element inside a vector")
-            flat = np.asarray(
-                valid.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
-            )
+            flat = np.asarray(vals.to_numpy(zero_copy_only=False), dtype=np.float64)
             mat = flat.reshape(len(col), -1)
             if mat.shape[1] != v.shape[1]:
                 raise ValueError(

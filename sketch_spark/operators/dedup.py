@@ -1613,6 +1613,7 @@ def _line_cte(
     table_expr: str, text_col: str, id_col: str, min_docs: int, min_chars: int,
     sep: str = "\n",
 ) -> str:
+    _check_sep(sep)
     """Shared DuckDB CTE chain: per-doc lines, distinct eligible keys,
     and the boilerplate (df >= min_docs) line set."""
     return f"""
@@ -1684,10 +1685,18 @@ def remove_boilerplate_lines_sql(
         -- emit from the corpus so NULL-text docs keep their row (the
         -- Spark operator left-joins cuts onto docs): clean_text/n_lines
         -- NULL, n_removed 0 — string_split(NULL) has no pos rows
+        -- a NULL-{id_col} doc mirrors Spark's null-unsafe cut join:
+        -- it never receives cuts, so its original text survives whole
+        -- (rebuilt per doc from its own ls — the shared agg NULL group
+        -- would interleave multiple NULL-id docs)
         SELECT ln.{id_col},
-               CASE WHEN ln.ls IS NULL THEN NULL ELSE agg.ct END AS clean_text,
-               CAST(CASE WHEN ln.ls IS NULL THEN NULL ELSE agg.nl END
-                    AS BIGINT) AS n_lines,
+               CASE WHEN ln.ls IS NULL THEN NULL
+                    WHEN ln.{id_col} IS NULL
+                      THEN array_to_string(ln.ls, {_sep_sql(sep)})
+                    ELSE agg.ct END AS clean_text,
+               CAST(CASE WHEN ln.ls IS NULL THEN NULL
+                         WHEN ln.{id_col} IS NULL THEN len(ln.ls)
+                         ELSE agg.nl END AS BIGINT) AS n_lines,
                CAST(coalesce(agg.nr, 0) AS BIGINT) AS n_removed
         FROM ln LEFT JOIN agg ON ln.{id_col} = agg._id
     """

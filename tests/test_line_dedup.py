@@ -215,3 +215,46 @@ def test_sep_validation(spark):
     for bad in ("", ".", "a|b", "'"):
         with pytest.raises(ValueError, match="sep"):
             boilerplate_lines(df, min_docs=2, sep=bad)
+
+
+def test_null_doc_id_parity(spark):
+    """NULL-id docs never receive cuts (Spark's cut join is
+    null-unsafe) but their LINES still count toward df — both engines
+    must agree, including with MULTIPLE NULL-id docs (review finding:
+    the oracle's outer join dropped their text; the shared agg NULL
+    group would have interleaved them)."""
+    rows = [
+        (1, "the shared banner line\nalpha"),
+        (None, "the shared banner line\nbeta text"),
+        (None, "the shared banner line\nmore gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        [
+            (r["doc_id"], r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in remove_boilerplate_lines(df, min_docs=2, min_chars=10).collect()
+        ],
+        key=str,
+    )
+    # doc 1 loses the banner (df=3 >= 2); NULL-id docs keep full text
+    assert (1, "alpha", 2, 1) in got
+    assert (None, "the shared banner line\nbeta text", 2, 0) in got
+    assert (None, "the shared banner line\nmore gamma", 2, 0) in got
+    con = _duck(rows)
+    want = sorted(
+        [
+            tuple(r)
+            for r in con.execute(
+                remove_boilerplate_lines_sql(min_docs=2, min_chars=10)
+            ).fetchall()
+        ],
+        key=str,
+    )
+    assert want == got
+
+
+def test_sql_builders_validate_sep():
+    with pytest.raises(ValueError, match="sep"):
+        boilerplate_lines_sql(sep=".")
+    with pytest.raises(ValueError, match="sep"):
+        remove_boilerplate_lines_sql(sep="'")
