@@ -2172,15 +2172,9 @@ _BP_FOOTER = "subscribe to the newsletter for updates"
 _BP_LINE_RE = r"((?:\S+ ){6}\S+) "
 
 
-def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthetic corpus is single-line; decorate it into the
-    multi-line web pages the line-dedup family targets (the pii_scan
-    planting trick): body split into 7-token lines, plus deterministic
-    cross-doc boilerplate — a cookie header on 2/3 of docs, a
-    per-source copyright footer on every doc, a newsletter plea on 2/5,
-    and a df=1 marker line that must never be removed.  DuckDB mirrors
-    the construction exactly (``_multiline_docs_cte``)."""
-    docs = _read(spark, sf_dir, "documents")
+def _decorate_multiline(docs: DataFrame) -> DataFrame:
+    """Decorate any (doc_id, text, source) frame — batch OR streaming —
+    into deterministic multi-line pages (pure Catalyst expressions)."""
     body = F.regexp_replace(F.col("text"), _BP_LINE_RE, "$1\n")
     return docs.select(
         "doc_id",
@@ -2193,6 +2187,17 @@ def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("doc marker "), F.md5(F.col("doc_id").cast("string"))),
         ).alias("text"),
     )
+
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus is single-line; decorate it into the
+    multi-line web pages the line-dedup family targets (the pii_scan
+    planting trick): body split into 7-token lines, plus deterministic
+    cross-doc boilerplate — a cookie header on 2/3 of docs, a
+    per-source copyright footer on every doc, a newsletter plea on 2/5,
+    and a df=1 marker line that must never be removed.  DuckDB mirrors
+    the construction exactly (``_multiline_docs_table``)."""
+    return _decorate_multiline(_read(spark, sf_dir, "documents"))
 
 
 def _multiline_docs_table() -> str:
@@ -2388,6 +2393,45 @@ def q_streaming_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= 200)
         .select(F.col("tok").alias("token"), "cnt")
     )
+
+
+def q_streaming_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of boilerplate_lines: decorated documents arrive
+    as a file stream (several micro-batches), per-document DISTINCT
+    eligible line keys explode map-side, and a native streaming
+    groupBy-count accumulates document frequency across epochs — valid
+    because each document arrives in exactly one micro-batch, so
+    per-batch distinct-per-doc counts sum to the global df.  The final
+    complete-mode snapshot filtered at min_docs must hash-match the
+    BATCH boilerplate_lines oracle — streaming==batch under the
+    driver's value-hash gate."""
+    from sketch_spark.operators.dedup import _trimmed_lines
+
+    base, in_dir, schema = _stream_input(spark, sf_dir, "bp")
+    out_dir = os.path.join(base, "out")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(in_dir)
+    )
+    mdocs = _decorate_multiline(stream)
+    eligible = F.filter(_trimmed_lines("text"), lambda x: F.length(x) >= 10)
+    agg = (
+        mdocs.select(F.explode(F.array_distinct(eligible)).alias("line_key"))
+        .groupBy("line_key")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+    def snap(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(snap)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).filter(F.col("n_docs") >= 20)
 
 
 def q_streaming_cmcu_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3274,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "boilerplate_lines": q_boilerplate_lines,
         "line_dedup": q_line_dedup,
+        "streaming_boilerplate": q_streaming_boilerplate,
         "vocab_coverage": q_vocab_coverage,
         "fd_spectrum": q_fd_spectrum,
         "fd_spectrum_by_label": q_fd_spectrum_by_label,
@@ -4275,6 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_report": _dup_span_report_oracle_sql(),
         "dup_span_removal": _dup_span_removal_oracle_sql(),
         "boilerplate_lines": _boilerplate_lines_oracle_sql(),
+        "streaming_boilerplate": _boilerplate_lines_oracle_sql(),
         "line_dedup": _line_dedup_oracle_sql(),
         "vocab_coverage": _vocab_coverage_oracle_sql(),
         "lm_perplexity": _lm_perplexity_oracle_sql(),
