@@ -235,3 +235,35 @@ def test_fd_residuals_validation(spark):
         fd_residuals(df.filter("vec_id >= 0"), ell=2, k=1).collect()
     ok = fd_residuals(df.filter("embedding is not null"), ell=2, k=1).collect()
     assert len(ok) == 1
+
+
+def test_vector_mode_fuses_with_other_specs(spark):
+    """The reference's 'all configs in one scan' (P1) must hold across
+    modes: an FD (vector) spec and an HLL (value) spec build from the
+    SAME build_partials pass, and both merged states are correct."""
+    from sketch_spark.core import sketch_from_bytes
+    from sketch_spark.operators.aggregate import (
+        SketchSpec,
+        build_partials,
+        merge_partials,
+    )
+
+    rng = np.random.default_rng(51)
+    d = 6
+    rows = [(i % 17, [float(x) for x in rng.normal(size=d)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "label long, embedding array<float>")
+    specs = [
+        SketchSpec("fd", "fd", "embedding", mode="vector", params={"d": d, "ell": 8}),
+        SketchSpec("hll", "hll", "label", mode="value", params={"p": 12, "seed": 1}),
+    ]
+    merged = merge_partials(build_partials(df, specs), [])
+    states = {r["spec"]: bytes(r["state"]) for r in merged.collect()}
+    assert set(states) == {"fd", "hll"}
+    fd = sketch_from_bytes(states["fd"])
+    assert fd.n == 300
+    # quantize through float32 exactly as the array<float> column does
+    A = np.array([v for _, v in rows], dtype=np.float32).astype(np.float64)
+    ev = np.linalg.eigvalsh(A.T @ A - fd.covariance())
+    assert ev.min() >= -1e-6 and ev.max() <= fd.bound + 1e-6
+    hll = sketch_from_bytes(states["hll"])
+    assert abs(hll.estimate() - 17) <= 3  # well within RSE at p=12
