@@ -167,6 +167,7 @@ def cmd_line_dedup(args) -> None:
         id_col=args.id_col,
         min_docs=args.min_docs,
         min_chars=args.min_chars,
+        sep=args.sep.replace("\\n", "\n"),
     )
     out.write.mode("overwrite").parquet(args.out)
     import pyspark.sql.functions as F
@@ -427,6 +428,10 @@ def main(argv: list[str] | None = None) -> None:
     ld.add_argument("--text-col", default="text")
     ld.add_argument("--min-docs", type=int, default=3)
     ld.add_argument("--min-chars", type=int, default=10)
+    ld.add_argument(
+        "--sep", default="\\n",
+        help=r"literal unit separator; \n escapes allowed ('\n\n' = paragraphs)",
+    )
     ld.set_defaults(fn=cmd_line_dedup)
 
     vc = sub.add_parser(

@@ -316,3 +316,21 @@ def test_cli_line_dedup_vocab_fd(spark, tmp_path, capsys):
     cli.main(["fd-spectrum", "--input", vec_pq, "--ell", "4", "--k", "2"])
     spec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["spectrum"]
     assert spec[0]["n_rows"] == 10 and spec[0]["component"] == 1
+
+
+def test_cli_line_dedup_paragraph_sep(spark, tmp_path, capsys):
+    from sketch_spark import cli
+
+    para = "shared footer line one\nshared footer line two"
+    docs = [(1, f"body one\n\n{para}"), (2, f"body two here\n\n{para}")]
+    docs_pq = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(docs_pq)
+    out = str(tmp_path / "clean")
+    cli.main([
+        "line-dedup", "--input", docs_pq, "--out", out,
+        "--min-docs", "2", "--min-chars", "10", "--sep", r"\n\n",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"docs": 2, "lines_removed": 2}
+    got = {r["doc_id"]: r["clean_text"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "body one", 2: "body two here"}
